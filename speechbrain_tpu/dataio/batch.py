@@ -1,0 +1,187 @@
+"""Batch collation with padding and XLA-friendly shape bucketing.
+
+``PaddedBatch`` right-pads each tensor key to the batch max (or to a
+quantized bucket shape so that jit compiles a bounded set of programs —
+the TPU-native replacement for fully dynamic shapes, SURVEY.md §5.7).
+
+Parity target: reference ``dataio/batch.py:20``.
+
+Example
+-------
+>>> import numpy as np
+>>> batch = PaddedBatch([
+...     {"id": "ex1", "val": np.array([1.0])},
+...     {"id": "ex2", "val": np.array([2.0, 1.0])},
+... ])
+>>> batch.id
+['ex1', 'ex2']
+>>> batch.val.data.shape
+(2, 2)
+>>> [float(x) for x in batch.val.lengths]
+[0.5, 1.0]
+"""
+
+import collections
+
+import numpy as np
+
+from speechbrain_tpu.utils.data_utils import (
+    batch_pad_right,
+    ceil_to_bucket,
+    mod_default_collate,
+)
+
+__all__ = ["PaddedData", "PaddedBatch", "BatchShapePolicy"]
+
+PaddedData = collections.namedtuple("PaddedData", ["data", "lengths"])
+
+
+class BatchShapePolicy:
+    """Quantizes (batch, time) shapes to a fixed menu of buckets.
+
+    Arguments
+    ---------
+    time_buckets : list[int] | None
+        Sorted menu of time-dimension sizes; observed max length is
+        rounded up to the nearest bucket.  None disables quantization.
+    pad_batch_to : int | None
+        If set, the batch dim is padded with all-zero rows (length 0)
+        up to this size so every compiled program sees one batch size.
+
+    Example
+    -------
+    >>> policy = BatchShapePolicy(time_buckets=[4, 8])
+    >>> policy.target_time(5)
+    8
+    """
+
+    def __init__(self, time_buckets=None, pad_batch_to=None):
+        self.time_buckets = sorted(time_buckets) if time_buckets else None
+        self.pad_batch_to = pad_batch_to
+
+    def target_time(self, observed_max):
+        if self.time_buckets is None:
+            return observed_max
+        return ceil_to_bucket(observed_max, self.time_buckets)
+
+
+class PaddedBatch:
+    """Collate a list of example dicts; pad array values, list the rest.
+
+    Array-valued keys (all examples arrays) become ``PaddedData(data,
+    lengths)`` with relative lengths on the first dim.  Attribute-style
+    access returns the collated value for a key.  ``numeric_dict()``
+    returns the jit-consumable subset.
+    """
+
+    def __init__(
+        self,
+        examples,
+        padded_keys=None,
+        padding_func=batch_pad_right,
+        padding_kwargs={},
+        nonpadded_stack=True,
+        shape_policy=None,
+    ):
+        self.__length = len(examples)
+        self.__keys = list(examples[0].keys())
+        self.__padded_keys = []
+        self.__dict = {}
+        policy = shape_policy
+        real_batch = len(examples)
+        if policy is not None and policy.pad_batch_to is not None:
+            if real_batch > policy.pad_batch_to:
+                raise ValueError(
+                    f"Batch of {real_batch} exceeds pad_batch_to="
+                    f"{policy.pad_batch_to}"
+                )
+        for key in self.__keys:
+            values = [ex[key] for ex in examples]
+            if isinstance(values[0], (np.ndarray, float, int)) and not isinstance(
+                values[0], bool
+            ):
+                values = [np.asarray(v) for v in values]
+            pad_this = (
+                isinstance(values[0], np.ndarray)
+                and values[0].ndim >= 1
+                and (padded_keys is None or key in padded_keys)
+            )
+            if pad_this:
+                target_shape = None
+                if policy is not None and values[0].ndim >= 1:
+                    observed = tuple(
+                        max(v.shape[d] for v in values)
+                        for d in range(values[0].ndim)
+                    )
+                    target_shape = (policy.target_time(observed[0]),) + observed[1:]
+                if policy is not None and policy.pad_batch_to is not None:
+                    # Dummy all-zero examples with zero length.
+                    shape = target_shape or tuple(
+                        max(v.shape[d] for v in values)
+                        for d in range(values[0].ndim)
+                    )
+                    n_dummy = policy.pad_batch_to - real_batch
+                    values = values + [
+                        np.zeros((0,) + shape[1:], dtype=values[0].dtype)
+                    ] * n_dummy
+                    target_shape = shape
+                padded = PaddedData(
+                    *padding_func(
+                        values, target_shape=target_shape, **padding_kwargs
+                    )
+                )
+                self.__dict[key] = padded
+                self.__padded_keys.append(key)
+            else:
+                if policy is not None and policy.pad_batch_to is not None:
+                    n_dummy = policy.pad_batch_to - real_batch
+                    if isinstance(values[0], np.ndarray):
+                        values = values + [np.zeros_like(values[0])] * n_dummy
+                    else:
+                        values = values + [values[0]] * n_dummy
+                if nonpadded_stack:
+                    values = mod_default_collate(values)
+                self.__dict[key] = values
+
+    def __len__(self):
+        return self.__length
+
+    def __getattr__(self, key):
+        if key in self._PaddedBatch__dict:
+            return self._PaddedBatch__dict[key]
+        raise AttributeError(f"Batch doesn't have key: {key}")
+
+    def __getitem__(self, key):
+        return self.__dict[key]
+
+    def __iter__(self):
+        """Iterate over collated values in order (supports unpacking)."""
+        return iter(self.__dict[key] for key in self.__keys)
+
+    def __contains__(self, key):
+        return key in self.__dict
+
+    @property
+    def batch_keys(self):
+        return list(self.__keys)
+
+    @property
+    def padded_keys(self):
+        return list(self.__padded_keys)
+
+    def at_position(self, pos):
+        """The collated value of the pos'th key."""
+        key = self.__keys[pos]
+        return self.__dict[key]
+
+    def numeric_dict(self):
+        """Flat dict of arrays for jit: key -> data, key_lens -> lengths."""
+        out = {}
+        for key in self.__keys:
+            value = self.__dict[key]
+            if isinstance(value, PaddedData):
+                out[key] = value.data
+                out[f"{key}_lens"] = value.lengths
+            elif isinstance(value, np.ndarray):
+                out[key] = value
+        return out

@@ -1,0 +1,358 @@
+"""Audio & manifest I/O plus on-device mask/token utilities.
+
+Host side: audio decode to numpy (no torchaudio; WAV via the stdlib /
+scipy, optional soundfile if present).  Device side: ``length_to_mask``
+and BOS/EOS token ops in jnp.
+
+Parity targets: reference ``dataio/dataio.py:162`` (read_audio), ``:329``
+(write_audio), ``:30,90`` (load_data_json/csv), ``:699``
+(length_to_mask), ``:914,946`` (prepend_bos/append_eos).
+"""
+
+import csv
+import json
+import logging
+import os
+import re
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "load_data_json",
+    "load_data_csv",
+    "read_audio",
+    "read_audio_multichannel",
+    "write_audio",
+    "length_to_mask",
+    "relative_time_to_absolute",
+    "prepend_bos_token",
+    "append_eos_token",
+    "merge_char",
+    "merge_csvs",
+    "split_word",
+]
+
+
+# ---------------------------------------------------------------------------
+# Manifests
+# ---------------------------------------------------------------------------
+
+def load_data_json(json_path, replacements={}):
+    """Load a JSON manifest of the form {id: {key: value...}}.
+
+    String values get ``$key`` substrings replaced via ``replacements``
+    (e.g. ``{"data_root": "/corpora/LibriSpeech"}``).
+
+    Example
+    -------
+    >>> import tempfile, json as J
+    >>> f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+    >>> _ = f.write(J.dumps({"u1": {"wav": "$root/a.wav", "length": 1.0}}))
+    >>> f.close()
+    >>> load_data_json(f.name, {"root": "/data"})["u1"]["wav"]
+    '/data/a.wav'
+    """
+    with open(json_path) as f:
+        out_json = json.load(f)
+    for data_key in out_json:
+        for field in out_json[data_key]:
+            value = out_json[data_key][field]
+            if isinstance(value, str):
+                for repl_key, repl_value in replacements.items():
+                    value = value.replace("$" + repl_key, repl_value)
+                out_json[data_key][field] = value
+    return out_json
+
+
+def load_data_csv(csv_path, replacements={}):
+    """Load a CSV manifest (must have an ID column) into a dict-of-dicts.
+
+    Supports ``$key`` replacements and converts a ``duration`` column to
+    float.
+    """
+    with open(csv_path, newline="") as csvfile:
+        result = {}
+        reader = csv.DictReader(csvfile, skipinitialspace=True)
+        variable_finder = re.compile(r"\$([\w.]+)")
+        for row in reader:
+            try:
+                data_id = row["ID"]
+                del row["ID"]
+            except KeyError:
+                raise KeyError(
+                    "CSV has to have an 'ID' field, with unique ids for all data points"
+                )
+            if data_id in result:
+                raise ValueError(f"Duplicate id: {data_id}")
+            for key, value in row.items():
+                if isinstance(value, str):
+                    row[key] = variable_finder.sub(
+                        lambda match: str(replacements.get(match[1], match[0])),
+                        value,
+                    )
+            if "duration" in row:
+                row["duration"] = float(row["duration"])
+            result[data_id] = row
+    return result
+
+
+def merge_csvs(data_folder, csv_lst, merged_csv):
+    """Concatenate CSV manifests (same header) into one file."""
+    write_path = os.path.join(data_folder, merged_csv)
+    if os.path.isfile(write_path):
+        logger.info("Skipping merging. Completed in previous run.")
+        return
+    with open(os.path.join(data_folder, csv_lst[0])) as f:
+        header = f.readline()
+    lines = [header]
+    for csv_file in csv_lst:
+        with open(os.path.join(data_folder, csv_file)) as f:
+            for i, line in enumerate(f):
+                if i == 0:
+                    if line != header:
+                        raise ValueError(
+                            "Different header for " f"{csv_lst[0]} and {csv_file}."
+                        )
+                    continue
+                lines.append(line)
+    with open(write_path, "w") as f:
+        for line in lines:
+            f.write(line)
+    logger.info(f"{write_path} is created.")
+
+
+# ---------------------------------------------------------------------------
+# Audio
+# ---------------------------------------------------------------------------
+
+def _read_wav(path, start=0, stop=None):
+    """Decode a WAV file to float32 numpy in [-1, 1]; returns (audio, sr).
+
+    Handles PCM 16/24/32-bit and IEEE float WAVs without torchaudio.
+    """
+    import wave
+
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n_channels = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            n_frames = w.getnframes()
+            if stop is None:
+                stop = n_frames
+            start = max(0, int(start))
+            stop = min(n_frames, int(stop))
+            w.setpos(start)
+            raw = w.readframes(stop - start)
+        if sampwidth == 2:
+            audio = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif sampwidth == 4:
+            audio = (
+                np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+            )
+        elif sampwidth == 3:
+            a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            signed = (
+                a[:, 0].astype(np.int32)
+                | (a[:, 1].astype(np.int32) << 8)
+                | (a[:, 2].astype(np.int32) << 16)
+            )
+            signed = np.where(signed >= 2 ** 23, signed - 2 ** 24, signed)
+            audio = signed.astype(np.float32) / 8388608.0
+        else:
+            raise ValueError(f"Unsupported WAV sample width: {sampwidth}")
+        if n_channels > 1:
+            audio = audio.reshape(-1, n_channels)
+        return audio, sr
+    except wave.Error:
+        # IEEE-float or otherwise non-PCM wav: fall back to scipy.
+        from scipy.io import wavfile
+
+        sr, audio = wavfile.read(path)
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        elif audio.dtype == np.int32:
+            audio = audio.astype(np.float32) / 2147483648.0
+        elif audio.dtype == np.uint8:
+            audio = (audio.astype(np.float32) - 128.0) / 128.0
+        else:
+            audio = audio.astype(np.float32)
+        if stop is None:
+            stop = len(audio)
+        return audio[start:stop], sr
+
+
+def read_audio(waveforms_obj):
+    """Read audio to a float32 numpy array (time,) or (time, channels).
+
+    Accepts a path string, or a dict ``{"file": path, "start": s,
+    "stop": e}`` for segment reads (sample offsets).
+    """
+    if isinstance(waveforms_obj, str):
+        audio, _ = _load_audio_any(waveforms_obj)
+        return audio
+    path = waveforms_obj["file"]
+    start = int(waveforms_obj.get("start", 0))
+    stop = waveforms_obj.get("stop", None)
+    audio, _ = _load_audio_any(path, start, stop)
+    return audio
+
+
+def _load_audio_any(path, start=0, stop=None):
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".wav", ".wave", ""):
+        return _read_wav(path, start, stop)
+    if ext == ".npy":
+        audio = np.load(path).astype(np.float32)
+        return audio[start:stop], 16000
+    if ext == ".flac":
+        try:
+            import soundfile as sf
+
+            audio, sr = sf.read(path, start=start, stop=stop, dtype="float32")
+            return audio, sr
+        except ImportError:
+            raise ImportError(
+                "FLAC decode needs the soundfile package (not available); "
+                "convert to WAV or install soundfile."
+            )
+    raise ValueError(f"Unsupported audio format: {ext}")
+
+
+def read_audio_multichannel(waveforms_obj):
+    """Read and stack multiple files as channels: {"files": [...], ...}."""
+    if isinstance(waveforms_obj, str):
+        return read_audio(waveforms_obj)
+    files = waveforms_obj.get("files", [waveforms_obj.get("file")])
+    start = int(waveforms_obj.get("start", 0))
+    stop = waveforms_obj.get("stop", None)
+    waveforms = []
+    for f in files:
+        audio, _ = _load_audio_any(f, start, stop)
+        if audio.ndim == 1:
+            audio = audio[:, None]
+        waveforms.append(audio)
+    return np.concatenate(waveforms, axis=-1)
+
+
+def write_audio(filepath, audio, samplerate):
+    """Write float (time,) or (time, channels) audio as 16-bit PCM WAV."""
+    from scipy.io import wavfile
+
+    audio = np.asarray(audio)
+    if audio.ndim == 2 and audio.shape[0] < audio.shape[1]:
+        # Accept (channels, time) too; store time-major.
+        audio = audio.T
+    pcm = np.clip(audio, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype(np.int16)
+    wavfile.write(filepath, samplerate, pcm)
+
+
+# ---------------------------------------------------------------------------
+# Device-side helpers (jnp)
+# ---------------------------------------------------------------------------
+
+def length_to_mask(length, max_len=None, dtype=None):
+    """Binary mask (batch, max_len) from absolute lengths.
+
+    jit-friendly: ``max_len`` should be a static int under jit.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> length_to_mask(jnp.array([2, 3]), max_len=4).astype(jnp.int32)
+    Array([[1, 1, 0, 0],
+           [1, 1, 1, 0]], dtype=int32)
+    """
+    import jax.numpy as jnp
+
+    length = jnp.asarray(length)
+    if max_len is None:
+        max_len = int(length.max())
+    positions = jnp.arange(max_len)[None, :]
+    mask = positions < length[:, None]
+    if dtype is not None:
+        mask = mask.astype(dtype)
+    return mask
+
+
+def relative_time_to_absolute(batch, relative_lens, rate):
+    """Convert relative lengths to absolute durations at ``rate``."""
+    import jax.numpy as jnp
+
+    max_len = batch.shape[1]
+    return jnp.round(jnp.asarray(relative_lens) * max_len / rate, 2)
+
+
+def prepend_bos_token(label, bos_index):
+    """Prepend BOS to each row of an int (batch, len) array (jnp).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> prepend_bos_token(jnp.array([[1, 2]]), bos_index=0)
+    Array([[0, 1, 2]], dtype=int32)
+    """
+    import jax.numpy as jnp
+
+    label = jnp.asarray(label)
+    bos = jnp.full((label.shape[0], 1), bos_index, dtype=label.dtype)
+    return jnp.concatenate([bos, label], axis=1)
+
+
+def append_eos_token(label, length, eos_index):
+    """Append EOS at each row's true end (rows are padded to max length).
+
+    ``length`` holds absolute lengths.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> append_eos_token(jnp.array([[1, 2, 0]]), jnp.array([2]), eos_index=9)
+    Array([[1, 2, 9, 0]], dtype=int32)
+    """
+    import jax.numpy as jnp
+
+    label = jnp.asarray(label)
+    length = jnp.asarray(length)
+    batch, max_len = label.shape
+    padded = jnp.concatenate(
+        [label, jnp.zeros((batch, 1), dtype=label.dtype)], axis=1
+    )
+    positions = jnp.arange(max_len + 1)[None, :]
+    eos_mask = positions == length[:, None]
+    return jnp.where(eos_mask, jnp.asarray(eos_index, label.dtype), padded)
+
+
+# ---------------------------------------------------------------------------
+# Character/word manipulation (host side)
+# ---------------------------------------------------------------------------
+
+def merge_char(sequences, space="_"):
+    """Chars -> words: [["a","b","_","c"]] -> [["ab","c"]].
+
+    Example
+    -------
+    >>> merge_char([["a", "b", "_", "c"]])
+    [['ab', 'c']]
+    """
+    return [
+        "".join(seq).split(space) for seq in sequences
+    ]
+
+
+def split_word(sequences, space="_"):
+    """Words -> chars with space marker: [["ab","c"]] -> [["a","b","_","c"]].
+
+    Example
+    -------
+    >>> split_word([["ab", "c"]])
+    [['a', 'b', '_', 'c']]
+    """
+    out = []
+    for seq in sequences:
+        chars = list(f"{space}".join(seq))
+        out.append(chars)
+    return out

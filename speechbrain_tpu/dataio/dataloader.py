@@ -1,0 +1,302 @@
+"""Torch-free prefetching dataloader with checkpointable position.
+
+The host data path is deliberately simple: a thread pool evaluates the
+per-example pipeline DAG, batches are collated to (bucketed) fixed
+shapes, and a bounded queue prefetches ahead of the device step.  The
+device transfer itself happens in the Brain (jit donates the buffers).
+
+Parity targets: reference ``dataio/dataloader.py:70`` (make_dataloader),
+``:192`` (SaveableDataLoader), ``:274`` (LoopedLoader).
+"""
+
+import collections
+import logging
+import queue
+import threading
+
+from speechbrain_tpu.dataio.batch import PaddedBatch
+from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+from speechbrain_tpu.dataio.sampler import (
+    ReproducibleRandomSampler,
+    SequentialSampler,
+)
+from speechbrain_tpu.utils.checkpoints import (
+    mark_as_loader,
+    mark_as_saver,
+    register_checkpoint_hooks,
+)
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["DataLoader", "SaveableDataLoader", "LoopedLoader", "make_dataloader"]
+
+
+class DataLoader:
+    """Iterates a dataset in collated batches.
+
+    Arguments
+    ---------
+    dataset : map-style dataset (``__getitem__``/``__len__``) or iterable
+    batch_size : int
+    shuffle : bool
+        Use a ReproducibleRandomSampler when no sampler given.
+    sampler : example sampler, optional
+    batch_sampler : yields lists of indices, optional
+    collate_fn : callable, default PaddedBatch
+    drop_last : bool
+    num_workers : int
+        Worker THREADS computing examples (audio decode releases the
+        GIL in numpy/file IO).  0 = synchronous.
+    prefetch_batches : int
+        Bounded queue depth of collated batches prepared ahead.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size=1,
+        shuffle=False,
+        sampler=None,
+        batch_sampler=None,
+        collate_fn=None,
+        drop_last=False,
+        num_workers=0,
+        prefetch_batches=2,
+        seed=563375142,
+        **kwargs,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch_batches = max(1, prefetch_batches)
+        if collate_fn is None:
+            if isinstance(dataset, DynamicItemDataset) or (
+                hasattr(dataset, "__getitem__")
+                and hasattr(dataset, "pipeline")
+            ):
+                collate_fn = PaddedBatch
+            else:
+                collate_fn = _identity_collate
+        self.collate_fn = collate_fn
+        if batch_sampler is not None:
+            if sampler is not None or shuffle:
+                raise ValueError(
+                    "batch_sampler is mutually exclusive with sampler/shuffle"
+                )
+            self.batch_sampler = batch_sampler
+            self.sampler = None
+        else:
+            if sampler is None:
+                if shuffle:
+                    sampler = ReproducibleRandomSampler(dataset, seed=seed)
+                else:
+                    sampler = SequentialSampler(dataset)
+            self.sampler = sampler
+            self.batch_sampler = None
+
+    def _batches_of_indices(self):
+        if self.batch_sampler is not None:
+            yield from iter(self.batch_sampler)
+            return
+        batch = []
+        for idx in self.sampler:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self):
+        if self.batch_sampler is not None:
+            return len(self.batch_sampler)
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, indices):
+        examples = [self.dataset[i] for i in indices]
+        return self.collate_fn(examples)
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for indices in self._batches_of_indices():
+                yield self._make_batch(indices)
+            return
+        yield from self._prefetching_iter(skip_batches=0)
+
+    def _prefetching_iter(self, skip_batches=0):
+        out_q = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for i, indices in enumerate(self._batches_of_indices()):
+                    if stop.is_set():
+                        return
+                    if i < skip_batches:
+                        continue
+                    batch = self._make_batch(indices)
+                    while not stop.is_set():
+                        try:
+                            out_q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except Exception as e:  # pragma: no cover
+                out_q.put(e)
+                return
+            out_q.put(_SENTINEL)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def _identity_collate(examples):
+    return examples
+
+
+@register_checkpoint_hooks
+class SaveableDataLoader(DataLoader):
+    """DataLoader that checkpoints its mid-epoch iteration position.
+
+    On recovery inside an epoch, the loader skips ahead to the saved
+    batch position (indices are re-drawn from the same seeded sampler,
+    so the skipped examples are exactly those already trained on).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._speechbrain_recovery_skip_to = None
+        self._speechbrain_iterator_position = None
+
+    def __iter__(self):
+        skip = 0
+        if self._speechbrain_recovery_skip_to is not None:
+            skip = self._speechbrain_recovery_skip_to
+            self._speechbrain_recovery_skip_to = None
+            logger.info(f"Dataloader skipping {skip} batches after recovery")
+        self._speechbrain_iterator_position = skip
+        if self.num_workers <= 0:
+            for i, indices in enumerate(self._batches_of_indices()):
+                if i < skip:
+                    continue
+                batch = self._make_batch(indices)
+                self._speechbrain_iterator_position = i + 1
+                yield batch
+        else:
+            for batch in self._prefetching_iter(skip_batches=skip):
+                self._speechbrain_iterator_position += 1
+                yield batch
+        self._speechbrain_iterator_position = None
+
+    @mark_as_saver
+    def _save(self, path):
+        pos = self._speechbrain_iterator_position
+        with open(path, "w") as f:
+            f.write(str(pos if pos is not None else -1))
+
+    @mark_as_loader
+    def _recover(self, path, end_of_epoch=True):
+        with open(path) as f:
+            pos = int(f.read())
+        if end_of_epoch or pos < 0:
+            self._speechbrain_recovery_skip_to = None
+        else:
+            self._speechbrain_recovery_skip_to = pos
+
+
+@register_checkpoint_hooks
+class LoopedLoader:
+    """Nominal epochs over an infinite/streaming loader.
+
+    Example
+    -------
+    >>> import itertools
+    >>> base = itertools.count()  # infinite stream
+    >>> loader = LoopedLoader(base, epoch_length=3)
+    >>> list(loader)
+    [0, 1, 2]
+    >>> list(loader)
+    [3, 4, 5]
+    """
+
+    def __init__(self, loader, epoch_length, batchsize_fn=None):
+        self.loader = loader
+        self.iterator = None
+        self.epoch_length = epoch_length
+        self.step = 0
+        self.total_steps = 0
+        if batchsize_fn is None:
+            batchsize_fn = lambda batch: 1  # noqa: E731
+        self.batchsize_fn = batchsize_fn
+        self.total_samples = 0
+
+    def __iter__(self):
+        if self.iterator is None:
+            self.iterator = iter(self.loader)
+        return self
+
+    def __next__(self):
+        if self.step < self.epoch_length:
+            self.step += 1
+            self.total_steps += 1
+            try:
+                batch = next(self.iterator)
+            except StopIteration:
+                self.iterator = iter(self.loader)
+                batch = next(self.iterator)
+            self.total_samples += self.batchsize_fn(batch)
+            return batch
+        self.step = 0
+        raise StopIteration
+
+    def __len__(self):
+        return self.epoch_length
+
+    @mark_as_saver
+    def _save(self, path):
+        with open(path, "w") as f:
+            print(self.step, file=f)
+            print(self.total_steps, file=f)
+            print(self.total_samples, file=f)
+
+    @mark_as_loader
+    def _load(self, path, end_of_epoch=True):
+        with open(path) as f:
+            self.step = int(f.readline().strip())
+            self.total_steps = int(f.readline().strip())
+            self.total_samples = int(f.readline().strip())
+        if not end_of_epoch and self.step == 0 and self.total_steps > 0:
+            # Mid-epoch load, past epoch boundary: treat as at boundary.
+            self.step = self.epoch_length
+
+
+def make_dataloader(dataset, looped_nominal_epoch=None, **loader_kwargs):
+    """Make a loader suitable for ``dataset`` (the Brain calls this).
+
+    DynamicItemDatasets get PaddedBatch collation automatically; pass
+    ``shape_policy`` through ``collate_kwargs`` for bucketed shapes.
+    """
+    collate_kwargs = loader_kwargs.pop("collate_kwargs", None)
+    if collate_kwargs and "collate_fn" not in loader_kwargs:
+        loader_kwargs["collate_fn"] = lambda ex: PaddedBatch(
+            ex, **collate_kwargs
+        )
+    dataloader = SaveableDataLoader(dataset, **loader_kwargs)
+    if looped_nominal_epoch is not None:
+        dataloader = LoopedLoader(dataloader, looped_nominal_epoch)
+    return dataloader

@@ -7,9 +7,9 @@ in dependency order.  Parity target: reference ``utils/depgraph.py:74``.
 Example
 -------
 >>> g = DependencyGraph()
->>> g.add_node("c")
->>> g.add_node("b")
->>> g.add_node("a")
+>>> _ = g.add_node("c")
+>>> _ = g.add_node("b")
+>>> _ = g.add_node("a")
 >>> g.add_edge("c", "b")  # c depends on b
 >>> g.add_edge("b", "a")  # b depends on a
 >>> [n.key for n in g.get_evaluation_order()]

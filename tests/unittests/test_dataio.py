@@ -1,0 +1,119 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from speechbrain_tpu.dataio.batch import BatchShapePolicy, PaddedBatch
+from speechbrain_tpu.dataio.dataio import (
+    load_data_csv,
+    load_data_json,
+    read_audio,
+    write_audio,
+)
+from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 16000
+    audio = (0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(
+        np.float32
+    )
+    path = str(tmp_path / "tone.wav")
+    write_audio(path, audio, sr)
+    loaded = read_audio(path)
+    assert loaded.shape == audio.shape
+    assert np.abs(loaded - audio).max() < 1e-3
+
+
+def test_wav_segment_read(tmp_path):
+    sr = 16000
+    audio = np.arange(1000, dtype=np.float32) / 32768.0
+    path = str(tmp_path / "ramp.wav")
+    write_audio(path, audio, sr)
+    seg = read_audio({"file": path, "start": 100, "stop": 200})
+    assert len(seg) == 100
+    full = read_audio(path)
+    assert np.allclose(seg, full[100:200])
+
+
+def test_manifest_json(tmp_path):
+    manifest = {"u1": {"wav": "$root/a.wav", "duration": 1.5}}
+    path = tmp_path / "data.json"
+    path.write_text(json.dumps(manifest))
+    data = load_data_json(str(path), {"root": "/data"})
+    assert data["u1"]["wav"] == "/data/a.wav"
+
+
+def test_manifest_csv(tmp_path):
+    path = tmp_path / "data.csv"
+    path.write_text("ID,duration,wav\nu1,1.5,$root/a.wav\nu2,2.0,$root/b.wav\n")
+    data = load_data_csv(str(path), {"root": "/data"})
+    assert data["u1"]["duration"] == 1.5
+    assert data["u2"]["wav"] == "/data/b.wav"
+
+
+def test_dataset_pipeline():
+    data = {
+        "u1": {"text": "ab", "duration": 1.0},
+        "u2": {"text": "cdef", "duration": 2.0},
+    }
+    ds = DynamicItemDataset(data)
+    ds.add_dynamic_item(
+        lambda t: np.arange(len(t), dtype=np.float32), takes="text", provides="feat"
+    )
+    ds.set_output_keys(["id", "feat"])
+    assert ds[0]["id"] == "u1"
+    assert ds[1]["feat"].shape == (4,)
+
+
+def test_filtered_sorted():
+    data = {
+        f"u{i}": {"duration": float(i), "text": "x" * i} for i in range(1, 6)
+    }
+    ds = DynamicItemDataset(data)
+    ds.set_output_keys(["id"])
+    filtered = ds.filtered_sorted(key_max_value={"duration": 3.0})
+    assert len(filtered) == 3
+    sorted_ds = ds.filtered_sorted(sort_key="duration", reverse=True)
+    assert sorted_ds[0]["id"] == "u5"
+    # Views share data; original untouched
+    assert len(ds) == 5
+
+
+def test_padded_batch_basic():
+    batch = PaddedBatch(
+        [
+            {"id": "a", "wav": np.ones(10, dtype=np.float32)},
+            {"id": "b", "wav": np.ones(20, dtype=np.float32)},
+        ]
+    )
+    assert batch.wav.data.shape == (2, 20)
+    assert np.allclose(batch.wav.lengths, [0.5, 1.0])
+    assert batch.id == ["a", "b"]
+    assert len(batch) == 2
+
+
+def test_padded_batch_bucketed():
+    policy = BatchShapePolicy(time_buckets=[16, 32], pad_batch_to=4)
+    batch = PaddedBatch(
+        [
+            {"id": "a", "wav": np.ones(10, dtype=np.float32)},
+            {"id": "b", "wav": np.ones(20, dtype=np.float32)},
+        ],
+        shape_policy=policy,
+    )
+    assert batch.wav.data.shape == (4, 32)
+    assert np.allclose(batch.wav.lengths, [10 / 32, 20 / 32, 0.0, 0.0])
+
+
+def test_numeric_dict():
+    batch = PaddedBatch(
+        [
+            {"id": "a", "wav": np.ones(4, dtype=np.float32), "spk": 3},
+            {"id": "b", "wav": np.ones(4, dtype=np.float32), "spk": 5},
+        ]
+    )
+    nd = batch.numeric_dict()
+    assert set(nd.keys()) == {"wav", "wav_lens", "spk"}
+    assert nd["spk"].tolist() == [3, 5]
