@@ -1,0 +1,570 @@
+"""Differentiable feature extraction: STFT, filterbanks, DCT, deltas.
+
+TPU-first design notes (vs reference ``processing/features.py``):
+
+- The filterbank projection is a single (freq x mels) matmul — MXU work,
+  fused by XLA with the surrounding elementwise chain.
+- All transforms are pure functions of their inputs + static config, so
+  the whole frontend inlines into the jitted train step: no host<->device
+  hops between STFT and the model.
+- ``InputNormalization`` keeps its running statistics as an explicit
+  state pytree threaded through the step (reference keeps mutable module
+  state, ``processing/features.py:941``), which also makes cross-replica
+  psum of statistics possible under data parallelism.
+
+Classes are callables with static hyperparameters: safe to close over in
+jit (they hash by config), mirroring the reference's module surface.
+
+Example
+-------
+>>> import numpy as np
+>>> stft = STFT(sample_rate=16000, win_length=25, hop_length=10, n_fft=400)
+>>> wav = np.zeros((2, 16000), dtype=np.float32)
+>>> stft(wav).shape
+(2, 101, 201, 2)
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "STFT",
+    "ISTFT",
+    "spectral_magnitude",
+    "Filterbank",
+    "DCT",
+    "Deltas",
+    "ContextWindow",
+    "InputNormalization",
+    "GlobalNormState",
+]
+
+
+def _ms_to_samples(sample_rate, duration_ms):
+    return int(round(sample_rate * duration_ms / 1000.0))
+
+
+class STFT:
+    """Short-time Fourier transform returning (batch, frames, freq, 2).
+
+    The last dim holds [real, imag] (reference torch.stft convention,
+    ``processing/features.py:50``).
+
+    Arguments
+    ---------
+    sample_rate : int
+    win_length, hop_length : float
+        In MILLISECONDS (reference convention).
+    n_fft : int
+    window_type : "hamming" | "hann" | "blackman" | "rect"
+    normalized_stft : bool
+        Divide by sqrt(n_fft).
+    center : bool
+        Reflect-pad by n_fft//2 so frame t is centered on t*hop.
+    onesided : bool
+    """
+
+    def __init__(
+        self,
+        sample_rate,
+        win_length=25,
+        hop_length=10,
+        n_fft=400,
+        window_type="hamming",
+        normalized_stft=False,
+        center=True,
+        pad_mode="constant",
+        onesided=True,
+    ):
+        self.sample_rate = sample_rate
+        self.win_length = _ms_to_samples(sample_rate, win_length)
+        self.hop_length = _ms_to_samples(sample_rate, hop_length)
+        self.n_fft = n_fft
+        self.normalized_stft = normalized_stft
+        self.center = center
+        self.pad_mode = pad_mode
+        self.onesided = onesided
+        window = _make_window(window_type, self.win_length)
+        # Zero-pad window to n_fft, centered (torch.stft semantics).
+        if self.win_length < n_fft:
+            left = (n_fft - self.win_length) // 2
+            pad = np.zeros(n_fft, dtype=np.float32)
+            pad[left : left + self.win_length] = window
+            window = pad
+        self.window = jnp.asarray(window)
+
+    def __call__(self, x):
+        """x: (batch, time) or (batch, time, channels)."""
+        x = jnp.asarray(x)
+        multi_channel = x.ndim == 3
+        if multi_channel:
+            batch, time, channels = x.shape
+            x = jnp.moveaxis(x, 2, 1).reshape(batch * channels, time)
+        if self.center:
+            pad = self.n_fft // 2
+            mode = "reflect" if self.pad_mode == "reflect" else "constant"
+            x = jnp.pad(x, ((0, 0), (pad, pad)), mode=mode)
+        frames = _frame_signal(x, self.n_fft, self.hop_length)
+        frames = frames * self.window[None, None, :]
+        spec = jnp.fft.rfft(frames, n=self.n_fft, axis=-1)
+        if not self.onesided:
+            spec = jnp.fft.fft(frames, n=self.n_fft, axis=-1)
+        if self.normalized_stft:
+            spec = spec / math.sqrt(self.n_fft)
+        out = jnp.stack([spec.real, spec.imag], axis=-1)
+        if multi_channel:
+            n_frames, n_freq = out.shape[1], out.shape[2]
+            out = out.reshape(batch, channels, n_frames, n_freq, 2)
+            out = jnp.moveaxis(out, 1, -2)  # (batch, frames, freq, channels, 2)
+        return out
+
+    def get_filter_properties(self):
+        return {
+            "window_size": self.n_fft,
+            "stride": self.hop_length,
+            "sample_rate": self.sample_rate,
+        }
+
+
+def _make_window(window_type, length):
+    n = np.arange(length, dtype=np.float64)
+    if window_type == "hamming":
+        # periodic window (torch.hamming_window(periodic=True))
+        w = 0.54 - 0.46 * np.cos(2 * np.pi * n / length)
+    elif window_type == "hann":
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * n / length)
+    elif window_type == "blackman":
+        w = (
+            0.42
+            - 0.5 * np.cos(2 * np.pi * n / length)
+            + 0.08 * np.cos(4 * np.pi * n / length)
+        )
+    elif window_type == "rect":
+        w = np.ones(length)
+    else:
+        raise ValueError(f"Unknown window: {window_type}")
+    return w.astype(np.float32)
+
+
+def _frame_signal(x, frame_length, hop):
+    """(batch, time) -> (batch, n_frames, frame_length) via strided gather."""
+    time = x.shape[1]
+    n_frames = 1 + (time - frame_length) // hop
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    return x[:, idx]
+
+
+class ISTFT:
+    """Inverse STFT via overlap-add with squared-window normalization.
+
+    Parity target: reference ``processing/features.py:191``.
+    """
+
+    def __init__(
+        self,
+        sample_rate,
+        win_length=25,
+        hop_length=10,
+        n_fft=None,
+        window_type="hamming",
+        normalized_stft=False,
+        center=True,
+        epsilon=1e-12,
+    ):
+        self.sample_rate = sample_rate
+        self.win_length = _ms_to_samples(sample_rate, win_length)
+        self.hop_length = _ms_to_samples(sample_rate, hop_length)
+        self.center = center
+        self.epsilon = epsilon
+        self.normalized_stft = normalized_stft
+        self.window_type = window_type
+        self._n_fft = n_fft
+
+    def __call__(self, x, sig_length=None):
+        """x: (batch, frames, freq, 2) -> (batch, time)."""
+        x = jnp.asarray(x)
+        multi_channel = x.ndim == 5
+        if multi_channel:
+            batch, frames_n, freq, channels, _ = x.shape
+            x = jnp.moveaxis(x, 3, 1).reshape(
+                batch * channels, frames_n, freq, 2
+            )
+        spec = x[..., 0] + 1j * x[..., 1]
+        n_fft = self._n_fft or 2 * (spec.shape[-1] - 1)
+        if self.normalized_stft:
+            spec = spec * math.sqrt(n_fft)
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)
+        window = _make_window(self.window_type, self.win_length)
+        if self.win_length < n_fft:
+            left = (n_fft - self.win_length) // 2
+            pad = np.zeros(n_fft, dtype=np.float32)
+            pad[left : left + self.win_length] = window
+            window = pad
+        window = jnp.asarray(window)
+        frames = frames * window[None, None, :]
+        sig = _overlap_add(frames, self.hop_length)
+        norm = _overlap_add(
+            jnp.broadcast_to(
+                (window ** 2)[None, None, :], frames.shape
+            ),
+            self.hop_length,
+        )
+        sig = sig / jnp.maximum(norm, self.epsilon)
+        if self.center:
+            pad = n_fft // 2
+            sig = sig[:, pad:-pad] if pad else sig
+        if sig_length is not None:
+            sig = sig[:, :sig_length]
+        if multi_channel:
+            time = sig.shape[1]
+            sig = sig.reshape(batch, channels, time)
+            sig = jnp.moveaxis(sig, 1, 2)
+        return sig
+
+
+def _overlap_add(frames, hop):
+    """(batch, n_frames, frame_len) -> (batch, time) summed at hop offsets."""
+    batch, n_frames, frame_len = frames.shape
+    time = (n_frames - 1) * hop + frame_len
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop
+        + jnp.arange(frame_len)[None, :]
+    ).reshape(-1)
+    flat = frames.reshape(batch, -1)
+    out = jnp.zeros((batch, time), dtype=frames.dtype)
+    return out.at[:, idx].add(flat)
+
+
+def spectral_magnitude(stft, power=1, log=False, eps=1e-14):
+    """Magnitude (or power/log) of a (…, 2) real-imag STFT.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> x = jnp.array([[[[3.0, 4.0]]]])
+    >>> float(spectral_magnitude(x)[0, 0, 0])
+    5.0
+    """
+    stft = jnp.asarray(stft)
+    power_spec = (stft ** 2).sum(-1)
+    if power == 1:
+        mag = jnp.sqrt(jnp.maximum(power_spec, eps))
+    else:
+        mag = power_spec ** power
+    if log:
+        return jnp.log(mag + eps)
+    return mag
+
+
+class Filterbank:
+    """Mel-scale filterbank projection of a spectrogram (matmul on MXU).
+
+    Arguments mirror the reference (``processing/features.py:359``):
+    triangular/rectangular/gaussian bands, optional log compression with
+    ``top_db`` clamping.  The filter matrix is precomputed (freq, n_mels)
+    and can serve as the INITIAL value of a learnable parameter (see
+    ``lobes.features.Fbank(freeze=False)``).
+    """
+
+    def __init__(
+        self,
+        n_mels=40,
+        log_mel=True,
+        filter_shape="triangular",
+        f_min=0.0,
+        f_max=8000.0,
+        n_fft=400,
+        sample_rate=16000,
+        power_spectrogram=2,
+        amin=1e-10,
+        ref_value=1.0,
+        top_db=80.0,
+    ):
+        self.n_mels = n_mels
+        self.log_mel = log_mel
+        self.n_fft = n_fft
+        self.sample_rate = sample_rate
+        self.power_spectrogram = power_spectrogram
+        self.amin = amin
+        self.ref_value = ref_value
+        self.top_db = top_db
+        self.n_stft = n_fft // 2 + 1
+        self.db_multiplier = math.log10(max(self.amin, self.ref_value))
+        if power_spectrogram == 2:
+            self.multiplier = 10
+        else:
+            self.multiplier = 20
+        self.filters = jnp.asarray(
+            mel_filter_matrix(
+                n_mels, f_min, f_max, self.n_stft, sample_rate, filter_shape
+            )
+        )
+
+    def __call__(self, spectrogram):
+        """(batch, frames, n_stft[, channels]) -> (batch, frames, n_mels…)."""
+        spectrogram = jnp.asarray(spectrogram)
+        multi_channel = spectrogram.ndim == 4
+        if multi_channel:
+            b, t, f, c = spectrogram.shape
+            spectrogram = jnp.moveaxis(spectrogram, 3, 1).reshape(b * c, t, f)
+        fbanks = jnp.matmul(
+            spectrogram, self.filters.astype(spectrogram.dtype)
+        )
+        if self.log_mel:
+            fbanks = self._amplitude_to_db(fbanks)
+        if multi_channel:
+            t2, m = fbanks.shape[1], fbanks.shape[2]
+            fbanks = jnp.moveaxis(fbanks.reshape(b, c, t2, m), 1, 3)
+        return fbanks
+
+    def _amplitude_to_db(self, x):
+        x_db = self.multiplier * jnp.log10(jnp.maximum(x, self.amin))
+        x_db = x_db - self.multiplier * self.db_multiplier
+        # Clamp to max - top_db, per utterance (batch element).
+        new_x_db_max = (
+            x_db.reshape(x_db.shape[0], -1).max(axis=1) - self.top_db
+        )
+        x_db = jnp.maximum(x_db, new_x_db_max[:, None, None])
+        return x_db
+
+
+def hz_to_mel(hz):
+    return 2595 * np.log10(1 + np.asarray(hz) / 700)
+
+
+def mel_to_hz(mel):
+    return 700 * (10 ** (np.asarray(mel) / 2595) - 1)
+
+
+def mel_filter_matrix(
+    n_mels, f_min, f_max, n_stft, sample_rate, filter_shape="triangular"
+):
+    """(n_stft, n_mels) filter matrix, numpy (precompute once)."""
+    mel_pts = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    band = hz_pts[1:] - hz_pts[:-1]
+    f_central = hz_pts[1:-1]
+    all_freqs = np.linspace(0, sample_rate // 2, n_stft)
+    slope = (all_freqs[:, None] - f_central[None, :]) / band[:-1][None, :]
+    if filter_shape == "triangular":
+        left = slope + 1.0
+        right = -slope + 1.0
+        fbank = np.maximum(0.0, np.minimum(left, right))
+    elif filter_shape == "rectangular":
+        fbank = ((slope > -1) & (slope < 1)).astype(np.float64)
+    elif filter_shape == "gaussian":
+        fbank = np.exp(-0.5 * (slope / 0.5) ** 2)
+    else:
+        raise ValueError(f"Unknown filter shape: {filter_shape}")
+    return fbank.astype(np.float32)
+
+
+class DCT:
+    """Type-II orthonormal DCT over the mel axis (MFCC), as a matmul.
+
+    Parity target: reference ``processing/features.py:715``.
+    """
+
+    def __init__(self, input_size, n_out=20, ortho_norm=True):
+        if n_out > input_size:
+            raise ValueError("n_out cannot exceed input_size")
+        n = np.arange(input_size, dtype=np.float64)
+        k = np.arange(n_out, dtype=np.float64)
+        mat = np.cos(np.pi / input_size * (n[:, None] + 0.5) * k[None, :])
+        if ortho_norm:
+            mat[:, 0] *= 1.0 / math.sqrt(input_size)
+            mat[:, 1:] *= math.sqrt(2.0 / input_size)
+        else:
+            mat *= 2.0
+        self.mat = jnp.asarray(mat.astype(np.float32))
+
+    def __call__(self, x):
+        """(batch, frames, n_mels[, channels]) -> (batch, frames, n_out…)."""
+        x = jnp.asarray(x)
+        multi = x.ndim == 4
+        if multi:
+            b, t, f, c = x.shape
+            x = jnp.moveaxis(x, 3, 1).reshape(b * c, t, f)
+        out = jnp.matmul(x, self.mat.astype(x.dtype))
+        if multi:
+            out = jnp.moveaxis(
+                out.reshape(b, c, t, out.shape[-1]), 1, 3
+            )
+        return out
+
+
+class Deltas:
+    """Delta (derivative) features via a fixed depthwise conv kernel.
+
+    Parity target: reference ``processing/features.py:789``.
+    """
+
+    def __init__(self, input_size=None, window_length=5):
+        self.n = (window_length - 1) // 2
+        self.denom = self.n * (self.n + 1) * (2 * self.n + 1) / 3
+        kernel = np.arange(-self.n, self.n + 1, dtype=np.float32)
+        self.kernel = jnp.asarray(kernel / self.denom)
+
+    def __call__(self, x):
+        """(batch, frames, feats[, channels]) -> same shape deltas."""
+        x = jnp.asarray(x)
+        multi = x.ndim == 4
+        if multi:
+            b, t, f, c = x.shape
+            x = jnp.moveaxis(x, 3, 1).reshape(b * c, t, f)
+        # pad time with edge values, correlate along time
+        xp = jnp.pad(x, ((0, 0), (self.n, self.n), (0, 0)), mode="edge")
+        k = self.kernel[::-1]
+        out = sum(
+            xp[:, i : i + x.shape[1], :] * k[i] for i in range(len(k))
+        )
+        if multi:
+            out = jnp.moveaxis(out.reshape(b, c, t, f), 1, 3)
+        return out
+
+
+class ContextWindow:
+    """Frame stacking: gather left/right context into the feature dim.
+
+    Parity target: reference ``processing/features.py:855``.
+    """
+
+    def __init__(self, left_frames=0, right_frames=0):
+        self.left_frames = left_frames
+        self.right_frames = right_frames
+
+    def __call__(self, x):
+        """(batch, frames, feats[, ch]) -> (batch, frames, feats*(l+r+1)…)."""
+        if self.left_frames == 0 and self.right_frames == 0:
+            return jnp.asarray(x)
+        x = jnp.asarray(x)
+        multi = x.ndim == 4
+        if multi:
+            b, t, f, c = x.shape
+            x = jnp.moveaxis(x, 3, 1).reshape(b * c, t, f)
+        left, right = self.left_frames, self.right_frames
+        xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="edge")
+        pieces = [
+            xp[:, i : i + x.shape[1], :] for i in range(left + right + 1)
+        ]
+        out = jnp.concatenate(pieces, axis=-1)
+        if multi:
+            out = jnp.moveaxis(
+                out.reshape(b, c, out.shape[1], out.shape[2]), 1, 3
+            )
+        return out
+
+
+class GlobalNormState:
+    """Running mean/variance state for InputNormalization (a pytree)."""
+
+    @staticmethod
+    def init(dim):
+        return {
+            "count": jnp.zeros((), jnp.float32),
+            "mean": jnp.zeros((dim,), jnp.float32),
+            "var": jnp.ones((dim,), jnp.float32),
+        }
+
+
+class InputNormalization:
+    """Mean/variance normalization with sentence/batch/global modes.
+
+    Functional state threading: ``__call__(x, lengths, state=None,
+    epoch=0, training=True)`` returns ``y`` (and ``new_state`` when a
+    state is passed).  Global statistics accumulate masked sums; under
+    data parallelism the sums are psum'd across replicas when inside
+    shard_map/pjit (set ``axis_name``).
+
+    Parity target: reference ``processing/features.py:941``.
+    """
+
+    def __init__(
+        self,
+        mean_norm=True,
+        std_norm=True,
+        norm_type="global",
+        update_until_epoch=3,
+        avoid_padding_norm=True,
+        epsilon=1e-10,
+        axis_name=None,
+    ):
+        if norm_type not in ("sentence", "batch", "global", "speaker"):
+            raise ValueError(f"Unknown norm_type {norm_type}")
+        if norm_type == "speaker":
+            # Per-speaker moving stats need host-side bookkeeping; the
+            # global path is the supported TPU mode (see docs).
+            raise NotImplementedError(
+                "speaker norm_type: use global or sentence"
+            )
+        self.mean_norm = mean_norm
+        self.std_norm = std_norm
+        self.norm_type = norm_type
+        self.update_until_epoch = update_until_epoch
+        self.avoid_padding_norm = avoid_padding_norm
+        self.epsilon = epsilon
+        self.axis_name = axis_name
+
+    def __call__(self, x, lengths, state=None, epoch=0, training=True):
+        x = jnp.asarray(x)
+        lengths = jnp.asarray(lengths)
+        T = x.shape[1]
+        abs_len = lengths * T
+        mask = (
+            jnp.arange(T)[None, :] < abs_len[:, None]
+        ).astype(x.dtype)[..., None]
+
+        if self.norm_type == "sentence":
+            denom = jnp.maximum(mask.sum(axis=1), 1.0)
+            mean = (x * mask).sum(axis=1) / denom
+            var = ((x - mean[:, None, :]) ** 2 * mask).sum(axis=1) / denom
+            y = x
+            if self.mean_norm:
+                y = y - mean[:, None, :]
+            if self.std_norm:
+                y = y / jnp.sqrt(var[:, None, :] + self.epsilon)
+            return (y, state) if state is not None else y
+
+        if self.norm_type == "batch":
+            denom = jnp.maximum(mask.sum(), 1.0)
+            mean = (x * mask).sum(axis=(0, 1)) / denom
+            var = ((x - mean) ** 2 * mask).sum(axis=(0, 1)) / denom
+            y = x
+            if self.mean_norm:
+                y = y - mean
+            if self.std_norm:
+                y = y / jnp.sqrt(var + self.epsilon)
+            return (y, state) if state is not None else y
+
+        # global
+        if state is None:
+            raise ValueError("global norm requires a state pytree")
+        count = mask.sum()
+        s1 = (x * mask).sum(axis=(0, 1))
+        s2 = (x ** 2 * mask).sum(axis=(0, 1))
+        if self.axis_name is not None:
+            count = jax.lax.psum(count, self.axis_name)
+            s1 = jax.lax.psum(s1, self.axis_name)
+            s2 = jax.lax.psum(s2, self.axis_name)
+        do_update = jnp.asarray(
+            training and (epoch < self.update_until_epoch), jnp.float32
+        )
+        new_count = state["count"] + do_update * count
+        batch_mean = s1 / jnp.maximum(count, 1.0)
+        batch_var = s2 / jnp.maximum(count, 1.0) - batch_mean ** 2
+        w = do_update * count / jnp.maximum(new_count, 1.0)
+        new_mean = state["mean"] + w * (batch_mean - state["mean"])
+        new_var = state["var"] + w * (batch_var - state["var"])
+        new_state = {"count": new_count, "mean": new_mean, "var": new_var}
+        use_mean = jnp.where(state["count"] > 0, new_mean, batch_mean)
+        use_var = jnp.where(state["count"] > 0, new_var, batch_var)
+        y = x
+        if self.mean_norm:
+            y = y - use_mean
+        if self.std_norm:
+            y = y / jnp.sqrt(jnp.maximum(use_var, self.epsilon))
+        return y, new_state
