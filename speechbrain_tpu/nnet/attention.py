@@ -1,0 +1,352 @@
+"""Attention primitives: content/location attention for RNN decoders,
+Transformer-XL relative-position MHA for Conformer, standard MHA, FFN.
+
+All matmul-dominated (MXU); masks use a large negative fill that is
+bf16-safe (-65000, mirroring the reference's fp16-aware fill,
+``nnet/attention.py:447``).
+
+Parity targets: reference ``nnet/attention.py:23`` (ContentBased),
+``:110`` (LocationAware), ``:237`` (KeyValue), ``:312`` (RelPosEncXL),
+``:362`` (RelPosMHAXL), ``:642`` (MultiheadAttention wrapper), ``:781``
+(PositionalwiseFeedForward).
+"""
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ContentBasedAttention",
+    "LocationAwareAttention",
+    "KeyValueAttention",
+    "RelPosEncXL",
+    "RelPosMHAXL",
+    "MultiheadAttention",
+    "PositionalwiseFeedForward",
+]
+
+NEG_FILL = -65000.0
+
+
+def _length_mask(enc_lens, T):
+    """(B,) relative lengths -> (B, T) bool mask of valid frames."""
+    enc_lens = jnp.asarray(enc_lens)
+    abs_lens = enc_lens * T if enc_lens.dtype in (jnp.float32, jnp.bfloat16, jnp.float16) else enc_lens
+    return jnp.arange(T)[None, :] < abs_lens[:, None]
+
+
+class ContentBasedAttention(nn.Module):
+    """Additive (Bahdanau) attention with precomputed encoder keys.
+
+    State = {"enc_proj": ..., "mask": ...}; create with ``init_state``.
+
+    Reference ``nnet/attention.py:23``.
+    """
+
+    attn_dim: int
+    output_dim: int
+    scaling: float = 1.0
+
+    def setup(self):
+        self.mlp_enc = nn.Dense(self.attn_dim)
+        self.mlp_dec = nn.Dense(self.attn_dim)
+        self.mlp_attn = nn.Dense(1, use_bias=False)
+        self.mlp_out = nn.Dense(self.output_dim)
+
+    def init_state(self, enc_states):
+        return {"enc_proj": self.mlp_enc(enc_states)}
+
+    def __call__(self, enc_states, enc_lens, dec_states, state=None):
+        if state is None:
+            state = self.init_state(enc_states)
+        enc_proj = state["enc_proj"]
+        dec_proj = self.mlp_dec(dec_states)[:, None, :]
+        scores = self.mlp_attn(jnp.tanh(enc_proj + dec_proj))[..., 0]
+        mask = _length_mask(enc_lens, enc_states.shape[1])
+        scores = jnp.where(mask, scores, NEG_FILL)
+        w = jax.nn.softmax(scores * self.scaling, axis=-1)
+        context = jnp.einsum("bt,btc->bc", w, enc_states)
+        context = self.mlp_out(context)
+        return context, w, state
+
+
+class LocationAwareAttention(nn.Module):
+    """Content attention + convolutional features of previous weights.
+
+    State carries the previous attention map.  Reference
+    ``nnet/attention.py:110``.
+    """
+
+    attn_dim: int
+    output_dim: int
+    conv_channels: int = 10
+    kernel_size: int = 100
+    scaling: float = 1.0
+
+    def setup(self):
+        self.mlp_enc = nn.Dense(self.attn_dim)
+        self.mlp_dec = nn.Dense(self.attn_dim)
+        self.mlp_loc = nn.Dense(self.attn_dim)
+        self.conv_loc = nn.Conv(
+            features=self.conv_channels,
+            kernel_size=(2 * self.kernel_size + 1,),
+            padding="SAME",
+            use_bias=False,
+        )
+        self.mlp_attn = nn.Dense(1, use_bias=False)
+        self.mlp_out = nn.Dense(self.output_dim)
+
+    def init_state(self, enc_states):
+        B, T = enc_states.shape[0], enc_states.shape[1]
+        return {
+            "enc_proj": self.mlp_enc(enc_states),
+            "prev_attn": jnp.zeros((B, T), enc_states.dtype),
+        }
+
+    def __call__(self, enc_states, enc_lens, dec_states, state=None):
+        if state is None:
+            state = self.init_state(enc_states)
+        enc_proj = state["enc_proj"]
+        prev_attn = state["prev_attn"]
+        attn_conv = self.conv_loc(prev_attn[..., None])
+        loc_proj = self.mlp_loc(attn_conv)
+        dec_proj = self.mlp_dec(dec_states)[:, None, :]
+        scores = self.mlp_attn(
+            jnp.tanh(enc_proj + dec_proj + loc_proj)
+        )[..., 0]
+        mask = _length_mask(enc_lens, enc_states.shape[1])
+        scores = jnp.where(mask, scores, NEG_FILL)
+        w = jax.nn.softmax(scores * self.scaling, axis=-1)
+        context = jnp.einsum("bt,btc->bc", w, enc_states)
+        context = self.mlp_out(context)
+        return context, w, {"enc_proj": enc_proj, "prev_attn": w}
+
+
+class KeyValueAttention(nn.Module):
+    """Scaled dot-product single-head attention with learned K/V/Q maps.
+
+    Reference ``nnet/attention.py:237``.
+    """
+
+    attn_dim: int
+    output_dim: int
+
+    def setup(self):
+        self.key_linear = nn.Dense(self.attn_dim)
+        self.query_linear = nn.Dense(self.attn_dim)
+        self.value_linear = nn.Dense(self.output_dim)
+
+    def init_state(self, enc_states):
+        return {
+            "keys": self.key_linear(enc_states),
+            "values": self.value_linear(enc_states),
+        }
+
+    def __call__(self, enc_states, enc_lens, dec_states, state=None):
+        if state is None:
+            state = self.init_state(enc_states)
+        q = self.query_linear(dec_states)[:, None, :]
+        scores = jnp.einsum(
+            "bqa,bta->bqt", q, state["keys"]
+        ) / math.sqrt(self.attn_dim)
+        mask = _length_mask(enc_lens, enc_states.shape[1])[:, None, :]
+        scores = jnp.where(mask, scores, NEG_FILL)
+        w = jax.nn.softmax(scores, axis=-1)
+        context = jnp.einsum("bqt,btc->bqc", w, state["values"])[:, 0]
+        return context, w[:, 0], state
+
+
+class RelPosEncXL(nn.Module):
+    """Relative sinusoidal encodings: (B, T, C) -> (1, 2T-1, C).
+
+    Index 0 corresponds to relative position T-1 (most positive),
+    index 2T-2 to -(T-1) (reference ``nnet/attention.py:312``).
+    """
+
+    emb_dim: int
+
+    def __call__(self, x):
+        T = x.shape[1]
+        pos = jnp.arange(T - 1, -T, -1, dtype=jnp.float32)[:, None]
+        div = jnp.exp(
+            jnp.arange(0, self.emb_dim, 2, dtype=jnp.float32)
+            * -(math.log(10000.0) / self.emb_dim)
+        )[None, :]
+        pe = jnp.zeros((2 * T - 1, self.emb_dim), jnp.float32)
+        pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+        pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+        return pe[None].astype(x.dtype)
+
+
+def _rel_shift(x):
+    """(B, H, T, 2T-1) -> (B, H, T, T): pos_score[i, j] = f(i - j).
+
+    Input last axis indexes relative positions T-1 ... -(T-1) (the
+    RelPosEncXL order); output[i, j] picks relative position i-j.
+    """
+    B, H, T, L = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(B, H, L + 1, T)
+    x = x[:, :, 1:].reshape(B, H, T, L)
+    return x[..., :T]
+
+
+class RelPosMHAXL(nn.Module):
+    """Transformer-XL multi-head attention with relative positions.
+
+    score(i,j) = (q_i + u)·k_j + (q_i + v)·p_{i-j}, scaled by 1/sqrt(d).
+    The conformer workhorse (reference ``nnet/attention.py:362``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> mha = RelPosMHAXL(embed_dim=16, num_heads=4)
+    >>> x = jnp.ones((2, 6, 16))
+    >>> pe = RelPosEncXL(emb_dim=16)(x)
+    >>> p = mha.init(jax.random.PRNGKey(0), x, x, x, pe)
+    >>> out, attn = mha.apply(p, x, x, x, pe)
+    >>> out.shape
+    (2, 6, 16)
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    mask_pos_future: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        query,
+        key,
+        value,
+        pos_embs,
+        key_padding_mask=None,
+        attn_mask=None,
+        train=True,
+    ):
+        d_head = self.embed_dim // self.num_heads
+        B, T_q = query.shape[0], query.shape[1]
+        T_k = key.shape[1]
+        q = nn.Dense(self.embed_dim, name="q_proj", dtype=query.dtype)(query)
+        k = nn.Dense(self.embed_dim, name="k_proj", dtype=query.dtype)(key)
+        v = nn.Dense(self.embed_dim, name="v_proj", dtype=query.dtype)(value)
+        p = nn.Dense(self.embed_dim, use_bias=False, name="pos_proj", dtype=query.dtype)(
+            pos_embs
+        )
+        pos_bias_u = self.param(
+            "pos_bias_u",
+            nn.initializers.zeros,
+            (self.num_heads, d_head),
+        ).astype(query.dtype)
+        pos_bias_v = self.param(
+            "pos_bias_v",
+            nn.initializers.zeros,
+            (self.num_heads, d_head),
+        ).astype(query.dtype)
+        q = q.reshape(B, T_q, self.num_heads, d_head)
+        k = k.reshape(B, T_k, self.num_heads, d_head)
+        v = v.reshape(B, T_k, self.num_heads, d_head)
+        p = p.reshape(p.shape[0], p.shape[1], self.num_heads, d_head)
+        content_score = jnp.einsum(
+            "bqhd,bkhd->bhqk", q + pos_bias_u[None, None], k
+        )
+        pos_score = jnp.einsum(
+            "bqhd,zlhd->bhql", q + pos_bias_v[None, None], p
+        )
+        pos_score = _rel_shift(pos_score)
+        scores = (content_score + pos_score) / math.sqrt(d_head)
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask[None, None], NEG_FILL, scores)
+        if key_padding_mask is not None:
+            # True = PAD (torch convention)
+            scores = jnp.where(
+                key_padding_mask[:, None, None, :], NEG_FILL, scores
+            )
+        if self.mask_pos_future:
+            causal = (
+                jnp.arange(T_k)[None, :] > jnp.arange(T_q)[:, None]
+            )
+            scores = jnp.where(causal[None, None], NEG_FILL, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(B, T_q, self.embed_dim)
+        out = nn.Dense(self.embed_dim, name="out_proj", dtype=query.dtype)(out)
+        return out, attn
+
+
+class MultiheadAttention(nn.Module):
+    """Standard MHA wrapper (reference ``nnet/attention.py:642``).
+
+    Masks: key_padding_mask (B, T_k) True=pad; attn_mask (T_q, T_k)
+    True=disallowed.
+    """
+
+    nhead: int
+    d_model: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query,
+        key,
+        value,
+        key_padding_mask=None,
+        attn_mask=None,
+        train=True,
+        return_attn_weights=True,
+    ):
+        d_head = self.d_model // self.nhead
+        B, T_q = query.shape[0], query.shape[1]
+        T_k = key.shape[1]
+        q = nn.Dense(self.d_model, name="q_proj", dtype=query.dtype)(query)
+        k = nn.Dense(self.d_model, name="k_proj", dtype=query.dtype)(key)
+        v = nn.Dense(self.d_model, name="v_proj", dtype=query.dtype)(value)
+        q = q.reshape(B, T_q, self.nhead, d_head)
+        k = k.reshape(B, T_k, self.nhead, d_head)
+        v = v.reshape(B, T_k, self.nhead, d_head)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_head)
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask[None, None], NEG_FILL, scores)
+        if key_padding_mask is not None:
+            scores = jnp.where(
+                key_padding_mask[:, None, None, :], NEG_FILL, scores
+            )
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(
+            B, T_q, self.d_model
+        )
+        out = nn.Dense(self.d_model, name="out_proj", dtype=query.dtype)(out)
+        if return_attn_weights:
+            return out, attn.mean(axis=1)
+        return out
+
+
+class PositionalwiseFeedForward(nn.Module):
+    """Two-layer position-wise FFN (reference ``nnet/attention.py:781``)."""
+
+    d_ffn: int
+    dropout: float = 0.0
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        d_model = x.shape[-1]
+        h = nn.Dense(self.d_ffn, dtype=x.dtype)(x)
+        if self.activation == "relu":
+            h = jax.nn.relu(h)
+        elif self.activation == "gelu":
+            h = jax.nn.gelu(h)
+        elif self.activation == "swish":
+            h = h * jax.nn.sigmoid(h)
+        else:
+            raise ValueError(f"Unknown activation {self.activation}")
+        h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        h = nn.Dense(d_model, dtype=x.dtype)(h)
+        return h

@@ -1,0 +1,175 @@
+"""RNN-Transducer loss, TPU-native.
+
+The reference implements this as Numba CUDA wavefront kernels
+(``nnet/loss/transducer_loss.py:34-238``: per-(batch,u) threads with
+atomic pipelining over t).  The TPU formulation here avoids per-cell
+sequential work entirely on the u axis:
+
+For each time step t the alpha row satisfies the first-order linear
+recurrence (in the log semiring)
+
+    alpha[t, u] = logaddexp(alpha[t, u-1] + emit[t, u-1],
+                            alpha[t-1, u] + blank[t-1, u])
+
+i.e. ``x_u = x_{u-1} (*) a_u (+) b_u`` with (*)=+ and (+)=logaddexp —
+an ASSOCIATIVE affine recurrence, solved per row with
+``jax.lax.associative_scan`` in O(log U) depth.  The outer t loop is a
+``lax.scan`` (T sequential steps), so the whole lattice costs
+O(T log U) depth with fully vectorized (B, U) rows — this is the same
+wavefront dataflow as the CUDA kernel, restructured for a vector core.
+
+Gradients flow through the scans via autodiff (the logaddexp VJP
+reproduces the analytic occupancy gradients).
+
+``normalize_by_T`` mirrors the reference kernel's per-utterance /T
+normalization (``transducer_loss.py:104-106``); the torchaudio-parity
+default is False (SURVEY.md §8.5).
+"""
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["transducer_forward_loss", "TransducerLoss"]
+
+_NEG_INF = -1e30
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    return jnp.where(
+        jnp.isfinite(m),
+        m + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe)),
+        m,
+    )
+
+
+def _affine_combine(elem1, elem2):
+    """Compose log-semiring affine maps x -> x + a (+) b."""
+    a1, b1 = elem1
+    a2, b2 = elem2
+    return a1 + a2, _logaddexp(b1 + a2, b2)
+
+
+def transducer_forward_loss(
+    log_probs, targets, t_lens, u_lens, blank_index, normalize_by_T=False
+):
+    """Negative log-likelihood of the RNN-T lattice.
+
+    Arguments
+    ---------
+    log_probs : (B, T, U+1, V) log-softmax outputs of the joint network
+    targets : (B, U) int labels
+    t_lens : (B,) absolute encoder lengths
+    u_lens : (B,) absolute target lengths
+    blank_index : int
+    normalize_by_T : bool
+        Divide each utterance's NLL by its T (reference Numba kernel
+        convention).
+
+    Returns (B,) per-utterance losses.
+    """
+    log_probs = jnp.asarray(log_probs, jnp.float32)
+    targets = jnp.asarray(targets, jnp.int32)
+    B, T, U1, V = log_probs.shape
+    U = U1 - 1
+    t_lens = jnp.asarray(t_lens, jnp.int32)
+    u_lens = jnp.asarray(u_lens, jnp.int32)
+
+    # Emission and blank log-probs per lattice cell.
+    blank_lp = log_probs[..., blank_index]  # (B, T, U+1)
+    emit_lp = jnp.take_along_axis(
+        log_probs[:, :, :U, :], targets[:, None, :, None], axis=-1
+    )[..., 0]  # (B, T, U)
+    # Mask emissions beyond the true target length.
+    u_valid = jnp.arange(U)[None, :] < u_lens[:, None]  # (B, U)
+    emit_lp = jnp.where(u_valid[:, None, :], emit_lp, _NEG_INF)
+
+    def step(alpha_prev, lps):
+        # alpha_prev: (B, U+1) = alpha[t-1, :]
+        # lps = (blank[t-1, :], emit[t, :]) -- note indices
+        blank_prev, emit_t = lps
+        base = alpha_prev + blank_prev  # vertical moves: (B, U+1)
+        # alpha[t, u] = logaddexp(alpha[t, u-1] + emit_t[u-1], base[u])
+        a = jnp.concatenate(
+            [jnp.full((B, 1), 0.0), emit_t], axis=1
+        )  # a[0] unused
+        alpha_t = jax.lax.associative_scan(
+            _affine_combine, (a, base), axis=1
+        )[1]
+        return alpha_t, alpha_t
+
+    # alpha[0, :]: only horizontal moves from (0,0).
+    emit0 = emit_lp[:, 0, :]  # (B, U)
+    init_row = jnp.concatenate(
+        [jnp.zeros((B, 1)), jnp.full((B, U), _NEG_INF)], axis=1
+    )
+    a0 = jnp.concatenate([jnp.zeros((B, 1)), emit0], axis=1)
+    alpha0 = jax.lax.associative_scan(
+        _affine_combine, (a0, init_row), axis=1
+    )[1]
+
+    if T > 1:
+        blank_seq = jnp.swapaxes(blank_lp[:, :-1, :], 0, 1)  # (T-1, B, U+1)
+        emit_seq = jnp.swapaxes(emit_lp[:, 1:, :], 0, 1)  # (T-1, B, U)
+        _, alphas = jax.lax.scan(step, alpha0, (blank_seq, emit_seq))
+        alphas = jnp.concatenate(
+            [alpha0[None], alphas], axis=0
+        )  # (T, B, U+1)
+    else:
+        alphas = alpha0[None]
+    alphas = jnp.swapaxes(alphas, 0, 1)  # (B, T, U+1)
+
+    # Final: alpha[t_len-1, u_len] + blank[t_len-1, u_len]
+    t_idx = jnp.clip(t_lens - 1, 0, T - 1)
+    final_alpha = alphas[jnp.arange(B), t_idx, u_lens]
+    final_blank = blank_lp[jnp.arange(B), t_idx, u_lens]
+    nll = -(final_alpha + final_blank)
+    if normalize_by_T:
+        nll = nll / jnp.maximum(t_lens, 1)
+    return nll
+
+
+class TransducerLoss:
+    """Callable RNN-T loss selecting the best available backend.
+
+    ``use_pallas=True`` uses the fused Pallas TPU kernel when running on
+    TPU (falls back to the scan formulation elsewhere, e.g. CPU tests —
+    mirroring the reference's CUDA-only kernel + CPU skip).
+    """
+
+    def __init__(self, blank_index, normalize_by_T=False, use_pallas=True):
+        self.blank_index = blank_index
+        self.normalize_by_T = normalize_by_T
+        self.use_pallas = use_pallas
+
+    def __call__(self, logits, targets, t_lens, u_lens):
+        log_probs = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+        if self.use_pallas:
+            try:
+                import jax as _jax
+
+                on_tpu = _jax.default_backend() == "tpu"
+            except Exception:  # pragma: no cover
+                on_tpu = False
+            if on_tpu:
+                from speechbrain_tpu.ops.pallas.transducer import (
+                    transducer_loss_pallas,
+                )
+
+                return transducer_loss_pallas(
+                    log_probs,
+                    targets,
+                    t_lens,
+                    u_lens,
+                    self.blank_index,
+                    normalize_by_T=self.normalize_by_T,
+                )
+        return transducer_forward_loss(
+            log_probs,
+            targets,
+            t_lens,
+            u_lens,
+            self.blank_index,
+            normalize_by_T=self.normalize_by_T,
+        )
