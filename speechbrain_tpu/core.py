@@ -1,0 +1,875 @@
+"""The Brain training engine: jitted train steps + host-side epoch loop.
+
+Architectural translation from the reference (``core.py:339`` Brain):
+
+- ``compute_forward`` / ``compute_objectives`` are still user overrides,
+  but they must be PURE traced functions of the batch: together they form
+  the loss function that gets jit-compiled with value_and_grad, gradient
+  clipping, optax update and donated state — one XLA program per batch
+  shape bucket (``fit_batch``, reference ``core.py:882``).
+- Modules are flax modules; parameters/optimizer state live in a single
+  ``TrainState`` pytree, replicated over the device mesh.  Batches are
+  sharded on dim 0 (data parallel); XLA inserts the gradient all-reduce
+  (the DDP replacement, reference ``core.py:1238``).
+- ``self.modules.<name>(...)`` inside compute_forward transparently
+  routes through ``flax.apply`` with the right parameter slice, rng
+  plumbing, train flags and mutable-state collection — or ``init`` on
+  the first batch (lazy shape inference, preserving the reference's
+  deferred-init ergonomics).
+- Host-side behaviours preserved: Stage enum, stage hooks, debug-mode
+  truncation, nonfinite-loss patience (``core.py:951``), gradient
+  accumulation (``core.py:903``), time-based intra-epoch checkpoints
+  (``core.py:1065``), checkpoint recovery on fit start (``core.py:826``).
+"""
+
+import argparse
+import functools
+import inspect
+import logging
+import os
+import sys
+import time
+from enum import Enum, auto
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from speechbrain_tpu.dataio.batch import PaddedBatch
+from speechbrain_tpu.dataio.dataloader import (
+    DataLoader,
+    LoopedLoader,
+    SaveableDataLoader,
+    make_dataloader,
+)
+from speechbrain_tpu.parallel.mesh import make_mesh
+from speechbrain_tpu.parallel.sharding import replicate_tree, shard_batch
+from speechbrain_tpu.utils.checkpoints import (
+    Recoverable,
+    mark_as_loader,
+    mark_as_saver,
+    register_checkpoint_hooks,
+)
+from speechbrain_tpu.utils.distributed import if_main_process, run_on_main
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "Stage",
+    "Brain",
+    "create_experiment_directory",
+    "parse_arguments",
+]
+
+DEFAULT_LOG_CONFIG = None
+INTRA_EPOCH_CKPT_FLAG = "brain_intra_epoch_ckpt"
+
+
+class Stage(Enum):
+    """Current stage of the experiment."""
+
+    TRAIN = auto()
+    VALID = auto()
+    TEST = auto()
+
+
+def create_experiment_directory(
+    experiment_directory,
+    hyperparams_to_save=None,
+    overrides={},
+    log_config=DEFAULT_LOG_CONFIG,
+    save_env_desc=True,
+):
+    """Create the output folder (main process only) and log basics."""
+    from speechbrain_tpu.utils.logger import (
+        get_environment_description,
+        setup_logging,
+    )
+
+    def create_and_log():
+        os.makedirs(experiment_directory, exist_ok=True)
+        if hyperparams_to_save is not None:
+            from speechbrain_tpu.utils.hyperyaml import resolve_references
+
+            hparams_filename = os.path.join(
+                experiment_directory, "hyperparams.yaml"
+            )
+            with open(hyperparams_to_save) as f:
+                resolved_yaml = resolve_references(f, overrides)
+            with open(hparams_filename, "w") as w:
+                print("# Generated %s from:" % time.ctime(), file=w)
+                print("# %s" % os.path.abspath(hyperparams_to_save), file=w)
+                print("# yamllint disable", file=w)
+                w.write(resolved_yaml.getvalue())
+        module = inspect.getmodule(inspect.currentframe().f_back.f_back)
+        if module is not None and hasattr(module, "__file__"):
+            callingfile = os.path.realpath(module.__file__)
+            import shutil
+
+            try:
+                shutil.copy(
+                    callingfile,
+                    os.path.join(
+                        experiment_directory, os.path.basename(callingfile)
+                    ),
+                )
+            except shutil.SameFileError:
+                pass
+        log_file = os.path.join(experiment_directory, "log.txt")
+        logger_overrides = {
+            "handlers": {
+                "file_handler": {
+                    "class": "logging.FileHandler",
+                    "level": "DEBUG",
+                    "formatter": "simple",
+                    "filename": log_file,
+                }
+            },
+            "root": {"handlers": ["console", "file_handler"]},
+        }
+        setup_logging(overrides=logger_overrides)
+        sys.excepthook = _logging_excepthook
+        if save_env_desc:
+            with open(
+                os.path.join(experiment_directory, "env.log"), "w"
+            ) as f:
+                f.write(get_environment_description())
+
+    run_on_main(create_and_log)
+
+
+def _logging_excepthook(exc_type, exc_value, exc_traceback):
+    logger.error("Exception:", exc_info=(exc_type, exc_value, exc_traceback))
+    sys.__excepthook__(exc_type, exc_value, exc_traceback)
+
+
+def parse_arguments(arg_list=None):
+    """CLI parsing: param_file + run opts; extra --key val become YAML
+    overrides (reference ``core.py:131``).
+
+    Returns (param_file, run_opts dict, overrides yaml string).
+    """
+    if arg_list is None:
+        arg_list = sys.argv[1:]
+    parser = argparse.ArgumentParser(description="Run a SpeechBrain-TPU experiment")
+    parser.add_argument("param_file", type=str)
+    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--debug_batches", type=int, default=2)
+    parser.add_argument("--debug_epochs", type=int, default=2)
+    parser.add_argument("--log_config", type=str)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--output_folder", type=str)
+    parser.add_argument("--data_folder", type=str)
+    parser.add_argument("--find_unused_parameters", action="store_true")
+    parser.add_argument("--jit_module_keys", type=str, nargs="*")
+    parser.add_argument("--precision", type=str, choices=["fp32", "bf16"])
+    parser.add_argument("--auto_mix_prec", action="store_true", default=None)
+    parser.add_argument("--num_workers", type=int)
+    parser.add_argument("--grad_accumulation_factor", type=int)
+    parser.add_argument("--optimizer_step_limit", type=int)
+    parser.add_argument("--max_grad_norm", type=float)
+    parser.add_argument("--nonfinite_patience", type=int)
+    parser.add_argument("--ckpt_interval_minutes", type=float)
+    parser.add_argument("--model_parallel", type=int)
+    parser.add_argument("--coordinator_address", type=str)
+    parser.add_argument("--num_processes", type=int)
+    parser.add_argument("--process_id", type=int)
+    run_opts, overrides_list = parser.parse_known_args(arg_list)
+    run_opts = {
+        k: v for k, v in vars(run_opts).items() if v is not None
+    }
+    param_file = run_opts.pop("param_file")
+    overrides = _convert_to_yaml(overrides_list)
+    return param_file, run_opts, overrides
+
+
+def _convert_to_yaml(overrides):
+    """["--foo", "1", "--bar=x"] -> "foo: 1\\nbar: x"."""
+    yaml_string = ""
+    joined = " ".join(overrides)
+    for element in joined.split(" --"):
+        element = element.replace("--", "")
+        if "=" in element:
+            k, v = element.split("=", 1)
+            yaml_string += f"{k}: {v}\n"
+        elif " " in element:
+            k, v = element.split(" ", 1)
+            yaml_string += f"{k}: {v}\n"
+    return yaml_string.strip()
+
+
+class _BoundModules:
+    """Attribute access to modules with params/state/rngs bound."""
+
+    def __init__(self, brain):
+        object.__setattr__(self, "_brain", brain)
+
+    def __getattr__(self, name):
+        brain = object.__getattribute__(self, "_brain")
+        if name not in brain._module_defs:
+            raise AttributeError(f"No module named {name}")
+        return functools.partial(brain._call_module, name)
+
+    def __contains__(self, name):
+        return name in object.__getattribute__(self, "_brain")._module_defs
+
+    def keys(self):
+        return object.__getattribute__(self, "_brain")._module_defs.keys()
+
+
+def _accepts_kwarg(fn, kwarg):
+    try:
+        return kwarg in inspect.signature(fn).parameters
+    except (TypeError, ValueError):  # pragma: no cover
+        return False
+
+
+@register_checkpoint_hooks
+class Brain:
+    """Training/evaluation engine.  Subclass and override
+    ``compute_forward(batch, stage)`` and
+    ``compute_objectives(predictions, batch, stage)``.
+
+    Arguments
+    ---------
+    modules : dict[str, flax.linen.Module]
+    opt_class : callable(learning_rate) -> optax.GradientTransformation
+    hparams : dict
+        Exposed as ``self.hparams.<key>``.
+    run_opts : dict
+        Engine options (debug, grad_accumulation_factor, max_grad_norm,
+        nonfinite_patience, precision, ckpt_interval_minutes, seed...).
+    checkpointer : Checkpointer, optional
+        The Brain registers its state + counters with it.
+    """
+
+    def __init__(
+        self,
+        modules=None,
+        opt_class=None,
+        hparams=None,
+        run_opts=None,
+        checkpointer=None,
+    ):
+        self.opt_class = opt_class
+        self.checkpointer = checkpointer
+        self._module_defs = dict(modules or {})
+        self.modules = _BoundModules(self)
+        run_opts = run_opts or {}
+        run_opt_defaults = {
+            "debug": False,
+            "debug_batches": 2,
+            "debug_epochs": 2,
+            "precision": "fp32",
+            "seed": 1234,
+            "grad_accumulation_factor": 1,
+            "optimizer_step_limit": None,
+            "max_grad_norm": 5.0,
+            "nonfinite_patience": 3,
+            "ckpt_interval_minutes": 0,
+            "model_parallel": 1,
+            "noprogressbar": False,
+        }
+        for arg, default in run_opt_defaults.items():
+            if arg in run_opts:
+                setattr(self, arg, run_opts[arg])
+            elif hparams is not None and arg in hparams:
+                setattr(self, arg, hparams[arg])
+            else:
+                setattr(self, arg, default)
+        if hparams is not None:
+            self.hparams = SimpleNamespace(**hparams)
+        else:
+            self.hparams = SimpleNamespace()
+
+        self.mesh = make_mesh(model_parallel=self.model_parallel)
+        self.avg_train_loss = 0.0
+        self.step = 0
+        self.optimizer_step = 0
+        self.nonfinite_count = 0
+        self.train_state = None  # dict pytree once initialized
+        self.optimizer = None
+        self.lr = getattr(self.hparams, "lr", 1e-3)
+        self._rng = jax.random.PRNGKey(self.seed)
+        # Per-trace binding slots (set during a traced step):
+        self._bound_params = None
+        self._bound_state = None
+        self._bound_rngs = None
+        self._bound_train = False
+        self._mutable_updates = None
+        self._init_mode = False
+        self._init_collected = None
+        self._new_extra = None
+        self._accum_grads = None
+        self._jit_cache = {}
+        self._last_ckpt_time = time.time()
+        if self.checkpointer is not None:
+            self.checkpointer.add_recoverable("brain", self)
+
+    # ------------------------------------------------------------------
+    # User overrides
+    # ------------------------------------------------------------------
+
+    def compute_forward(self, batch, stage):
+        """Forward pass: batch dict -> predictions (pytree)."""
+        raise NotImplementedError
+
+    def compute_objectives(self, predictions, batch, stage):
+        """Loss computation: -> scalar loss (or (loss, aux_dict))."""
+        raise NotImplementedError
+
+    def on_stage_start(self, stage, epoch=None):
+        """Called at the start of each TRAIN/VALID/TEST stage."""
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        """Called at the end of each stage with the average loss."""
+
+    def on_fit_start(self):
+        """Called once before training; recovers checkpoints."""
+        self.init_optimizers()
+        if self.checkpointer is not None:
+            self.checkpointer.recover_if_possible()
+
+    def on_fit_batch_end(self, batch, outputs, loss, should_step):
+        """Called after each train batch (host side)."""
+
+    def on_evaluate_start(self, max_key=None, min_key=None):
+        """Called at evaluate() start: recover best checkpoint."""
+        if self.checkpointer is not None:
+            self.checkpointer.recover_if_possible(
+                max_key=max_key, min_key=min_key
+            )
+
+    def init_optimizers(self):
+        """Build the optax chain (clip + opt) with injectable lr."""
+        if self.opt_class is None:
+            return
+        clip = self.max_grad_norm
+
+        def factory(learning_rate):
+            parts = []
+            if clip is not None and clip > 0:
+                parts.append(optax.clip_by_global_norm(clip))
+            parts.append(self.opt_class(learning_rate))
+            return optax.chain(*parts)
+
+        self.optimizer = optax.inject_hyperparams(factory)(
+            learning_rate=self.lr
+        )
+
+    # ------------------------------------------------------------------
+    # Module binding (init/apply routing)
+    # ------------------------------------------------------------------
+
+    def _call_module(self, name, *args, **kwargs):
+        module = self._module_defs[name]
+        call_fn = type(module).__call__
+        if _accepts_kwarg(call_fn, "train") and "train" not in kwargs:
+            kwargs["train"] = self._bound_train
+        if self._init_mode:
+            rngs = dict(self._bound_rngs or {})
+            rngs.setdefault("params", self._next_rng())
+            out, variables = module.init_with_output(rngs, *args, **kwargs)
+            variables = dict(variables)
+            params = variables.pop("params", {})
+            self._init_collected["params"][name] = params
+            if variables:
+                self._init_collected["state"][name] = variables
+            return out
+        variables = {"params": self._bound_params[name]}
+        state_cols = (self._bound_state or {}).get(name, {})
+        variables.update(state_cols)
+        mutable = [k for k in state_cols.keys()] if self._bound_train else False
+        if mutable:
+            out, updates = module.apply(
+                variables, *args, rngs=self._bound_rngs, mutable=mutable, **kwargs
+            )
+            self._mutable_updates[name] = dict(updates)
+            return out
+        return module.apply(
+            variables, *args, rngs=self._bound_rngs, **kwargs
+        )
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _make_step_rngs(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {"dropout": k1, "gumbel": k2, "augment": k3}
+
+    # ------------------------------------------------------------------
+    # Initialization (lazy, from the first batch)
+    # ------------------------------------------------------------------
+
+    def _ensure_initialized(self, batch):
+        if self.train_state is not None:
+            return
+        logger.info("Initializing parameters from the first batch")
+        self._init_mode = True
+        self._init_collected = {"params": {}, "state": {}}
+        self._bound_train = False
+        self._bound_rngs = self._make_step_rngs(self._next_rng())
+        try:
+            self.compute_forward(batch, Stage.TRAIN)
+        finally:
+            self._init_mode = False
+        params = self._init_collected["params"]
+        model_state = self._init_collected["state"]
+        extra = self.init_extra_state(batch)
+        if self.optimizer is None:
+            self.init_optimizers()
+        opt_state = (
+            self.optimizer.init(params) if self.optimizer is not None else ()
+        )
+        state = {
+            "params": params,
+            "model_state": model_state,
+            "opt_state": opt_state,
+            "extra": extra,
+        }
+        self.train_state = replicate_tree(self.mesh, state)
+        n_params = sum(
+            int(np.prod(x.shape))
+            for x in jax.tree_util.tree_leaves(params)
+        )
+        logger.info(f"{n_params / 1e6:.2f}M trainable parameters")
+        if self.checkpointer is not None:
+            self._state_recoverable = _TrainStateRecoverable(self)
+            self.checkpointer.add_recoverable(
+                "train_state", self._state_recoverable
+            )
+
+    def init_extra_state(self, batch):
+        """Override: extra mutable state (e.g. InputNormalization stats)."""
+        return {}
+
+    # ------------------------------------------------------------------
+    # Jitted steps
+    # ------------------------------------------------------------------
+
+    def _bind(self, params, model_state, extra, rngs, train):
+        self._bound_params = params
+        self._bound_state = model_state
+        self._bound_extra = extra
+        self._bound_rngs = rngs
+        self._bound_train = train
+        self._mutable_updates = {}
+
+    def _loss_fn(self, params, model_state, extra, batch, rngs, stage):
+        self._bind(params, model_state, extra, rngs, train=(stage == Stage.TRAIN))
+        predictions = self.compute_forward(batch, stage)
+        result = self.compute_objectives(predictions, batch, stage)
+        if isinstance(result, tuple):
+            loss, aux = result
+        else:
+            loss, aux = result, {}
+        new_model_state = dict(model_state)
+        for name, updates in self._mutable_updates.items():
+            merged = dict(new_model_state.get(name, {}))
+            merged.update(updates)
+            new_model_state[name] = merged
+        new_extra = getattr(self, "_new_extra", None) or extra
+        self._new_extra = None
+        return loss, (aux, new_model_state, new_extra)
+
+    def _train_step(self, state, batch, rng, lr):
+        rngs = self._make_step_rngs(rng)
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        (loss, (aux, model_state, extra)), grads = grad_fn(
+            state["params"], state["model_state"], state["extra"],
+            batch, rngs, Stage.TRAIN,
+        )
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        opt_state = state["opt_state"]
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, dtype=opt_state.hyperparams["learning_rate"].dtype
+        )
+        updates, new_opt_state = self.optimizer.update(
+            grads, opt_state, state["params"]
+        )
+        new_params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": new_params,
+            "model_state": model_state,
+            "opt_state": new_opt_state,
+            "extra": extra,
+        }
+        return new_state, loss
+
+    def _grad_step(self, state, batch, rng):
+        """Gradient-only step (for accumulation)."""
+        rngs = self._make_step_rngs(rng)
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        (loss, (aux, model_state, extra)), grads = grad_fn(
+            state["params"], state["model_state"], state["extra"],
+            batch, rngs, Stage.TRAIN,
+        )
+        return grads, loss, model_state, extra
+
+    def _apply_grads(self, state, grads, lr):
+        finite = jnp.isfinite(
+            sum(jnp.sum(jnp.abs(g)) for g in jax.tree_util.tree_leaves(grads))
+        )
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        )
+        opt_state = state["opt_state"]
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, dtype=opt_state.hyperparams["learning_rate"].dtype
+        )
+        updates, new_opt_state = self.optimizer.update(
+            grads, opt_state, state["params"]
+        )
+        new_params = optax.apply_updates(state["params"], updates)
+        return {**state, "params": new_params, "opt_state": new_opt_state}
+
+    def _eval_step(self, state, batch, rng, stage):
+        rngs = self._make_step_rngs(rng)
+        loss, (aux, _, _) = self._loss_fn(
+            state["params"], state["model_state"], state["extra"],
+            batch, rngs, stage,
+        )
+        return loss, aux
+
+    def _get_jitted(self, kind):
+        if kind not in self._jit_cache:
+            if kind == "train":
+                self._jit_cache[kind] = jax.jit(
+                    self._train_step, donate_argnums=(0,)
+                )
+            elif kind == "grad":
+                self._jit_cache[kind] = jax.jit(self._grad_step)
+            elif kind == "apply":
+                self._jit_cache[kind] = jax.jit(
+                    self._apply_grads, donate_argnums=(0, 1)
+                )
+            elif kind == "valid":
+                self._jit_cache[kind] = jax.jit(
+                    functools.partial(self._eval_step, stage=Stage.VALID)
+                )
+            elif kind == "test":
+                self._jit_cache[kind] = jax.jit(
+                    functools.partial(self._eval_step, stage=Stage.TEST)
+                )
+        return self._jit_cache[kind]
+
+    # ------------------------------------------------------------------
+    # Batch handling
+    # ------------------------------------------------------------------
+
+    def prepare_batch(self, batch):
+        """PaddedBatch/host dict -> device-sharded numeric dict.
+
+        If the batch dim does not divide the data-parallel axis, dummy
+        all-zero rows are appended: their ``*_lens`` entries are 0 and a
+        ``batch_mask`` key (1 real / 0 dummy) is added.  Losses follow
+        the masked-length convention, so dummy rows contribute nothing
+        (pass ``length=batch["batch_mask"]`` to per-example losses that
+        take no sequence length).
+        """
+        if isinstance(batch, PaddedBatch):
+            numeric = batch.numeric_dict()
+        elif isinstance(batch, dict):
+            numeric = {
+                k: v
+                for k, v in batch.items()
+                if isinstance(v, (np.ndarray, jnp.ndarray))
+            }
+        else:
+            raise TypeError(f"Cannot prepare batch of type {type(batch)}")
+        n_shards = self.mesh.shape["data"]
+        sizes = {v.shape[0] for v in numeric.values() if hasattr(v, "shape") and v.ndim > 0}
+        if len(sizes) == 1:
+            B = sizes.pop()
+            remainder = B % n_shards
+            if remainder:
+                pad_n = n_shards - remainder
+                padded = {}
+                for k, v in numeric.items():
+                    pad_block = np.zeros((pad_n,) + v.shape[1:], dtype=v.dtype)
+                    padded[k] = np.concatenate([np.asarray(v), pad_block])
+                padded["batch_mask"] = np.concatenate(
+                    [np.ones(B, np.float32), np.zeros(pad_n, np.float32)]
+                )
+                numeric = padded
+            elif "batch_mask" not in numeric:
+                numeric["batch_mask"] = np.ones(B, np.float32)
+        return shard_batch(self.mesh, numeric)
+
+    def fit_batch(self, batch):
+        """One training batch; returns the detached loss (float)."""
+        device_batch = self.prepare_batch(batch)
+        self._ensure_initialized(device_batch)
+        rng = self._next_rng()
+        should_step = self.step % self.grad_accumulation_factor == 0
+        if self.grad_accumulation_factor == 1:
+            self.train_state, loss = self._get_jitted("train")(
+                self.train_state, device_batch, rng, self.lr
+            )
+            self.optimizer_step += 1
+        else:
+            grads, loss, model_state, extra = self._get_jitted("grad")(
+                self.train_state, device_batch, rng
+            )
+            self.train_state["model_state"] = model_state
+            self.train_state["extra"] = extra
+            scale = 1.0 / self.grad_accumulation_factor
+            scaled = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            if self._accum_grads is None:
+                self._accum_grads = scaled
+            else:
+                self._accum_grads = jax.tree_util.tree_map(
+                    jnp.add, self._accum_grads, scaled
+                )
+            if self.step % self.grad_accumulation_factor == 0:
+                self.train_state = self._get_jitted("apply")(
+                    self.train_state, self._accum_grads, self.lr
+                )
+                self._accum_grads = None
+                self.optimizer_step += 1
+        loss_val = float(loss)
+        if not np.isfinite(loss_val):
+            self.nonfinite_count += 1
+            logger.warning(
+                f"Loss is {loss_val}; update skipped "
+                f"({self.nonfinite_count}/{self.nonfinite_patience})"
+            )
+            if self.nonfinite_count > self.nonfinite_patience:
+                raise ValueError(
+                    "Loss is not finite and patience is exhausted."
+                )
+        self.on_fit_batch_end(batch, None, loss_val, should_step)
+        return loss_val
+
+    def evaluate_batch(self, batch, stage):
+        """One evaluation batch (loss only, jitted)."""
+        device_batch = self.prepare_batch(batch)
+        self._ensure_initialized(device_batch)
+        rng = self._next_rng()
+        kind = "valid" if stage == Stage.VALID else "test"
+        loss, aux = self._get_jitted(kind)(
+            self.train_state, device_batch, rng
+        )
+        return float(loss)
+
+    def evaluate_batch_full(self, batch, stage):
+        """Eager evaluation: runs forward + objectives OUTSIDE jit so
+        recipes can update host-side metric trackers (ErrorRateStats)
+        within compute_objectives, mirroring the reference pattern."""
+        device_batch = self.prepare_batch(batch)
+        self._ensure_initialized(device_batch)
+        rngs = self._make_step_rngs(self._next_rng())
+        self._bind(
+            self.train_state["params"],
+            self.train_state["model_state"],
+            self.train_state["extra"],
+            rngs,
+            train=False,
+        )
+        predictions = self.compute_forward(device_batch, stage)
+        result = self.compute_objectives(predictions, device_batch, stage)
+        loss = result[0] if isinstance(result, tuple) else result
+        return float(loss)
+
+    # ------------------------------------------------------------------
+    # Fit / evaluate loops
+    # ------------------------------------------------------------------
+
+    def make_dataloader(self, dataset, stage, **loader_kwargs):
+        """Build a loader; override for custom sampling."""
+        if isinstance(dataset, (DataLoader, LoopedLoader)):
+            return dataset
+        return make_dataloader(dataset, **loader_kwargs)
+
+    def fit(
+        self,
+        epoch_counter,
+        train_set,
+        valid_set=None,
+        progressbar=None,
+        train_loader_kwargs={},
+        valid_loader_kwargs={},
+    ):
+        """Epoch loop over fit_batch/evaluate_batch with stage hooks."""
+        train_set = self.make_dataloader(
+            train_set, Stage.TRAIN, **train_loader_kwargs
+        )
+        if valid_set is not None:
+            valid_set = self.make_dataloader(
+                valid_set, Stage.VALID, **valid_loader_kwargs
+            )
+        if (
+            self.checkpointer is not None
+            and isinstance(train_set, SaveableDataLoader)
+            and "train_loader" not in self.checkpointer.recoverables
+        ):
+            self.checkpointer.add_recoverable("train_loader", train_set)
+        self._accum_grads = None
+        self.on_fit_start()
+        progressbar = (
+            not self.noprogressbar if progressbar is None else progressbar
+        )
+        for epoch in epoch_counter:
+            self._fit_train(train_set, epoch, progressbar)
+            self._fit_valid(valid_set, epoch, progressbar)
+            if (
+                self.optimizer_step_limit is not None
+                and self.optimizer_step >= self.optimizer_step_limit
+            ):
+                logger.info("Optimizer step limit reached; stopping fit")
+                break
+            if self.debug and epoch >= self.debug_epochs:
+                logger.info("Debug mode: stopping after debug epochs")
+                break
+
+    def _fit_train(self, train_set, epoch, progressbar):
+        self.on_stage_start(Stage.TRAIN, epoch)
+        if hasattr(train_set, "sampler") and hasattr(
+            train_set.sampler, "set_epoch"
+        ):
+            train_set.sampler.set_epoch(epoch)
+        if hasattr(train_set, "batch_sampler") and hasattr(
+            train_set.batch_sampler, "set_epoch"
+        ):
+            train_set.batch_sampler.set_epoch(epoch)
+        self.avg_train_loss = 0.0
+        iterator = train_set
+        if progressbar:
+            from tqdm import tqdm
+
+            iterator = tqdm(
+                train_set, dynamic_ncols=True, disable=not if_main_process()
+            )
+        for batch in iterator:
+            self.step += 1
+            loss = self.fit_batch(batch)
+            self.avg_train_loss = self.update_average(
+                loss, self.avg_train_loss
+            )
+            if progressbar:
+                iterator.set_postfix(train_loss=self.avg_train_loss)
+            if (
+                self.checkpointer is not None
+                and self.ckpt_interval_minutes > 0
+                and time.time() - self._last_ckpt_time
+                >= self.ckpt_interval_minutes * 60.0
+            ):
+                self._save_intra_epoch_ckpt()
+            if self.debug and self.step >= self.debug_batches:
+                break
+        self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
+        self.train_loss = self.avg_train_loss
+        self.step = 0
+
+    def _fit_valid(self, valid_set, epoch, progressbar):
+        if valid_set is None:
+            return
+        self.on_stage_start(Stage.VALID, epoch)
+        avg_valid_loss = 0.0
+        step = 0
+        for batch in valid_set:
+            step += 1
+            loss = self.evaluate_batch_full(batch, Stage.VALID)
+            avg_valid_loss += (loss - avg_valid_loss) / step
+            if self.debug and step >= self.debug_batches:
+                break
+        run_on_main(
+            self.on_stage_end,
+            args=[Stage.VALID, avg_valid_loss, epoch],
+        )
+
+    def evaluate(
+        self,
+        test_set,
+        max_key=None,
+        min_key=None,
+        progressbar=None,
+        test_loader_kwargs={},
+    ):
+        """Run TEST stage; returns average loss."""
+        test_set = self.make_dataloader(
+            test_set, Stage.TEST, **test_loader_kwargs
+        )
+        self.on_evaluate_start(max_key=max_key, min_key=min_key)
+        self.on_stage_start(Stage.TEST, epoch=None)
+        avg_test_loss = 0.0
+        step = 0
+        for batch in test_set:
+            step += 1
+            loss = self.evaluate_batch_full(batch, Stage.TEST)
+            avg_test_loss += (loss - avg_test_loss) / step
+            if self.debug and step >= self.debug_batches:
+                break
+        run_on_main(
+            self.on_stage_end, args=[Stage.TEST, avg_test_loss, None]
+        )
+        self.step = 0
+        return avg_test_loss
+
+    def update_average(self, loss, avg_loss):
+        """Streaming average that ignores nonfinite values."""
+        if np.isfinite(loss):
+            avg_loss -= avg_loss / self.step
+            avg_loss += loss / self.step
+        return avg_loss
+
+    def _save_intra_epoch_ckpt(self):
+        self._last_ckpt_time = time.time()
+        self.checkpointer.save_and_keep_only(
+            end_of_epoch=False,
+            num_to_keep=1,
+            ckpt_predicate=lambda c: INTRA_EPOCH_CKPT_FLAG in c.meta,
+            meta={INTRA_EPOCH_CKPT_FLAG: True},
+            verbosity=logging.DEBUG,
+        )
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+
+    @mark_as_saver
+    def _save(self, path):
+        save_dict = {
+            "step": self.step,
+            "optimizer_step": self.optimizer_step,
+            "avg_train_loss": self.avg_train_loss,
+            "lr": float(self.lr),
+        }
+        import json
+
+        with open(path, "w") as w:
+            json.dump(save_dict, w)
+
+    @mark_as_loader
+    def _recover(self, path, end_of_epoch=True):
+        import json
+
+        with open(path) as f:
+            save_dict = json.load(f)
+        self.step = save_dict["step"]
+        self.optimizer_step = save_dict["optimizer_step"]
+        self.avg_train_loss = save_dict["avg_train_loss"]
+        self.lr = save_dict.get("lr", self.lr)
+        if end_of_epoch:
+            self.step = 0
+
+
+class _TrainStateRecoverable(Recoverable):
+    """Checkpoints the Brain's TrainState pytree by reference."""
+
+    def __init__(self, brain):
+        self.brain = brain
+
+    @property
+    def value(self):
+        return jax.device_get(self.brain.train_state)
+
+    @value.setter
+    def value(self, new):
+        self.brain.train_state = replicate_tree(self.brain.mesh, new)

@@ -1,0 +1,164 @@
+"""Conformer encoder (macaron FFN + RelPosMHAXL + conv module).
+
+Parity targets: reference ``lobes/models/transformer/Conformer.py:24``
+(ConvolutionModule), ``:118`` (ConformerEncoderLayer), ``:263``
+(ConformerEncoder).
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speechbrain_tpu.nnet.attention import (
+    PositionalwiseFeedForward,
+    RelPosMHAXL,
+)
+
+__all__ = ["ConvolutionModule", "ConformerEncoderLayer", "ConformerEncoder"]
+
+
+class ConvolutionModule(nn.Module):
+    """LN -> pointwise(2x, GLU) -> depthwise -> LN -> swish -> pointwise.
+
+    ``causal`` left-pads the depthwise conv for streaming masking.
+    """
+
+    input_size: int
+    kernel_size: int = 31
+    bias: bool = True
+    causal: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask=None, train=True):
+        d = self.input_size
+        y = nn.LayerNorm(dtype=x.dtype)(x)
+        y = nn.Dense(2 * d, use_bias=self.bias, dtype=x.dtype)(y)
+        y = nn.glu(y, axis=-1)
+        if mask is not None:
+            # zero padded frames so they don't leak through the conv
+            y = jnp.where(mask[..., None], 0.0, y)
+        if self.causal:
+            pad = (self.kernel_size - 1, 0)
+        else:
+            pad = (
+                (self.kernel_size - 1) // 2,
+                self.kernel_size - 1 - (self.kernel_size - 1) // 2,
+            )
+        y = jnp.pad(y, ((0, 0), pad, (0, 0)))
+        y = nn.Conv(
+            features=d,
+            kernel_size=(self.kernel_size,),
+            feature_group_count=d,
+            padding="VALID",
+            use_bias=self.bias,
+            dtype=x.dtype,
+        )(y)
+        y = nn.LayerNorm(dtype=x.dtype)(y)
+        y = y * jax.nn.sigmoid(y)  # swish
+        y = nn.Dense(d, use_bias=self.bias, dtype=x.dtype)(y)
+        y = nn.Dropout(rate=self.dropout, deterministic=not train)(y)
+        return y
+
+
+class ConformerEncoderLayer(nn.Module):
+    """Macaron: 0.5*FFN -> MHA -> conv -> 0.5*FFN -> LN."""
+
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 31
+    causal: bool = False
+    dropout: float = 0.0
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        src_mask=None,
+        src_key_padding_mask=None,
+        pos_embs=None,
+        train=True,
+    ):
+        drop = nn.Dropout(rate=self.dropout, deterministic=not train)
+        # First macaron FFN (half residual)
+        ff1 = PositionalwiseFeedForward(
+            d_ffn=self.d_ffn, dropout=self.dropout, activation=self.activation,
+            name="ffn1",
+        )
+        x = x + 0.5 * drop(ff1(nn.LayerNorm(dtype=x.dtype)(x), train=train))
+        # Multi-head self-attention with relative positions
+        attn_in = nn.LayerNorm(dtype=x.dtype)(x)
+        attn_out, attn_w = RelPosMHAXL(
+            embed_dim=self.d_model,
+            num_heads=self.nhead,
+            dropout=self.dropout,
+            name="mha",
+        )(
+            attn_in, attn_in, attn_in, pos_embs,
+            key_padding_mask=src_key_padding_mask,
+            attn_mask=src_mask,
+            train=train,
+        )
+        x = x + drop(attn_out)
+        # Convolution module
+        x = x + ConvolutionModule(
+            input_size=self.d_model,
+            kernel_size=self.kernel_size,
+            causal=self.causal,
+            dropout=self.dropout,
+            name="conv",
+        )(x, mask=src_key_padding_mask, train=train)
+        # Second macaron FFN (half residual)
+        ff2 = PositionalwiseFeedForward(
+            d_ffn=self.d_ffn, dropout=self.dropout, activation=self.activation,
+            name="ffn2",
+        )
+        x = x + 0.5 * drop(ff2(nn.LayerNorm(dtype=x.dtype)(x), train=train))
+        x = nn.LayerNorm(dtype=x.dtype)(x)
+        return x, attn_w
+
+
+class ConformerEncoder(nn.Module):
+    """Stack of conformer layers."""
+
+    num_layers: int
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 31
+    causal: bool = False
+    dropout: float = 0.0
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(
+        self,
+        src,
+        src_mask=None,
+        src_key_padding_mask=None,
+        pos_embs=None,
+        train=True,
+    ):
+        output = src
+        attns = []
+        for i in range(self.num_layers):
+            output, attn = ConformerEncoderLayer(
+                d_model=self.d_model,
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                kernel_size=self.kernel_size,
+                causal=self.causal,
+                dropout=self.dropout,
+                activation=self.activation,
+                name=f"layer_{i}",
+            )(
+                output,
+                src_mask=src_mask,
+                src_key_padding_mask=src_key_padding_mask,
+                pos_embs=pos_embs,
+                train=train,
+            )
+            attns.append(attn)
+        return output, attns

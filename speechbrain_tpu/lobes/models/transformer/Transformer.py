@@ -1,0 +1,307 @@
+"""Transformer encoder/decoder stack (channels-last, bf16-ready).
+
+Parity targets: reference ``lobes/models/transformer/Transformer.py:20``
+(TransformerInterface), ``:199`` (PositionalEncoding), ``:246,489``
+(encoder/decoder layers), ``:766`` (NormalizedEmbedding), ``:799,832``
+(masks).
+"""
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechbrain_tpu.nnet.attention import (
+    MultiheadAttention,
+    PositionalwiseFeedForward,
+    RelPosEncXL,
+    RelPosMHAXL,
+)
+
+__all__ = [
+    "PositionalEncoding",
+    "TransformerEncoderLayer",
+    "TransformerEncoder",
+    "TransformerDecoderLayer",
+    "TransformerDecoder",
+    "NormalizedEmbedding",
+    "get_key_padding_mask",
+    "get_lookahead_mask",
+]
+
+
+class PositionalEncoding(nn.Module):
+    """Absolute sinusoidal positional encoding added to the input."""
+
+    input_size: int
+    max_len: int = 2500
+
+    def __call__(self, x):
+        T = x.shape[1]
+        pos = np.arange(self.max_len)[:, None].astype(np.float32)
+        div = np.exp(
+            np.arange(0, self.input_size, 2).astype(np.float32)
+            * -(math.log(10000.0) / self.input_size)
+        )[None, :]
+        pe = np.zeros((self.max_len, self.input_size), np.float32)
+        pe[:, 0::2] = np.sin(pos * div)
+        pe[:, 1::2] = np.cos(pos * div)
+        return jnp.asarray(pe[None, :T]).astype(x.dtype)
+
+
+def get_key_padding_mask(padded_input_lens, T):
+    """(B,) relative lens -> (B, T) bool, True = PAD (torch convention)."""
+    abs_lens = jnp.asarray(padded_input_lens) * T
+    return jnp.arange(T)[None, :] >= abs_lens[:, None]
+
+
+def get_lookahead_mask(T):
+    """(T, T) bool causal mask, True = disallowed (future)."""
+    return jnp.triu(jnp.ones((T, T), bool), k=1)
+
+
+class NormalizedEmbedding(nn.Module):
+    """Embedding scaled by sqrt(d_model) (transformer convention)."""
+
+    d_model: int
+    vocab: int
+
+    @nn.compact
+    def __call__(self, x):
+        emb = nn.Embed(self.vocab, self.d_model)(jnp.asarray(x, jnp.int32))
+        return emb * math.sqrt(self.d_model)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Self-attention + FFN with pre/post-norm residuals."""
+
+    d_ffn: int
+    nhead: int
+    d_model: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    normalize_before: bool = False
+    attention_type: str = "regularMHA"
+
+    @nn.compact
+    def __call__(
+        self,
+        src,
+        src_mask=None,
+        src_key_padding_mask=None,
+        pos_embs=None,
+        train=True,
+    ):
+        if self.attention_type == "RelPosMHAXL":
+            attn = RelPosMHAXL(
+                embed_dim=self.d_model,
+                num_heads=self.nhead,
+                dropout=self.dropout,
+            )
+        else:
+            attn = MultiheadAttention(
+                nhead=self.nhead, d_model=self.d_model, dropout=self.dropout
+            )
+        norm1 = nn.LayerNorm(dtype=src.dtype)
+        norm2 = nn.LayerNorm(dtype=src.dtype)
+        drop = nn.Dropout(rate=self.dropout, deterministic=not train)
+
+        x = src
+        residual = x
+        if self.normalize_before:
+            x = norm1(x)
+        if self.attention_type == "RelPosMHAXL":
+            out, attn_w = attn(
+                x, x, x, pos_embs,
+                key_padding_mask=src_key_padding_mask,
+                attn_mask=src_mask,
+                train=train,
+            )
+        else:
+            out, attn_w = attn(
+                x, x, x,
+                key_padding_mask=src_key_padding_mask,
+                attn_mask=src_mask,
+                train=train,
+            )
+        x = residual + drop(out)
+        if not self.normalize_before:
+            x = norm1(x)
+        residual = x
+        if self.normalize_before:
+            x = norm2(x)
+        out = PositionalwiseFeedForward(
+            d_ffn=self.d_ffn, dropout=self.dropout, activation=self.activation
+        )(x, train=train)
+        x = residual + drop(out)
+        if not self.normalize_before:
+            x = norm2(x)
+        return x, attn_w
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers (+ final norm when pre-norm)."""
+
+    num_layers: int
+    nhead: int
+    d_ffn: int
+    d_model: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    normalize_before: bool = False
+    attention_type: str = "regularMHA"
+
+    @nn.compact
+    def __call__(
+        self,
+        src,
+        src_mask=None,
+        src_key_padding_mask=None,
+        pos_embs=None,
+        train=True,
+    ):
+        output = src
+        attns = []
+        for i in range(self.num_layers):
+            output, attn = TransformerEncoderLayer(
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                d_model=self.d_model,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_type=self.attention_type,
+                name=f"layer_{i}",
+            )(
+                output,
+                src_mask=src_mask,
+                src_key_padding_mask=src_key_padding_mask,
+                pos_embs=pos_embs,
+                train=train,
+            )
+            attns.append(attn)
+        if self.normalize_before:
+            output = nn.LayerNorm(dtype=output.dtype, name="norm_out")(output)
+        return output, attns
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Masked self-attention + cross-attention + FFN."""
+
+    d_ffn: int
+    nhead: int
+    d_model: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    normalize_before: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt,
+        memory,
+        tgt_mask=None,
+        memory_mask=None,
+        tgt_key_padding_mask=None,
+        memory_key_padding_mask=None,
+        train=True,
+    ):
+        self_attn = MultiheadAttention(
+            nhead=self.nhead, d_model=self.d_model, dropout=self.dropout,
+            name="self_attn",
+        )
+        cross_attn = MultiheadAttention(
+            nhead=self.nhead, d_model=self.d_model, dropout=self.dropout,
+            name="cross_attn",
+        )
+        norm1 = nn.LayerNorm(dtype=tgt.dtype)
+        norm2 = nn.LayerNorm(dtype=tgt.dtype)
+        norm3 = nn.LayerNorm(dtype=tgt.dtype)
+        drop = nn.Dropout(rate=self.dropout, deterministic=not train)
+
+        x = tgt
+        residual = x
+        if self.normalize_before:
+            x = norm1(x)
+        out, self_attn_w = self_attn(
+            x, x, x,
+            key_padding_mask=tgt_key_padding_mask,
+            attn_mask=tgt_mask,
+            train=train,
+        )
+        x = residual + drop(out)
+        if not self.normalize_before:
+            x = norm1(x)
+        residual = x
+        if self.normalize_before:
+            x = norm2(x)
+        out, cross_attn_w = cross_attn(
+            x, memory, memory,
+            key_padding_mask=memory_key_padding_mask,
+            attn_mask=memory_mask,
+            train=train,
+        )
+        x = residual + drop(out)
+        if not self.normalize_before:
+            x = norm2(x)
+        residual = x
+        if self.normalize_before:
+            x = norm3(x)
+        out = PositionalwiseFeedForward(
+            d_ffn=self.d_ffn, dropout=self.dropout, activation=self.activation
+        )(x, train=train)
+        x = residual + drop(out)
+        if not self.normalize_before:
+            x = norm3(x)
+        return x, self_attn_w, cross_attn_w
+
+
+class TransformerDecoder(nn.Module):
+    """Stack of decoder layers."""
+
+    num_layers: int
+    nhead: int
+    d_ffn: int
+    d_model: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    normalize_before: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt,
+        memory,
+        tgt_mask=None,
+        memory_mask=None,
+        tgt_key_padding_mask=None,
+        memory_key_padding_mask=None,
+        train=True,
+    ):
+        output = tgt
+        self_attns, cross_attns = [], []
+        for i in range(self.num_layers):
+            output, sa, ca = TransformerDecoderLayer(
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                d_model=self.d_model,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                name=f"layer_{i}",
+            )(
+                output,
+                memory,
+                tgt_mask=tgt_mask,
+                memory_mask=memory_mask,
+                tgt_key_padding_mask=tgt_key_padding_mask,
+                memory_key_padding_mask=memory_key_padding_mask,
+                train=train,
+            )
+            self_attns.append(sa)
+            cross_attns.append(ca)
+        if self.normalize_before:
+            output = nn.LayerNorm(dtype=output.dtype, name="norm_out")(output)
+        return output, self_attns, cross_attns

@@ -1,0 +1,182 @@
+"""Joint CTC/attention transformer ASR model.
+
+Parity target: reference ``lobes/models/transformer/TransformerASR.py:22``
+(TransformerASR with ``encode``/``decode``).  Input projection + encoder
+(transformer or conformer) + autoregressive decoder; CTC/seq2seq heads
+live in the recipe (Linear modules), matching the reference layout.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from speechbrain_tpu.lobes.models.transformer.Conformer import ConformerEncoder
+from speechbrain_tpu.lobes.models.transformer.Transformer import (
+    NormalizedEmbedding,
+    PositionalEncoding,
+    TransformerDecoder,
+    TransformerEncoder,
+    get_key_padding_mask,
+    get_lookahead_mask,
+)
+from speechbrain_tpu.nnet.attention import RelPosEncXL
+
+__all__ = ["TransformerASR"]
+
+
+class TransformerASR(nn.Module):
+    """Encoder-decoder ASR with transformer or conformer encoder.
+
+    Call modes (reference parity):
+    - ``__call__(src, tgt, wav_len, pad_idx)`` -> (enc_out, dec_out)
+    - ``encode(src, wav_len)`` -> enc_out  (CTC-only / decoding prep)
+    - ``decode(tgt, encoder_out, enc_lens)`` -> (dec_out, cross_attn)
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> net = TransformerASR(tgt_vocab=40, input_size=80, d_model=32,
+    ...     nhead=4, num_encoder_layers=2, num_decoder_layers=1, d_ffn=64)
+    >>> src = jnp.ones((2, 16, 80))
+    >>> tgt = jnp.zeros((2, 5), jnp.int32)
+    >>> v = net.init(jax.random.PRNGKey(0), src, tgt, jnp.ones(2), train=False)
+    >>> enc, dec = net.apply(v, src, tgt, jnp.ones(2), train=False)
+    >>> enc.shape, dec.shape
+    ((2, 16, 32), (2, 5, 32))
+    """
+
+    tgt_vocab: int
+    input_size: int
+    d_model: int = 512
+    nhead: int = 8
+    num_encoder_layers: int = 12
+    num_decoder_layers: int = 6
+    d_ffn: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    positional_encoding: str = "fixed_abs_sine"
+    normalize_before: bool = False
+    kernel_size: int = 31
+    causal: bool = False
+    encoder_module: str = "transformer"
+    attention_type: str = "regularMHA"
+    max_length: int = 2500
+
+    def setup(self):
+        self.custom_src_module = nn.Dense(self.d_model)
+        self.custom_tgt_module = NormalizedEmbedding(
+            d_model=self.d_model, vocab=self.tgt_vocab
+        )
+        self.positional_encoding_mod = PositionalEncoding(
+            input_size=self.d_model, max_len=self.max_length
+        )
+        if self.attention_type == "RelPosMHAXL":
+            self.relpos_enc = RelPosEncXL(emb_dim=self.d_model)
+        if self.encoder_module == "conformer":
+            self.encoder = ConformerEncoder(
+                num_layers=self.num_encoder_layers,
+                d_model=self.d_model,
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                kernel_size=self.kernel_size,
+                causal=self.causal,
+                dropout=self.dropout,
+                activation="swish",
+            )
+            if self.attention_type != "RelPosMHAXL":
+                raise ValueError(
+                    "Conformer encoder requires RelPosMHAXL attention"
+                )
+        else:
+            self.encoder = TransformerEncoder(
+                num_layers=self.num_encoder_layers,
+                nhead=self.nhead,
+                d_ffn=self.d_ffn,
+                d_model=self.d_model,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_type=self.attention_type,
+            )
+        if self.num_decoder_layers > 0:
+            self.decoder = TransformerDecoder(
+                num_layers=self.num_decoder_layers,
+                nhead=self.nhead,
+                d_ffn=self.d_ffn,
+                d_model=self.d_model,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=True,
+            )
+
+    def _encode(self, src, wav_len, train):
+        T = src.shape[1]
+        src_key_padding_mask = None
+        if wav_len is not None:
+            src_key_padding_mask = get_key_padding_mask(wav_len, T)
+        x = self.custom_src_module(src)
+        if self.attention_type == "RelPosMHAXL":
+            pos_embs = self.relpos_enc(x)
+            if self.encoder_module == "transformer":
+                enc_out, _ = self.encoder(
+                    x,
+                    src_key_padding_mask=src_key_padding_mask,
+                    pos_embs=pos_embs,
+                    train=train,
+                )
+            else:
+                enc_out, _ = self.encoder(
+                    x,
+                    src_key_padding_mask=src_key_padding_mask,
+                    pos_embs=pos_embs,
+                    train=train,
+                )
+        else:
+            x = x + self.positional_encoding_mod(x)
+            enc_out, _ = self.encoder(
+                x,
+                src_key_padding_mask=src_key_padding_mask,
+                train=train,
+            )
+        return enc_out, src_key_padding_mask
+
+    def __call__(self, src, tgt, wav_len=None, pad_idx=0, train=True):
+        enc_out, src_key_padding_mask = self._encode(src, wav_len, train)
+        if self.num_decoder_layers == 0:
+            return enc_out, None
+        tgt_key_padding_mask = jnp.asarray(tgt, jnp.int32) == pad_idx
+        tgt_mask = get_lookahead_mask(tgt.shape[1])
+        tgt_emb = self.custom_tgt_module(tgt)
+        tgt_emb = tgt_emb + self.positional_encoding_mod(tgt_emb)
+        dec_out, _, _ = self.decoder(
+            tgt_emb,
+            enc_out,
+            tgt_mask=tgt_mask,
+            tgt_key_padding_mask=tgt_key_padding_mask,
+            memory_key_padding_mask=src_key_padding_mask,
+            train=train,
+        )
+        return enc_out, dec_out
+
+    def encode(self, src, wav_len=None, train=False):
+        """Encoder forward only."""
+        enc_out, _ = self._encode(src, wav_len, train)
+        return enc_out
+
+    def decode(self, tgt, encoder_out, enc_lens=None, train=False):
+        """Decoder forward for beam search; returns (out, last cross-attn)."""
+        tgt_mask = get_lookahead_mask(tgt.shape[1])
+        memory_key_padding_mask = None
+        if enc_lens is not None:
+            memory_key_padding_mask = get_key_padding_mask(
+                enc_lens, encoder_out.shape[1]
+            )
+        tgt_emb = self.custom_tgt_module(tgt)
+        tgt_emb = tgt_emb + self.positional_encoding_mod(tgt_emb)
+        dec_out, _, cross_attns = self.decoder(
+            tgt_emb,
+            encoder_out,
+            tgt_mask=tgt_mask,
+            memory_key_padding_mask=memory_key_padding_mask,
+            train=train,
+        )
+        return dec_out, cross_attns[-1]
