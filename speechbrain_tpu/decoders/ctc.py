@@ -1,0 +1,240 @@
+"""CTC decoding: greedy decode + batched prefix scorer for joint
+CTC/attention beam search.
+
+Parity targets: reference ``decoders/ctc.py:334`` (ctc_greedy_decode),
+``:297`` (filter_ctc_output), ``:13-296`` (CTCPrefixScorer — the
+Watanabe "Algorithm 2" psi recursion; deep-dive notes SURVEY.md §8.1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["filter_ctc_output", "ctc_greedy_decode", "CTCPrefixScorer"]
+
+
+def filter_ctc_output(string_pred, blank_id=-1):
+    """Merge repeats then drop blanks from a single prediction list.
+
+    Example
+    -------
+    >>> filter_ctc_output([0, 0, 1, 1, 0, 2, 2], blank_id=0)
+    [1, 2]
+    """
+    if isinstance(string_pred, list):
+        out = [
+            v
+            for i, v in enumerate(string_pred)
+            if i == 0 or v != string_pred[i - 1]
+        ]
+        out = [v for v in out if v != blank_id]
+        return out
+    raise ValueError("filter_ctc_output expects a list")
+
+
+def ctc_greedy_decode(probabilities, seq_lens, blank_id=-1):
+    """Argmax + merge + blank-removal per utterance.
+
+    Arguments
+    ---------
+    probabilities : (batch, time, classes) posteriors (or log-probs)
+    seq_lens : (batch,) relative lengths
+    blank_id : int (negative indexes from the end)
+
+    Returns list[list[int]] (host side).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> probs = jnp.array([[[0.1, 0.9, 0.0], [0.1, 0.9, 0.0],
+    ...                     [0.9, 0.1, 0.0], [0.0, 0.0, 1.0]]])
+    >>> ctc_greedy_decode(probs, jnp.ones(1), blank_id=0)
+    [[1, 2]]
+    """
+    probabilities = np.asarray(probabilities)
+    seq_lens = np.asarray(seq_lens)
+    if blank_id < 0:
+        blank_id = probabilities.shape[-1] + blank_id
+    batch_max_len = probabilities.shape[1]
+    argmaxes = probabilities.argmax(-1)
+    outputs = []
+    for seq, seq_len in zip(argmaxes, seq_lens):
+        actual_size = int(round(float(seq_len) * batch_max_len))
+        outputs.append(
+            filter_ctc_output(seq[:actual_size].tolist(), blank_id=blank_id)
+        )
+    return outputs
+
+
+class CTCPrefixScorer:
+    """Batched CTC prefix scoring for joint CTC/attention decoding.
+
+    Computes, per step, the delta CTC prefix score psi for EVERY vocab
+    candidate given each beam's current prefix — vectorized over
+    (batch*beam, T, vocab) with the time recursion as a lax.scan.
+
+    State threading is functional: ``state = None`` initially;
+    ``forward_step(inp_tokens, state, ...)`` returns (scores, state);
+    ``permute_mem(state, index)`` reindexes after topk.
+
+    Arguments
+    ---------
+    x : (batch, T, vocab) encoder CTC log-probs
+    enc_lens : (batch,) relative lengths
+    batch_size, beam_size : int
+    blank_index, eos_index : int
+    """
+
+    def __init__(self, x, enc_lens, batch_size, beam_size, blank_index, eos_index, ctc_window_size=0):
+        self.blank_index = blank_index
+        self.eos_index = eos_index
+        self.batch_size = batch_size
+        self.beam_size = beam_size
+        self.minus_inf = -1e20
+        x = jnp.asarray(x, jnp.float32)
+        T = x.shape[1]
+        self.vocab_size = x.shape[-1]
+        abs_lens = jnp.round(jnp.asarray(enc_lens) * T).astype(jnp.int32)
+        # Mask frames beyond enc_lens: only blank emittable (log 0), all
+        # others -inf (ctc.py:58-62).
+        mask = jnp.arange(T)[None, :] < abs_lens[:, None]  # (B, T)
+        pad_row = jnp.full((self.vocab_size,), self.minus_inf)
+        pad_row = pad_row.at[blank_index].set(0.0)
+        x = jnp.where(mask[..., None], x, pad_row[None, None, :])
+        # Inflate to batch*beam rows.
+        x = jnp.repeat(x, beam_size, axis=0)  # (B*beam, T, V)
+        self.x = x
+        self.abs_lens = jnp.repeat(abs_lens, beam_size, axis=0)
+        self.T = T
+        self.last_frame_index = jnp.clip(self.abs_lens - 1, 0, T - 1)
+
+    def init_state(self):
+        n = self.batch_size * self.beam_size
+        # r: (T, 2, n) forward lattice of the CURRENT prefix
+        # [0]=nonblank, [1]=blank ending.
+        r = jnp.full((self.T, 2, n), self.minus_inf)
+        # Initial prefix = empty: blank path = cumsum of blank posteriors.
+        blank_lp = self.x[:, :, self.blank_index]  # (n, T)
+        r = r.at[:, 1, :].set(jnp.cumsum(blank_lp, axis=1).T)
+        psi_prev = jnp.zeros((n,))
+        last_token = jnp.full((n,), -1, jnp.int32)
+        return {"r": r, "psi_prev": psi_prev, "last_token": last_token, "step": 0}
+
+    def forward_step(self, inp_tokens, state, candidates=None, attn=None):
+        """Score all vocab candidates for each row's prefix + inp_tokens.
+
+        inp_tokens: (n,) the tokens JUST added to each prefix (the
+        attention search's current expansion); state reflects the prefix
+        BEFORE inp_tokens on the first call semantics of the reference:
+        here we follow the reference's convention that forward_step is
+        called with the prefix's last tokens and returns candidate
+        scores for the NEXT tokens.
+        """
+        if state is None:
+            state = self.init_state()
+        n = self.batch_size * self.beam_size
+        V = self.vocab_size
+        x = self.x  # (n, T, V)
+        r_prev = state["r"]  # (T, 2, n) lattice of prefix g
+        psi_prev = state["psi_prev"]
+
+        # --- advance the lattice to include inp_tokens (prefix g+c_last)
+        # On step 0 the prefix is just BOS == empty; the reference calls
+        # forward_step with the candidate token to score, computing r for
+        # prefix h = g + candidate FOR ALL candidates simultaneously.
+        # Here inp_tokens are the last committed tokens; the r we carry
+        # already corresponds to the committed prefix, so we now score
+        # all candidates c given that prefix.
+
+        # phi: (T, n, V) score of ending in blank or different char
+        r_sum = jnp.logaddexp(r_prev[:, 0], r_prev[:, 1])  # (T, n)
+        phi = jnp.broadcast_to(r_sum[:, :, None], (self.T, n, V))
+        # When candidate == last token of prefix, phi = r_prev[blank]
+        last = state["last_token"]  # (n,)
+        same = (
+            jnp.arange(V)[None, :] == last[:, None]
+        )  # (n, V)
+        phi = jnp.where(
+            same[None, :, :], r_prev[:, 1][:, :, None], phi
+        )
+
+        # Time recursion for prefix h = g + c:
+        # r_nb[t] = logaddexp(r_nb[t-1], phi[t-1]) + x[t, c]
+        # r_b[t]  = logaddexp(r_nb[t-1], r_b[t-1]) + x[t, blank]
+        xc = jnp.swapaxes(x, 0, 1)  # (T, n, V)
+        xb = xc[:, :, self.blank_index][:, :, None]  # (T, n, 1)
+
+        start = jnp.full((n, V), self.minus_inf)
+        # t=0: r_nb[0] = x[0, c] if prefix empty else -inf;
+        # empty prefix detected via step==0
+        if state["step"] == 0:
+            r_nb0 = xc[0]
+            psi_init_0 = jnp.full((n, V), self.minus_inf)
+        else:
+            r_nb0 = jnp.full((n, V), self.minus_inf)
+            psi_init_0 = jnp.full((n, V), self.minus_inf)
+        r_b0 = jnp.full((n, V), self.minus_inf)
+
+        def scan_fn(carry, inputs):
+            r_nb_prev, r_b_prev, psi_acc = carry
+            x_t, xb_t, phi_tm1 = inputs
+            r_nb = jnp.logaddexp(r_nb_prev, phi_tm1) + x_t
+            r_b = jnp.logaddexp(r_nb_prev, r_b_prev) + xb_t
+            psi_acc = jnp.logaddexp(psi_acc, phi_tm1 + x_t)
+            return (r_nb, r_b, psi_acc), (r_nb, r_b)
+
+        # psi = logaddexp over t of phi[t-1] + x[t, c], plus init term
+        psi0 = jnp.logaddexp(psi_init_0, r_nb0)
+        (r_nb_T, r_b_T, psi), (r_nbs, r_bs) = jax.lax.scan(
+            scan_fn,
+            (r_nb0, r_b0, psi0),
+            (xc[1:], xb[1:], phi[:-1]),
+        )
+        r_nbs = jnp.concatenate([r_nb0[None], r_nbs], axis=0)  # (T, n, V)
+        r_bs = jnp.concatenate([r_b0[None], r_bs], axis=0)
+
+        # psi currently integrates frames 1..T-1 (+ t=0 via psi0); limit
+        # to each row's true length: psi over t < abs_len. Because x is
+        # masked (-inf for non-blank past abs_len), the extra terms are
+        # -inf and psi is already correct.
+
+        # EOS candidate: psi(eos) = r_sum at the last valid frame.
+        final_r_sum = r_sum[self.last_frame_index, jnp.arange(n)]  # (n,)
+        psi = psi.at[:, self.eos_index].set(final_r_sum)
+        # Blank candidate is excluded (never expanded).
+        psi = psi.at[:, self.blank_index].set(self.minus_inf)
+
+        scores = psi - psi_prev[:, None]  # delta score
+        new_state = {
+            "r_all": jnp.stack([r_nbs, r_bs], axis=1),  # (T, 2, n, V)
+            "psi_all": psi,
+            "r": r_prev,
+            "psi_prev": psi_prev,
+            "last_token": last,
+            "step": state["step"] + 1,
+        }
+        return scores, new_state
+
+    def permute_mem(self, state, index):
+        """Commit the chosen candidates: index (n,) flat candidate ids
+        = beam_offset * V + token.  Select each row's lattice slice for
+        its chosen token, and reorder rows by predecessor beams.
+        """
+        n = self.batch_size * self.beam_size
+        V = self.vocab_size
+        tokens = index % V  # (n,) chosen token per new row
+        # predecessor row within the whole n = batch*beam layout:
+        beam_pred = index // V  # (n,) in [0, beam) relative to batch
+        batch_idx = jnp.repeat(
+            jnp.arange(self.batch_size), self.beam_size
+        )
+        rows = batch_idx * self.beam_size + beam_pred  # (n,)
+        r_all = state["r_all"]  # (T, 2, n, V)
+        r_new = r_all[:, :, rows, tokens]  # (T, 2, n)
+        psi_new = state["psi_all"][rows, tokens]  # (n,)
+        return {
+            "r": r_new,
+            "psi_prev": psi_new,
+            "last_token": tokens.astype(jnp.int32),
+            "step": state["step"],
+        }

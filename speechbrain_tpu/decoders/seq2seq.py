@@ -1,0 +1,516 @@
+"""Autoregressive search for seq2seq models, fixed-shape and batched.
+
+The reference's ``S2SBeamSearcher`` (``decoders/seq2seq.py:349``) is a
+batched beam search over batch*beam rows with a Python step loop; here
+the step loop is a ``lax.scan`` with static ``max_decode_steps`` and all
+hypothesis bookkeeping as masked tensors — one compiled program per
+(batch, enc_len) bucket, no host sync inside the search.
+
+Subclasses provide three hooks (mirroring the reference):
+- ``reset_mem(n, enc_states)`` -> memory pytree with LEADING batch axis
+- ``forward_step(inp_tokens, memory, enc_states, enc_lens)``
+    -> (log_probs (n, V), memory, attn)
+- memory permutation after topk is a generic leading-axis gather.
+
+Features carried over: eos threshold gate (``seq2seq.py:527``), min/max
+decode ratios, length normalization, LM shallow fusion (``lm_weight``),
+joint CTC scoring (``ctc_weight`` via CTCPrefixScorer), coverage penalty.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechbrain_tpu.decoders.ctc import CTCPrefixScorer
+
+__all__ = [
+    "S2SBaseSearcher",
+    "S2SGreedySearcher",
+    "S2SRNNGreedySearcher",
+    "S2SBeamSearcher",
+    "S2SRNNBeamSearcher",
+    "S2SRNNBeamSearchLM",
+    "S2STransformerBeamSearch",
+]
+
+MINUS_INF = -1e20
+
+
+class S2SBaseSearcher:
+    def __init__(
+        self, bos_index, eos_index, min_decode_ratio, max_decode_ratio
+    ):
+        self.bos_index = bos_index
+        self.eos_index = eos_index
+        self.min_decode_ratio = min_decode_ratio
+        self.max_decode_ratio = max_decode_ratio
+
+    def __call__(self, enc_states, wav_len):
+        raise NotImplementedError
+
+    def reset_mem(self, batch_size, enc_states):
+        raise NotImplementedError
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        raise NotImplementedError
+
+    def lm_forward_step(self, inp_tokens, memory):
+        raise NotImplementedError
+
+
+def _gather_rows(tree, index):
+    """Reorder every leaf's leading axis by ``index``."""
+    return jax.tree_util.tree_map(
+        lambda x: x[index] if hasattr(x, "shape") and x.ndim >= 1 else x,
+        tree,
+    )
+
+
+class S2SGreedySearcher(S2SBaseSearcher):
+    """Vectorized greedy decoding via lax.scan.
+
+    Returns (hyps list[list[int]], top_scores (B,)).
+    """
+
+    def __call__(self, enc_states, wav_len):
+        enc_states = jnp.asarray(enc_states)
+        B, T = enc_states.shape[0], enc_states.shape[1]
+        enc_lens = jnp.asarray(wav_len)
+        max_steps = max(1, int(T * self.max_decode_ratio))
+        memory = self.reset_mem(B, enc_states)
+        inp0 = jnp.full((B,), self.bos_index, jnp.int32)
+
+        def step(carry, _):
+            inp, memory, finished, score = carry
+            log_probs, memory, attn = self.forward_step(
+                inp, memory, enc_states, enc_lens
+            )
+            token = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            tok_score = jnp.max(log_probs, axis=-1)
+            token = jnp.where(finished, self.eos_index, token)
+            score = score + jnp.where(finished, 0.0, tok_score)
+            finished = finished | (token == self.eos_index)
+            return (token, memory, finished, score), token
+
+        (last, memory, finished, scores), tokens = jax.lax.scan(
+            step,
+            (inp0, memory, jnp.zeros(B, bool), jnp.zeros(B)),
+            None,
+            length=max_steps,
+        )
+        tokens = np.asarray(jnp.swapaxes(tokens, 0, 1))  # (B, L)
+        hyps = []
+        for row in tokens:
+            hyp = []
+            for t in row:
+                if t == self.eos_index:
+                    break
+                hyp.append(int(t))
+            hyps.append(hyp)
+        return hyps, np.asarray(scores)
+
+
+class S2SRNNGreedySearcher(S2SGreedySearcher):
+    """Greedy search for AttentionalRNNDecoder models.
+
+    Arguments
+    ---------
+    embedding_fn : tokens (n,) -> (n, E)
+    decoder_step_fn : (emb, hs, c, enc_states, enc_lens, attn_state)
+        -> (dec_out, hs, c, w, attn_state)   [the decoder's forward_step]
+    linear_fn : (n, H) -> (n, V) log-probs
+    dec_hidden_size : int, context dim for the initial zero context
+    """
+
+    def __init__(
+        self,
+        embedding_fn,
+        decoder_step_fn,
+        linear_fn,
+        dec_hidden_size,
+        attn_init_fn,
+        rnn_init_fn,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.embedding_fn = embedding_fn
+        self.decoder_step_fn = decoder_step_fn
+        self.linear_fn = linear_fn
+        self.dec_hidden_size = dec_hidden_size
+        self.attn_init_fn = attn_init_fn
+        self.rnn_init_fn = rnn_init_fn
+
+    def reset_mem(self, batch_size, enc_states):
+        return {
+            "hs": self.rnn_init_fn(batch_size, enc_states.dtype),
+            "c": jnp.zeros(
+                (batch_size, self.dec_hidden_size), enc_states.dtype
+            ),
+            "attn_state": self.attn_init_fn(enc_states),
+        }
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        emb = self.embedding_fn(inp_tokens)
+        dec_out, hs, c, w, attn_state = self.decoder_step_fn(
+            emb, memory["hs"], memory["c"], enc_states, enc_lens,
+            memory["attn_state"],
+        )
+        log_probs = self.linear_fn(dec_out)
+        return (
+            log_probs,
+            {"hs": hs, "c": c, "attn_state": attn_state},
+            w,
+        )
+
+
+class S2SBeamSearcher(S2SBaseSearcher):
+    """Batched beam search with masked fixed-shape bookkeeping.
+
+    Returns (hyps list[list[int]], top_scores (B,)).
+    """
+
+    def __init__(
+        self,
+        bos_index,
+        eos_index,
+        min_decode_ratio,
+        max_decode_ratio,
+        beam_size,
+        topk=1,
+        return_log_probs=False,
+        using_eos_threshold=True,
+        eos_threshold=1.5,
+        length_normalization=True,
+        length_rewarding=0,
+        coverage_penalty=0.0,
+        lm_weight=0.0,
+        lm_modules=None,
+        ctc_weight=0.0,
+        blank_index=0,
+        ctc_score_mode="full",
+        ctc_window_size=0,
+        using_max_attn_shift=False,
+        max_attn_shift=60,
+        minus_inf=MINUS_INF,
+    ):
+        super().__init__(
+            bos_index, eos_index, min_decode_ratio, max_decode_ratio
+        )
+        self.beam_size = beam_size
+        self.topk = topk
+        self.using_eos_threshold = using_eos_threshold
+        self.eos_threshold = eos_threshold
+        self.length_normalization = length_normalization
+        self.length_rewarding = length_rewarding
+        self.coverage_penalty = coverage_penalty
+        self.lm_weight = lm_weight
+        self.ctc_weight = ctc_weight
+        self.blank_index = blank_index
+        self.minus_inf = minus_inf
+        if length_normalization and length_rewarding > 0:
+            raise ValueError(
+                "length normalization is not compatible with length rewarding"
+            )
+
+    # -- hooks for subclasses -------------------------------------------
+
+    def reset_lm_mem(self, n):
+        return None
+
+    def lm_forward_step(self, inp_tokens, memory):
+        raise NotImplementedError
+
+    def ctc_forward_step(self, enc_states):
+        """Produce (batch, T, vocab) CTC log-probs from enc states."""
+        raise NotImplementedError
+
+    # -- main loop -------------------------------------------------------
+
+    def __call__(self, enc_states, wav_len):
+        enc_states = jnp.asarray(enc_states)
+        B, T = enc_states.shape[0], enc_states.shape[1]
+        beam = self.beam_size
+        n = B * beam
+        enc_lens = jnp.asarray(wav_len)
+        max_steps = max(1, int(T * self.max_decode_ratio))
+        min_steps = int(T * self.min_decode_ratio)
+
+        # Inflate encoder states to batch*beam.
+        enc_states_i = jnp.repeat(enc_states, beam, axis=0)
+        enc_lens_i = jnp.repeat(enc_lens, beam, axis=0)
+
+        memory = self.reset_mem(n, enc_states_i)
+        lm_memory = self.reset_lm_mem(n) if self.lm_weight > 0 else None
+        ctc_scorer = None
+        ctc_state = None
+        if self.ctc_weight > 0:
+            x_ctc = self.ctc_forward_step(enc_states)
+            ctc_scorer = CTCPrefixScorer(
+                x_ctc, enc_lens, B, beam, self.blank_index, self.eos_index
+            )
+            ctc_state = ctc_scorer.init_state()
+
+        # Beam scores: only beam 0 alive initially.
+        beam_scores = jnp.full((B, beam), self.minus_inf)
+        beam_scores = beam_scores.at[:, 0].set(0.0)
+        inp = jnp.full((n,), self.bos_index, jnp.int32)
+        finished = jnp.zeros((n,), bool)
+        alived_seq = jnp.full((n, max_steps), self.eos_index, jnp.int32)
+        attn_accum = None
+
+        for t in range(max_steps):
+            log_probs, memory, attn = self.forward_step(
+                inp, memory, enc_states_i, enc_lens_i
+            )
+            log_probs = jnp.asarray(log_probs, jnp.float32)
+            V = log_probs.shape[-1]
+            if t < min_steps:
+                log_probs = log_probs.at[:, self.eos_index].set(
+                    self.minus_inf
+                )
+            elif self.using_eos_threshold:
+                max_probs = jnp.max(log_probs, axis=-1)
+                eos_probs = log_probs[:, self.eos_index]
+                gate = eos_probs > self.eos_threshold * max_probs
+                log_probs = log_probs.at[:, self.eos_index].set(
+                    jnp.where(gate, eos_probs, self.minus_inf)
+                )
+            full_scores = log_probs
+            if self.lm_weight > 0:
+                lm_log_probs, lm_memory = self.lm_forward_step(
+                    inp, lm_memory
+                )
+                full_scores = full_scores + self.lm_weight * jnp.asarray(
+                    lm_log_probs, jnp.float32
+                )
+            if ctc_scorer is not None:
+                ctc_scores, ctc_state = ctc_scorer.forward_step(
+                    inp, ctc_state
+                )
+                full_scores = (
+                    (1.0 - self.ctc_weight) * full_scores
+                    + self.ctc_weight * ctc_scores
+                )
+
+            # Finished rows: only eos continuation with zero added score.
+            frozen = jnp.full((n, V), self.minus_inf)
+            frozen = frozen.at[:, self.eos_index].set(0.0)
+            full_scores = jnp.where(
+                finished[:, None], frozen, full_scores
+            )
+
+            cand = beam_scores.reshape(n, 1) + full_scores  # (n, V)
+            cand = cand.reshape(B, beam * V)
+            new_scores, flat_idx = jax.lax.top_k(cand, beam)  # (B, beam)
+            pred_beam = flat_idx // V  # (B, beam)
+            tokens = (flat_idx % V).astype(jnp.int32)
+            rows = (
+                jnp.arange(B)[:, None] * beam + pred_beam
+            ).reshape(-1)  # (n,)
+            tokens_flat = tokens.reshape(-1)
+
+            memory = _gather_rows(memory, rows)
+            if lm_memory is not None:
+                lm_memory = _gather_rows(lm_memory, rows)
+            if ctc_scorer is not None:
+                ctc_state = ctc_scorer.permute_mem(
+                    ctc_state, flat_idx.reshape(-1)
+                )
+            alived_seq = alived_seq[rows]
+            alived_seq = alived_seq.at[:, t].set(tokens_flat)
+            was_finished = finished[rows]
+            finished = was_finished | (tokens_flat == self.eos_index)
+            # Length rewarding for still-alive rows.
+            step_bonus = jnp.where(
+                was_finished, 0.0, self.length_rewarding
+            )
+            beam_scores = (new_scores.reshape(-1) + step_bonus).reshape(
+                B, beam
+            )
+            inp = tokens_flat
+            if bool(jnp.all(finished)):
+                break
+
+        # Final scoring: length normalization over true lengths.
+        seq = np.asarray(alived_seq).reshape(B, beam, -1)
+        scores = np.asarray(beam_scores)
+        lengths = np.zeros((B, beam), np.int64)
+        hyps_all = []
+        for b in range(B):
+            beam_hyps = []
+            for k in range(beam):
+                hyp = []
+                for tok in seq[b, k]:
+                    if tok == self.eos_index:
+                        break
+                    hyp.append(int(tok))
+                lengths[b, k] = max(len(hyp), 1)
+                beam_hyps.append(hyp)
+            hyps_all.append(beam_hyps)
+        if self.length_normalization:
+            scores = scores / lengths
+        order = np.argsort(-scores, axis=1)
+        best_hyps = [hyps_all[b][order[b, 0]] for b in range(B)]
+        top_scores = scores[np.arange(B), order[:, 0]]
+        if self.topk > 1:
+            topk_hyps = [
+                [hyps_all[b][order[b, k]] for k in range(min(self.topk, self.beam_size))]
+                for b in range(B)
+            ]
+            return best_hyps, top_scores, topk_hyps
+        return best_hyps, top_scores
+
+
+class S2SRNNBeamSearcher(S2SBeamSearcher):
+    """Beam search for AttentionalRNNDecoder models.
+
+    Same callable hooks as S2SRNNGreedySearcher plus optional
+    ctc_linear_fn for joint CTC scoring.
+    """
+
+    def __init__(
+        self,
+        embedding_fn,
+        decoder_step_fn,
+        linear_fn,
+        dec_hidden_size,
+        attn_init_fn,
+        rnn_init_fn,
+        ctc_linear_fn=None,
+        temperature=1.0,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.embedding_fn = embedding_fn
+        self.decoder_step_fn = decoder_step_fn
+        self.linear_fn = linear_fn
+        self.dec_hidden_size = dec_hidden_size
+        self.attn_init_fn = attn_init_fn
+        self.rnn_init_fn = rnn_init_fn
+        self.ctc_linear_fn = ctc_linear_fn
+        self.temperature = temperature
+
+    def reset_mem(self, batch_size, enc_states):
+        return {
+            "hs": self.rnn_init_fn(batch_size, enc_states.dtype),
+            "c": jnp.zeros(
+                (batch_size, self.dec_hidden_size), enc_states.dtype
+            ),
+            "attn_state": self.attn_init_fn(enc_states),
+        }
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        emb = self.embedding_fn(inp_tokens)
+        dec_out, hs, c, w, attn_state = self.decoder_step_fn(
+            emb, memory["hs"], memory["c"], enc_states, enc_lens,
+            memory["attn_state"],
+        )
+        logits = self.linear_fn(dec_out)
+        log_probs = jax.nn.log_softmax(logits / self.temperature, axis=-1)
+        return (
+            log_probs,
+            {"hs": hs, "c": c, "attn_state": attn_state},
+            w,
+        )
+
+    def ctc_forward_step(self, enc_states):
+        return jax.nn.log_softmax(self.ctc_linear_fn(enc_states), axis=-1)
+
+
+class S2SRNNBeamSearchLM(S2SRNNBeamSearcher):
+    """RNN beam search + RNNLM shallow fusion.
+
+    lm_step_fn(tokens (n,), lm_mem) -> (log_probs (n, V), lm_mem)
+    lm_init_fn(n) -> lm_mem with leading batch axis
+    """
+
+    def __init__(self, lm_step_fn, lm_init_fn, **kwargs):
+        super().__init__(**kwargs)
+        self.lm_step_fn = lm_step_fn
+        self.lm_init_fn = lm_init_fn
+
+    def reset_lm_mem(self, n):
+        return self.lm_init_fn(n)
+
+    def lm_forward_step(self, inp_tokens, memory):
+        return self.lm_step_fn(inp_tokens, memory)
+
+
+class S2STransformerBeamSearch(S2SBeamSearcher):
+    """Beam search for TransformerASR: memory = growing token prefix.
+
+    Arguments
+    ---------
+    decode_fn : (prefix (n, L), enc_states) -> (n, L, d) decoder output
+    linear_fn : (n, d) -> (n, V) logits (seq2seq head)
+    ctc_linear_fn : optional (n, T, d) -> CTC logits
+    lm_fn : optional (prefix) -> (n, L, V) LM logits
+    """
+
+    def __init__(
+        self,
+        decode_fn,
+        linear_fn,
+        ctc_linear_fn=None,
+        lm_fn=None,
+        temperature=1.0,
+        temperature_lm=1.0,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.decode_fn = decode_fn
+        self.linear_fn = linear_fn
+        self.ctc_linear_fn = ctc_linear_fn
+        self.lm_fn = lm_fn
+        self.temperature = temperature
+        self.temperature_lm = temperature_lm
+
+    def reset_mem(self, batch_size, enc_states):
+        return {
+            "prefix": jnp.full(
+                (batch_size, 1), self.bos_index, jnp.int32
+            )
+        }
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        prefix = memory["prefix"]
+        # Append current tokens unless this is the first step (bos
+        # already present).
+        if prefix.shape[1] == 1 and bool(
+            jnp.all(prefix[:, 0] == self.bos_index)
+        ) and inp_tokens is not None and bool(
+            jnp.all(inp_tokens == self.bos_index)
+        ):
+            new_prefix = prefix
+        else:
+            new_prefix = jnp.concatenate(
+                [prefix, inp_tokens[:, None]], axis=1
+            )
+        dec_out = self.decode_fn(new_prefix, enc_states, enc_lens)
+        logits = self.linear_fn(dec_out[:, -1])
+        log_probs = jax.nn.log_softmax(
+            logits / self.temperature, axis=-1
+        )
+        return log_probs, {"prefix": new_prefix}, None
+
+    def reset_lm_mem(self, n):
+        return {"prefix": jnp.full((n, 1), self.bos_index, jnp.int32)}
+
+    def lm_forward_step(self, inp_tokens, memory):
+        prefix = memory["prefix"]
+        if prefix.shape[1] == 1 and bool(
+            jnp.all(inp_tokens == self.bos_index)
+        ):
+            new_prefix = prefix
+        else:
+            new_prefix = jnp.concatenate(
+                [prefix, inp_tokens[:, None]], axis=1
+            )
+        logits = self.lm_fn(new_prefix)
+        log_probs = jax.nn.log_softmax(
+            logits[:, -1] / self.temperature_lm, axis=-1
+        )
+        return log_probs, {"prefix": new_prefix}
+
+    def ctc_forward_step(self, enc_states):
+        return jax.nn.log_softmax(self.ctc_linear_fn(enc_states), axis=-1)

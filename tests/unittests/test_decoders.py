@@ -1,0 +1,244 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speechbrain_tpu.decoders.ctc import (
+    CTCPrefixScorer,
+    ctc_greedy_decode,
+    filter_ctc_output,
+)
+from speechbrain_tpu.decoders.seq2seq import (
+    S2SBeamSearcher,
+    S2SGreedySearcher,
+)
+from speechbrain_tpu.decoders.transducer import TransducerBeamSearcher
+
+
+def test_filter_ctc():
+    assert filter_ctc_output([0, 0, 1, 1, 0, 2, 2], blank_id=0) == [1, 2]
+    assert filter_ctc_output([1, 1, 1], blank_id=0) == [1]
+    assert filter_ctc_output([], blank_id=0) == []
+
+
+def test_greedy_ctc_decode():
+    probs = jnp.array(
+        [[[0.1, 0.9, 0.0], [0.1, 0.9, 0.0], [0.9, 0.1, 0.0], [0.0, 0.0, 1.0]]]
+    )
+    assert ctc_greedy_decode(probs, jnp.ones(1), blank_id=0) == [[1, 2]]
+
+
+def _brute_force_ctc_logprob(lp, target, blank):
+    """Total log P(target | x) by enumerating alignments."""
+    import itertools
+
+    T, V = lp.shape
+    total = -np.inf
+    for alignment in itertools.product(range(V), repeat=T):
+        collapsed = [
+            v
+            for i, v in enumerate(alignment)
+            if (i == 0 or v != alignment[i - 1]) and v != blank
+        ]
+        if collapsed == list(target):
+            total = np.logaddexp(
+                total, sum(lp[t, c] for t, c in enumerate(alignment))
+            )
+    return total
+
+
+def test_ctc_prefix_scorer_matches_full_prob():
+    """Committing y1..yU then scoring eos == total CTC log-prob."""
+    rng = np.random.default_rng(0)
+    T, V = 4, 4  # vocab: 0=blank, 1, 2, 3=eos
+    blank, eos = 0, 3
+    lp = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(rng.normal(size=(1, T, V))), -1)
+    )
+    target = [1, 2]
+    scorer = CTCPrefixScorer(
+        jnp.asarray(lp), jnp.ones(1), batch_size=1, beam_size=1,
+        blank_index=blank, eos_index=eos,
+    )
+    state = None
+    inp = jnp.asarray([eos])  # bos placeholder (ignored at step 0)
+    total = 0.0
+    for tok in target:
+        scores, state = scorer.forward_step(inp, state)
+        total += float(scores[0, tok])
+        state = scorer.permute_mem(state, jnp.asarray([tok]))
+        inp = jnp.asarray([tok])
+    scores, state = scorer.forward_step(inp, state)
+    total += float(scores[0, eos])
+    expected = _brute_force_ctc_logprob(lp[0], target, blank)
+    assert abs(total - expected) < 1e-4
+
+
+class _ToyTableSearcher(S2SGreedySearcher):
+    """Emits a fixed log-prob table depending only on the step."""
+
+    def __init__(self, table, **kwargs):
+        super().__init__(**kwargs)
+        self.table = jnp.asarray(table)
+
+    def reset_mem(self, batch_size, enc_states):
+        return {"t": jnp.zeros((batch_size,), jnp.int32)}
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        step = memory["t"][0]
+        row = self.table[jnp.minimum(step, self.table.shape[0] - 1)]
+        log_probs = jnp.broadcast_to(
+            row, (inp_tokens.shape[0], row.shape[-1])
+        )
+        return log_probs, {"t": memory["t"] + 1}, None
+
+
+class _ToyTableBeam(S2SBeamSearcher):
+    def __init__(self, table, **kwargs):
+        super().__init__(**kwargs)
+        self.table = jnp.asarray(table)
+
+    def reset_mem(self, batch_size, enc_states):
+        return {"t": jnp.zeros((batch_size,), jnp.int32)}
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        step = memory["t"][0]
+        row = self.table[jnp.minimum(step, self.table.shape[0] - 1)]
+        log_probs = jnp.broadcast_to(
+            row, (inp_tokens.shape[0], row.shape[-1])
+        )
+        return log_probs, {"t": memory["t"] + 1}, None
+
+
+def _make_table():
+    # vocab: 0, 1, 2(eos). step0: prefer 1; step1: prefer 0; step2: eos.
+    table = np.full((3, 3), -5.0)
+    table[0, 1] = -0.1
+    table[1, 0] = -0.1
+    table[2, 2] = -0.05
+    return np.asarray(jax.nn.log_softmax(jnp.asarray(table), -1))
+
+
+def test_greedy_searcher_follows_argmax():
+    table = _make_table()
+    searcher = _ToyTableSearcher(
+        table, bos_index=2, eos_index=2, min_decode_ratio=0.0,
+        max_decode_ratio=1.0,
+    )
+    enc = jnp.zeros((2, 10, 4))
+    hyps, scores = searcher(enc, jnp.ones(2))
+    assert hyps == [[1, 0], [1, 0]]
+
+
+def test_beam_matches_greedy_on_peaked_scores():
+    table = _make_table()
+    greedy = _ToyTableSearcher(
+        table, bos_index=2, eos_index=2, min_decode_ratio=0.0,
+        max_decode_ratio=1.0,
+    )
+    beam = _ToyTableBeam(
+        table, bos_index=2, eos_index=2, min_decode_ratio=0.0,
+        max_decode_ratio=1.0, beam_size=3, using_eos_threshold=False,
+        length_normalization=True,
+    )
+    enc = jnp.zeros((1, 10, 4))
+    ghyps, _ = greedy(enc, jnp.ones(1))
+    bhyps, _ = beam(enc, jnp.ones(1))
+    assert bhyps == ghyps
+
+
+def test_beam_finds_delayed_reward():
+    """Beam > greedy: token 0 first looks worse but pays off later."""
+    # vocab: 0, 1, 2(eos)
+    # Sequences: after picking 0, eos is very likely (good score);
+    # after picking 1, forced low-prob continuation.
+    # Model: log-probs depend on previous token (memory = last token).
+    class _Searcher(S2SBeamSearcher):
+        def reset_mem(self, n, enc_states):
+            return {"step": jnp.zeros((n,), jnp.int32)}
+
+        def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+            # inp_tokens is the LAST COMMITTED token of each row.
+            # First step (inp == bos): slightly prefer 1; after 0:
+            # strongly prefer eos; after 1: everything bad.
+            first = memory["step"] == 0
+            after0 = inp_tokens == 0
+            row_first = jnp.asarray([0.45, 0.55, 0.0])
+            row_after0 = jnp.asarray([0.01, 0.01, 0.98])
+            row_after1 = jnp.asarray([0.33, 0.33, 0.34])
+            probs = jnp.where(
+                first[:, None],
+                row_first,
+                jnp.where(after0[:, None], row_after0, row_after1),
+            )
+            log_probs = jnp.log(probs + 1e-9)
+            return log_probs, {"step": memory["step"] + 1}, None
+
+    beam = _Searcher(
+        bos_index=2, eos_index=2, min_decode_ratio=0.0,
+        max_decode_ratio=0.3, beam_size=3, using_eos_threshold=False,
+        length_normalization=False,
+    )
+    # memory["last"] starts -1; first forward_step gets bos -> treat as first
+    enc = jnp.zeros((1, 10, 4))
+    hyps, scores = beam(enc, jnp.ones(1))
+    # best full path: [0] then eos: log(0.45*0.98) > log(0.55*0.34)
+    assert hyps == [[0]]
+
+
+def test_transducer_greedy():
+    """Joint net reads the encoder frame only -> deterministic emits."""
+    B, T, V = 2, 5, 4
+    blank = 0
+    frame_tokens = np.array([[0, 1, 1, 0, 2], [3, 0, 0, 2, 0]])
+
+    def pred_step(tokens, state, batch):
+        return jnp.zeros((batch, 4)), {"dummy": jnp.zeros((batch, 1))}
+
+    def joint(enc_t, pred_out):
+        return enc_t  # logits directly from encoder frame
+
+    searcher = TransducerBeamSearcher(
+        decode_fn=pred_step, joint_fn=joint, blank_id=blank, beam_size=1
+    )
+    enc = np.full((B, T, V), -5.0, np.float32)
+    for b in range(B):
+        for t in range(T):
+            enc[b, t, frame_tokens[b, t]] = 5.0
+    hyps, scores = searcher(jnp.asarray(enc))
+    assert hyps[0] == [1, 1, 2]
+    assert hyps[1] == [3, 2]
+
+
+def test_transducer_beam_equals_greedy_when_peaked():
+    B, T, V = 1, 4, 4
+    blank = 0
+
+    def pred_step(tokens, state, batch):
+        # pred_out = one-hot of the last emitted token (zero at start)
+        if tokens is None:
+            return jnp.zeros((batch, V)), {"dummy": jnp.zeros((batch, 1))}
+        return (
+            jax.nn.one_hot(tokens, V),
+            {"dummy": jnp.zeros((batch, 1))},
+        )
+
+    def joint(enc_t, pred_out):
+        # discourage immediate re-emission of the same token
+        return enc_t - 8.0 * pred_out
+
+    # Blank is plausible everywhere (frame-advance cost is moderate);
+    # token 2 has a clear peak at frame 1 only.
+    enc = np.full((B, T, V), -4.0, np.float32)
+    enc[0, :, blank] = 2.0
+    enc[0, 1, 2] = 4.0
+    greedy = TransducerBeamSearcher(
+        decode_fn=pred_step, joint_fn=joint, blank_id=blank, beam_size=1
+    )
+    beam = TransducerBeamSearcher(
+        decode_fn=pred_step, joint_fn=joint, blank_id=blank, beam_size=3
+    )
+    g, _ = greedy(jnp.asarray(enc))
+    b, _ = beam(jnp.asarray(enc))
+    assert g[0] == [2]
+    assert b[0] == [2]
