@@ -14,13 +14,27 @@ comparability).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main():
     import jax
+
+    _enable_compile_cache()
     import jax.numpy as jnp
     import optax
 

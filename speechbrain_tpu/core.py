@@ -365,9 +365,19 @@ class Brain:
 
     def _call_module(self, name, *args, **kwargs):
         module = self._module_defs[name]
-        call_fn = type(module).__call__
+        method = kwargs.pop("method", None)
+        call_fn = (
+            getattr(type(module), method) if method else type(module).__call__
+        )
         if _accepts_kwarg(call_fn, "train") and "train" not in kwargs:
             kwargs["train"] = self._bound_train
+        if method is not None:
+            variables = {"params": self._bound_params[name]}
+            variables.update((self._bound_state or {}).get(name, {}))
+            return module.apply(
+                variables, *args, rngs=self._bound_rngs,
+                method=method, **kwargs,
+            )
         if self._init_mode:
             rngs = dict(self._bound_rngs or {})
             rngs.setdefault("params", self._next_rng())

@@ -492,6 +492,10 @@ class AttentionalRNNDecoder(nn.Module):
             raise ValueError(f"Unknown attn_type {self.attn_type}")
         self.proj = nn.Dense(self.hidden_size)
 
+    def attn_init(self, enc_states):
+        """Precompute the attention's encoder projection (decode prep)."""
+        return self.attn.init_state(enc_states)["enc_proj"]
+
     def forward_step(self, inp, hs, c, enc_states, enc_lens, attn_state=None):
         """One decode step.  inp: (B, E), c: (B, H) previous context."""
         cell_inp = jnp.concatenate([inp, c], axis=-1)
