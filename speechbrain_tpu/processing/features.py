@@ -87,6 +87,11 @@ class STFT:
         self.center = center
         self.pad_mode = pad_mode
         self.onesided = onesided
+        if self.win_length > n_fft:
+            raise ValueError(
+                f"win_length ({self.win_length} samples) must be <= n_fft "
+                f"({n_fft}); lower win_length or raise n_fft"
+            )
         window = _make_window(window_type, self.win_length)
         # Zero-pad window to n_fft, centered (torch.stft semantics).
         if self.win_length < n_fft:

@@ -1,0 +1,325 @@
+"""Subword tokenizer: BPE / char models trained from manifests.
+
+The reference wraps the sentencepiece C++ library
+(``tokenizers/SentencePiece.py:20``); that library is not available in
+this environment, so this module provides a NATIVE implementation of the
+same surface: train from CSV/JSON annotation, persist the model, encode
+as ids/pieces, decode back to text.  Word-boundary marker "▁"
+(U+2581) follows the sentencepiece convention so saved vocabularies are
+interchangeable in format.
+
+Supported model types: "bpe" (greedy merges by pair frequency),
+"char", "word".  Unigram LM training is approximated by BPE (documented
+divergence; scoring-compatible vocab files).
+"""
+
+import collections
+import json
+import logging
+import os
+import re
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["SentencePiece", "BPEModel"]
+
+WORD_BOUNDARY = "▁"
+
+
+class BPEModel:
+    """Byte-pair-encoding model: train / encode / decode / save / load."""
+
+    def __init__(self, vocab_size=1000, character_coverage=1.0, model_type="bpe", special_tokens=("<unk>",), unk_id=0):
+        self.vocab_size = vocab_size
+        self.model_type = model_type
+        self.special_tokens = list(special_tokens)
+        self.unk_id = unk_id
+        self.pieces = []
+        self.piece2id = {}
+        self.merges = []
+
+    # -- training ----------------------------------------------------------
+
+    def train(self, sentences):
+        """Learn merges from an iterable of text lines."""
+        word_freq = collections.Counter()
+        for line in sentences:
+            for word in line.strip().split():
+                word_freq[WORD_BOUNDARY + word] += 1
+        # Base vocabulary: all characters.
+        charset = set()
+        for word in word_freq:
+            charset.update(word)
+        pieces = list(self.special_tokens) + sorted(charset)
+        if self.model_type == "char":
+            self.pieces = pieces[: self.vocab_size]
+            self._rebuild_index()
+            return self
+        if self.model_type == "word":
+            words = [w for w, _ in word_freq.most_common(self.vocab_size)]
+            self.pieces = list(self.special_tokens) + words
+            self._rebuild_index()
+            return self
+        # BPE merges.
+        words = {
+            word: (list(word), freq) for word, freq in word_freq.items()
+        }
+        merges = []
+        while len(pieces) + len(merges) < self.vocab_size:
+            pair_freq = collections.Counter()
+            for symbols, freq in words.values():
+                for a, b in zip(symbols, symbols[1:]):
+                    pair_freq[(a, b)] += freq
+            if not pair_freq:
+                break
+            (a, b), freq = pair_freq.most_common(1)[0]
+            if freq < 2:
+                break
+            merges.append((a, b))
+            merged = a + b
+            for word, (symbols, f) in words.items():
+                out = []
+                i = 0
+                while i < len(symbols):
+                    if (
+                        i < len(symbols) - 1
+                        and symbols[i] == a
+                        and symbols[i + 1] == b
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(symbols[i])
+                        i += 1
+                words[word] = (out, f)
+        self.merges = merges
+        self.pieces = pieces + [a + b for a, b in merges]
+        self._rebuild_index()
+        return self
+
+    def _rebuild_index(self):
+        self.piece2id = {p: i for i, p in enumerate(self.pieces)}
+        self.merge_ranks = {
+            pair: i for i, pair in enumerate(self.merges)
+        }
+
+    # -- encoding ----------------------------------------------------------
+
+    def _bpe_word(self, word):
+        symbols = list(word)
+        if self.model_type != "bpe":
+            return symbols
+        while len(symbols) > 1:
+            best_rank, best_i = None, None
+            for i, pair in enumerate(zip(symbols, symbols[1:])):
+                rank = self.merge_ranks.get(pair)
+                if rank is not None and (
+                    best_rank is None or rank < best_rank
+                ):
+                    best_rank, best_i = rank, i
+            if best_i is None:
+                break
+            symbols = (
+                symbols[:best_i]
+                + [symbols[best_i] + symbols[best_i + 1]]
+                + symbols[best_i + 2 :]
+            )
+        return symbols
+
+    def encode_as_pieces(self, text):
+        pieces = []
+        for word in text.strip().split():
+            if self.model_type == "word":
+                pieces.append(
+                    WORD_BOUNDARY + word
+                    if WORD_BOUNDARY + word in self.piece2id
+                    else self.special_tokens[self.unk_id]
+                )
+                continue
+            pieces.extend(self._bpe_word(WORD_BOUNDARY + word))
+        return pieces
+
+    def encode_as_ids(self, text):
+        return [
+            self.piece2id.get(p, self.unk_id)
+            for p in self.encode_as_pieces(text)
+        ]
+
+    def decode_ids(self, ids):
+        pieces = [
+            self.pieces[i] if 0 <= i < len(self.pieces) else ""
+            for i in ids
+        ]
+        return self.decode_pieces(pieces)
+
+    def decode_pieces(self, pieces):
+        text = "".join(
+            p for p in pieces if p not in self.special_tokens
+        )
+        return text.replace(WORD_BOUNDARY, " ").strip()
+
+    def get_piece_size(self):
+        return len(self.pieces)
+
+    def id_to_piece(self, i):
+        return self.pieces[i]
+
+    def piece_to_id(self, piece):
+        return self.piece2id.get(piece, self.unk_id)
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, path):
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "model_type": self.model_type,
+                    "vocab_size": self.vocab_size,
+                    "special_tokens": self.special_tokens,
+                    "unk_id": self.unk_id,
+                    "pieces": self.pieces,
+                    "merges": [list(m) for m in self.merges],
+                },
+                f,
+                ensure_ascii=False,
+            )
+
+    @classmethod
+    def load(cls, path):
+        with open(path) as f:
+            data = json.load(f)
+        model = cls(
+            vocab_size=data["vocab_size"],
+            model_type=data["model_type"],
+            special_tokens=tuple(data["special_tokens"]),
+            unk_id=data["unk_id"],
+        )
+        model.pieces = data["pieces"]
+        model.merges = [tuple(m) for m in data["merges"]]
+        model._rebuild_index()
+        return model
+
+
+class SentencePiece:
+    """Recipe-facing tokenizer: train-or-load from an annotation file.
+
+    Mirrors the reference surface (``tokenizers/SentencePiece.py:20``):
+    same constructor args, ``sp`` attribute with
+    encode_as_ids/encode_as_pieces/decode_ids, and batch ``__call__``.
+
+    Arguments
+    ---------
+    model_dir : str
+    vocab_size : int
+    annotation_train : str, optional
+        CSV or JSON manifest holding the text column.
+    annotation_read : str
+        Column/key with the text.
+    model_type : "bpe" | "char" | "word" | "unigram" (approximated by bpe)
+    character_coverage : float (accepted for API parity)
+    bos_id, eos_id, pad_id, unk_id : int
+    """
+
+    def __init__(
+        self,
+        model_dir,
+        vocab_size,
+        annotation_train=None,
+        annotation_read=None,
+        model_type="unigram",
+        char_format_input=False,
+        character_coverage=1.0,
+        user_defined_symbols=None,
+        max_sentencepiece_length=10,
+        bos_id=-1,
+        eos_id=-1,
+        pad_id=-1,
+        unk_id=0,
+        split_by_whitespace=True,
+        num_sequences=None,
+        annotation_list_to_check=None,
+        annotation_format="csv",
+        text_file=None,
+        add_dummy_prefix=True,
+    ):
+        if model_type == "unigram":
+            logger.info(
+                "Native tokenizer approximates 'unigram' training with BPE"
+            )
+            model_type = "bpe"
+        self.model_dir = model_dir
+        self.vocab_size = int(vocab_size)
+        self.model_type = model_type
+        self.char_format_input = char_format_input
+        self.annotation_read = annotation_read
+        os.makedirs(model_dir, exist_ok=True)
+        self.prefix_model_file = os.path.join(
+            model_dir, f"{self.vocab_size}_{model_type}.model.json"
+        )
+        if os.path.isfile(self.prefix_model_file):
+            self.sp = BPEModel.load(self.prefix_model_file)
+        elif annotation_train is not None:
+            sentences = list(
+                self._read_annotation(annotation_train, annotation_format)
+            )
+            self.sp = BPEModel(
+                vocab_size=self.vocab_size, model_type=model_type
+            ).train(sentences)
+            from speechbrain_tpu.utils.distributed import (
+                ddp_barrier,
+                if_main_process,
+            )
+
+            if if_main_process():
+                self.sp.save(self.prefix_model_file)
+            ddp_barrier()
+        else:
+            raise ValueError(
+                "No existing model and no annotation_train to train from"
+            )
+
+    def _read_annotation(self, path, fmt):
+        if fmt == "json" or path.endswith(".json"):
+            from speechbrain_tpu.dataio.dataio import load_data_json
+
+            data = load_data_json(path)
+            for row in data.values():
+                yield str(row[self.annotation_read])
+        elif fmt == "csv" or path.endswith(".csv"):
+            from speechbrain_tpu.dataio.dataio import load_data_csv
+
+            data = load_data_csv(path)
+            for row in data.values():
+                yield str(row[self.annotation_read])
+        else:
+            with open(path) as f:
+                yield from f
+
+    def __call__(self, batch, batch_lens=None, ind2lab=None, task="encode"):
+        """Batch encode ('encode') or decode ('decode_from_list')."""
+        import numpy as np
+
+        if task == "encode":
+            if ind2lab is not None:
+                batch = [
+                    " ".join(ind2lab(row)) if not isinstance(row, str) else row
+                    for row in batch
+                ]
+            encoded = [self.sp.encode_as_ids(text) for text in batch]
+            max_len = max(len(e) for e in encoded)
+            out = np.zeros((len(encoded), max_len), np.int64)
+            lens = np.zeros(len(encoded), np.float32)
+            for i, e in enumerate(encoded):
+                out[i, : len(e)] = e
+                lens[i] = len(e) / max_len
+            return out, lens
+        elif task == "decode_from_list":
+            return [self.sp.decode_ids(row).split(" ") for row in batch]
+        elif task == "decode":
+            return [
+                self.sp.decode_ids(
+                    row[: int(round(float(l) * len(row)))]
+                ).split(" ")
+                for row, l in zip(batch, batch_lens)
+            ]
+        raise ValueError(f"Unknown task {task}")
