@@ -100,9 +100,9 @@ def _fwd_kernel(
     """
     t = pl.program_id(1)
     n_lanes = blank_ref.shape[-1]
-    blank_t = blank_ref[:, 0, :]  # (8, U1p) = blank lp at frame t
-    blank_prev = blank_prev_ref[:, 0, :]  # blank lp at frame t-1
-    emit_t = emit_ref[:, 0, :]  # (8, U1p): emit lp at frame t, col u
+    blank_t = blank_ref[0]  # (8, U1p) = blank lp at frame t
+    blank_prev = blank_prev_ref[0]  # blank lp at frame t-1
+    emit_t = emit_ref[0]  # (8, U1p): emit lp at frame t, col u
     lane = jax.lax.broadcasted_iota(jnp.int32, blank_t.shape, 1)
 
     # a_u for the in-row recurrence: emission of label u-1 at frame t.
@@ -119,7 +119,7 @@ def _fwd_kernel(
         base = alpha_scratch[...] + blank_prev  # vertical move
         alpha_scratch[...] = _prefix_scan_row(a, base, n_lanes)
 
-    alpha_out_ref[:, 0, :] = alpha_scratch[...]
+    alpha_out_ref[0] = alpha_scratch[...]
 
     # Harvest the final log-prob on each row's last frame.
     ulen = ulen_ref[:, 0]  # (8,)
@@ -153,9 +153,9 @@ def _bwd_kernel(
     """
     k = pl.program_id(1)
     n_lanes = blank_ref.shape[-1]
-    blank_t = blank_ref[:, 0, :]
-    emit_t = emit_ref[:, 0, :]
-    alpha_t = alpha_ref[:, 0, :]
+    blank_t = blank_ref[0]
+    emit_t = emit_ref[0]
+    alpha_t = alpha_ref[0]
     ulen = ulen_ref[:, 0]
     tlen = tlen_ref[:, 0]
     logz = logz_ref[:, 0]
@@ -187,10 +187,10 @@ def _bwd_kernel(
     T = pl.num_programs(1)
     t_here = T - 1 - k
     valid_t = (t_here < tlen)[:, None]
-    demit_ref[:, 0, :] = -jnp.exp(
+    demit_ref[0] = -jnp.exp(
         jnp.maximum(alpha_t + emit_t + beta_shift - z, -80.0)
     ) * (emit_t > NEG_INF / 2)
-    dblank_ref[:, 0, :] = (
+    dblank_ref[0] = (
         -jnp.exp(jnp.maximum(alpha_t + blank_t + beta_next - z, -80.0))
         * (blank_t > NEG_INF / 2)
         * valid_t
@@ -241,27 +241,30 @@ def _pad_inputs(log_probs, targets, t_lens, u_lens, blank_index):
     else:
         t_lens = jnp.asarray(t_lens, jnp.int32)
         u_lens = jnp.asarray(u_lens, jnp.int32)
+    # Time-major layout for the kernels: (T, Bp, U1p)
+    blank_full = jnp.swapaxes(blank_full, 0, 1)
+    emit_full = jnp.swapaxes(emit_full, 0, 1)
     return blank_full, emit_full, t_lens, u_lens, U1p, Bp
 
 
 def _run_forward(blank_full, emit_full, t_lens, u_lens):
-    Bp, T, U1p = blank_full.shape
+    T, Bp, U1p = blank_full.shape
     grid = (Bp // SUBLANES, T)
     alpha, final = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (SUBLANES, 1, U1p), lambda i, t: (i, t, 0),
+                (1, SUBLANES, U1p), lambda i, t: (t, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (SUBLANES, 1, U1p),
-                lambda i, t: (i, jnp.maximum(t - 1, 0), 0),
+                (1, SUBLANES, U1p),
+                lambda i, t: (jnp.maximum(t - 1, 0), i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (SUBLANES, 1, U1p), lambda i, t: (i, t, 0),
+                (1, SUBLANES, U1p), lambda i, t: (t, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -275,7 +278,7 @@ def _run_forward(blank_full, emit_full, t_lens, u_lens):
         ],
         out_specs=[
             pl.BlockSpec(
-                (SUBLANES, 1, U1p), lambda i, t: (i, t, 0),
+                (1, SUBLANES, U1p), lambda i, t: (t, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -284,7 +287,7 @@ def _run_forward(blank_full, emit_full, t_lens, u_lens):
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, T, U1p), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, U1p), jnp.float32),
             jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((SUBLANES, U1p), jnp.float32)],
@@ -299,19 +302,19 @@ def _run_forward(blank_full, emit_full, t_lens, u_lens):
 
 
 def _run_backward(blank_full, emit_full, alpha, u_lens, t_lens, logz):
-    Bp, T, U1p = blank_full.shape
+    T, Bp, U1p = blank_full.shape
     grid = (Bp // SUBLANES, T)
 
     def rev(i, t):
-        return (i, T - 1 - t, 0)
+        return (T - 1 - t, i, 0)
 
     dblank, demit = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((SUBLANES, 1, U1p), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, 1, U1p), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, 1, U1p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, U1p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, U1p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, U1p), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (SUBLANES, 1), lambda i, t: (i, 0),
                 memory_space=pltpu.SMEM,
@@ -326,12 +329,12 @@ def _run_backward(blank_full, emit_full, alpha, u_lens, t_lens, logz):
             ),
         ],
         out_specs=[
-            pl.BlockSpec((SUBLANES, 1, U1p), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, 1, U1p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, U1p), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, U1p), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, T, U1p), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, T, U1p), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, U1p), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, U1p), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((SUBLANES, U1p), jnp.float32)],
     )(
@@ -388,8 +391,9 @@ def _tl_bwd(blank_index, normalize_by_T, residuals, g):
     dblank, demit = _run_backward(
         blank_full, emit_full, alpha, u_pad, t_pad, final
     )
-    dblank = dblank[:B, :, :U1]
-    demit = demit[:B, :, :U]
+    # Kernel outputs are time-major (T, Bp, U1p).
+    dblank = jnp.swapaxes(dblank, 0, 1)[:B, :, :U1]
+    demit = jnp.swapaxes(demit, 0, 1)[:B, :, :U]
     # Upstream cotangent (per-utterance) and optional 1/T scale.
     g_row = jnp.asarray(g).reshape(B, 1, 1) * (
         scale if isinstance(scale, float) else scale.reshape(B, 1, 1)
