@@ -269,11 +269,11 @@ def _run_forward(blank_full, emit_full, t_lens, u_lens):
             ),
             pl.BlockSpec(
                 (SUBLANES, 1), lambda i, t: (i, 0),
-                memory_space=pltpu.SMEM,
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (SUBLANES, 1), lambda i, t: (i, 0),
-                memory_space=pltpu.SMEM,
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
@@ -317,15 +317,15 @@ def _run_backward(blank_full, emit_full, alpha, u_lens, t_lens, logz):
             pl.BlockSpec((1, SUBLANES, U1p), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (SUBLANES, 1), lambda i, t: (i, 0),
-                memory_space=pltpu.SMEM,
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (SUBLANES, 1), lambda i, t: (i, 0),
-                memory_space=pltpu.SMEM,
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (SUBLANES, 1), lambda i, t: (i, 0),
-                memory_space=pltpu.SMEM,
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[

@@ -1,0 +1,525 @@
+"""Task-oriented inference interfaces over pretrained checkpoints.
+
+Parity target: reference ``pretrained/interfaces.py`` — the ``Pretrained``
+base (:135) with ``from_hparams``, and the task interfaces (:414 ff.).
+
+Checkpoint format: one flax-msgpack variables file per module
+(``<name>.ckpt``, written by ``pretrained.training.save_for_pretrained``)
+plus a ``hyperparams.yaml`` declaring a ``modules`` dict of flax module
+definitions (and any task hyperparameters).
+"""
+
+import logging
+from types import SimpleNamespace
+
+import numpy as np
+
+from speechbrain_tpu.dataio.dataio import read_audio
+from speechbrain_tpu.dataio.preprocess import AudioNormalizer
+from speechbrain_tpu.pretrained.fetching import fetch
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "Pretrained",
+    "EncoderDecoderASR",
+    "EncoderASR",
+    "EncoderClassifier",
+    "SpeakerRecognition",
+    "VAD",
+    "SepformerSeparation",
+    "SpectralMaskEnhancement",
+    "foreign_class",
+]
+
+
+def foreign_class(
+    source,
+    hparams_file="hyperparams.yaml",
+    pymodule_file="custom_interface.py",
+    classname="CustomInterface",
+    savedir=None,
+    **kwargs,
+):
+    """Fetch and instantiate a custom interface class from a model repo."""
+    from speechbrain_tpu.utils.superpowers import import_from_path
+
+    savedir = savedir or f"./pretrained_models/{str(source).replace('/', '_')}"
+    pymodule_path = fetch(pymodule_file, source, savedir)
+    module = import_from_path(pymodule_path)
+    cls = getattr(module, classname)
+    return cls.from_hparams(
+        source=source, hparams_file=hparams_file, savedir=savedir, **kwargs
+    )
+
+
+class Pretrained:
+    """Base: loads hyperparams + per-module variables, runs inference.
+
+    Subclasses declare HPARAMS_NEEDED / MODULES_NEEDED and implement
+    task methods using ``self._apply(name, *args, **kwargs)``.
+    """
+
+    HPARAMS_NEEDED = []
+    MODULES_NEEDED = []
+
+    def __init__(self, modules=None, hparams=None, params=None):
+        self.mods = dict(modules or {})
+        self.params = dict(params or {})
+        self.hparams = SimpleNamespace(**(hparams or {}))
+        sr = getattr(self.hparams, "sample_rate", 16000)
+        self.sample_rate = sr
+        self.audio_normalizer = getattr(
+            self.hparams, "audio_normalizer", AudioNormalizer(sr)
+        )
+        for mod in self.MODULES_NEEDED:
+            if mod not in self.mods:
+                raise ValueError(f"Need modules['{mod}']")
+        for hp in self.HPARAMS_NEEDED:
+            if not hasattr(self.hparams, hp):
+                raise ValueError(f"Need hparams['{hp}']")
+
+    # -- loading -----------------------------------------------------------
+
+    @classmethod
+    def from_hparams(
+        cls,
+        source,
+        hparams_file="hyperparams.yaml",
+        savedir=None,
+        overrides={},
+        download_only=False,
+        **kwargs,
+    ):
+        """Fetch hyperparams + checkpoints and build the interface."""
+        from flax import serialization
+
+        from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
+
+        if savedir is None:
+            savedir = f"./pretrained_models/{str(source).replace('/', '_')}"
+        hparams_path = fetch(hparams_file, source, savedir)
+        with open(hparams_path) as f:
+            hparams = load_hyperpyyaml(f, overrides)
+        modules = hparams.get("modules", {})
+        params = {}
+        for name in modules:
+            ckpt_path = fetch(f"{name}.ckpt", source, savedir)
+            with open(ckpt_path, "rb") as f:
+                params[name] = serialization.msgpack_restore(f.read())
+        if download_only:
+            return None
+        return cls(modules=modules, hparams=hparams, params=params)
+
+    # -- running -----------------------------------------------------------
+
+    def _apply(self, name, *args, method=None, **kwargs):
+        """module.apply with this interface's loaded variables."""
+        import inspect
+
+        module = self.mods[name]
+        call_fn = (
+            getattr(type(module), method) if method else type(module).__call__
+        )
+        try:
+            if "train" in inspect.signature(call_fn).parameters:
+                kwargs.setdefault("train", False)
+        except (TypeError, ValueError):
+            pass
+        if method is not None:
+            kwargs["method"] = method
+        return module.apply(self.params[name], *args, **kwargs)
+
+    def load_audio(self, path, savedir="."):
+        """Read + resample/downmix an audio file to the model's rate."""
+        from speechbrain_tpu.dataio.dataio import _load_audio_any
+
+        audio, sr = _load_audio_any(str(path))
+        return self.audio_normalizer(audio, sr)
+
+
+class EncoderDecoderASR(Pretrained):
+    """ASR with an encoder + beam-search decoder.
+
+    hparams needed: ``make_decoder`` — callable(interface) returning a
+    searcher over encoded states (built in YAML with !name:), and
+    ``make_encoder`` or a module named "encoder" taking (wav, lens).
+    ``tokenizer`` decodes token sequences to text.
+    """
+
+    HPARAMS_NEEDED = ["tokenizer", "make_decoder"]
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.tokenizer = self.hparams.tokenizer
+        self.decoder = self.hparams.make_decoder(self)
+
+    def encode_batch(self, wavs, wav_lens):
+        import jax.numpy as jnp
+
+        wavs = jnp.asarray(wavs)
+        if hasattr(self.hparams, "compute_features"):
+            feats = self.hparams.compute_features(wavs)
+        else:
+            feats = wavs
+        return self._apply("encoder", feats, wav_lens)
+
+    def transcribe_batch(self, wavs, wav_lens):
+        enc = self.encode_batch(wavs, wav_lens)
+        hyps, scores = self.decoder(enc, wav_lens)[:2]
+        texts = [
+            self.tokenizer(
+                [hyp], task="decode_from_list"
+            )[0]
+            for hyp in hyps
+        ]
+        return texts, hyps
+
+    def transcribe_file(self, path):
+        import jax.numpy as jnp
+
+        audio = self.load_audio(path)
+        wavs = jnp.asarray(audio)[None]
+        texts, _ = self.transcribe_batch(
+            wavs, jnp.ones(1)
+        )
+        return " ".join(texts[0]) if isinstance(texts[0], list) else texts[0]
+
+
+class EncoderASR(Pretrained):
+    """CTC-only ASR: encoder + greedy CTC decoding."""
+
+    HPARAMS_NEEDED = ["tokenizer", "blank_index"]
+
+    def encode_batch(self, wavs, wav_lens):
+        import jax.numpy as jnp
+
+        wavs = jnp.asarray(wavs)
+        if hasattr(self.hparams, "compute_features"):
+            feats = self.hparams.compute_features(wavs)
+        else:
+            feats = wavs
+        return self._apply("encoder", feats, wav_lens)
+
+    def transcribe_batch(self, wavs, wav_lens):
+        from speechbrain_tpu.decoders.ctc import ctc_greedy_decode
+
+        logp = self.encode_batch(wavs, wav_lens)
+        hyps = ctc_greedy_decode(
+            logp, wav_lens, blank_id=self.hparams.blank_index
+        )
+        texts = [
+            self.tokenizer([hyp], task="decode_from_list")[0]
+            for hyp in hyps
+        ]
+        return texts, hyps
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.tokenizer = self.hparams.tokenizer
+
+    def transcribe_file(self, path):
+        import jax.numpy as jnp
+
+        audio = self.load_audio(path)
+        texts, _ = self.transcribe_batch(
+            jnp.asarray(audio)[None], jnp.ones(1)
+        )
+        return " ".join(texts[0]) if isinstance(texts[0], list) else texts[0]
+
+
+class EncoderClassifier(Pretrained):
+    """Embedding + classification (speaker-id, language-id, keywords)."""
+
+    MODULES_NEEDED = ["embedding_model", "classifier"]
+
+    def encode_batch(self, wavs, wav_lens=None, normalize=False):
+        import jax.numpy as jnp
+
+        wavs = jnp.asarray(wavs)
+        if wav_lens is None:
+            wav_lens = jnp.ones(wavs.shape[0])
+        if hasattr(self.hparams, "compute_features"):
+            feats = self.hparams.compute_features(wavs)
+        else:
+            feats = wavs
+        emb = self._apply(
+            "embedding_model", feats, lengths=wav_lens
+        )
+        if normalize:
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8
+            )
+        return emb
+
+    def classify_batch(self, wavs, wav_lens=None):
+        import jax.numpy as jnp
+
+        emb = self.encode_batch(wavs, wav_lens)
+        out = self._apply("classifier", emb[:, 0] if emb.ndim == 3 else emb)
+        out_probs = out if out.ndim == 2 else out[:, 0]
+        score = out_probs.max(axis=-1)
+        index = out_probs.argmax(axis=-1)
+        text_lab = None
+        if hasattr(self.hparams, "label_encoder"):
+            text_lab = self.hparams.label_encoder.decode_ndim(index)
+        return out_probs, score, index, text_lab
+
+    def classify_file(self, path):
+        import jax.numpy as jnp
+
+        audio = self.load_audio(path)
+        return self.classify_batch(jnp.asarray(audio)[None])
+
+
+class SpeakerRecognition(EncoderClassifier):
+    """Speaker verification by embedding cosine similarity.
+
+    Only the embedding model is required (no classifier head)."""
+
+    MODULES_NEEDED = ["embedding_model"]
+
+    def verify_batch(self, wavs1, wavs2, wav1_lens=None, wav2_lens=None, threshold=0.25):
+        import jax.numpy as jnp
+
+        emb1 = self.encode_batch(wavs1, wav1_lens, normalize=True)
+        emb2 = self.encode_batch(wavs2, wav2_lens, normalize=True)
+        e1 = emb1.reshape(emb1.shape[0], -1)
+        e2 = emb2.reshape(emb2.shape[0], -1)
+        score = (e1 * e2).sum(-1) / jnp.maximum(
+            jnp.linalg.norm(e1, axis=-1) * jnp.linalg.norm(e2, axis=-1),
+            1e-8,
+        )
+        return score, score > threshold
+
+    def verify_files(self, path1, path2, threshold=0.25):
+        import jax.numpy as jnp
+
+        w1 = jnp.asarray(self.load_audio(path1))[None]
+        w2 = jnp.asarray(self.load_audio(path2))[None]
+        score, decision = self.verify_batch(w1, w2, threshold=threshold)
+        return float(score[0]), bool(decision[0])
+
+
+class VAD(Pretrained):
+    """Voice activity detection over arbitrarily long recordings.
+
+    Chunked double-windowing inference (reference
+    ``interfaces.py:1120-2053``): the file is processed in large chunks
+    with small-chunk granularity, probabilities are thresholded into
+    boundaries, with optional energy-based refinement.
+    """
+
+    MODULES_NEEDED = ["model"]
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.sample_rate = getattr(self.hparams, "sample_rate", 16000)
+        self.time_resolution = getattr(
+            self.hparams, "time_resolution", 0.01
+        )
+
+    def get_speech_prob_chunk(self, wavs, wav_lens=None):
+        import jax.numpy as jnp
+
+        wavs = jnp.asarray(wavs)
+        if wav_lens is None:
+            wav_lens = jnp.ones(wavs.shape[0])
+        if hasattr(self.hparams, "compute_features"):
+            feats = self.hparams.compute_features(wavs)
+        else:
+            feats = wavs
+        out = self._apply("model", feats, lengths=wav_lens)
+        import jax
+
+        return jax.nn.sigmoid(out)
+
+    def get_speech_prob_file(
+        self, audio_file, large_chunk_size=30, small_chunk_size=10, overlap_small_chunk=False
+    ):
+        """Frame-level speech probabilities for a whole file."""
+        import jax.numpy as jnp
+
+        audio = np.asarray(self.load_audio(audio_file))
+        sr = self.sample_rate
+        large = int(large_chunk_size * sr)
+        small = int(small_chunk_size * sr)
+        probs = []
+        for start in range(0, len(audio), large):
+            chunk = audio[start : start + large]
+            # split into small chunks (pad last)
+            n_small = -(-len(chunk) // small)
+            pad = n_small * small - len(chunk)
+            chunk = np.pad(chunk, (0, pad))
+            smalls = chunk.reshape(n_small, small)
+            p = self.get_speech_prob_chunk(jnp.asarray(smalls))
+            probs.append(np.asarray(p).reshape(-1, p.shape[-1]))
+        return np.concatenate(probs, axis=0)
+
+    def apply_threshold(
+        self, vad_prob, activation_th=0.5, deactivation_th=0.25
+    ):
+        """Hysteresis thresholding of frame probabilities."""
+        vad_prob = np.asarray(vad_prob).reshape(-1)
+        vad = np.zeros_like(vad_prob, dtype=bool)
+        active = False
+        for i, p in enumerate(vad_prob):
+            if not active and p >= activation_th:
+                active = True
+            elif active and p < deactivation_th:
+                active = False
+            vad[i] = active
+        return vad
+
+    def get_boundaries(self, vad, output_value="seconds"):
+        """Binary frame decisions -> (N, 2) start/end boundaries."""
+        vad = np.asarray(vad).reshape(-1)
+        bounds = []
+        in_seg = False
+        for i, v in enumerate(vad):
+            if v and not in_seg:
+                in_seg = True
+                start = i
+            elif not v and in_seg:
+                in_seg = False
+                bounds.append((start, i))
+        if in_seg:
+            bounds.append((start, len(vad)))
+        bounds = np.asarray(bounds, dtype=np.float64).reshape(-1, 2)
+        if output_value == "seconds":
+            bounds = bounds * self.time_resolution
+        return bounds
+
+    def energy_VAD(
+        self, audio_file, boundaries, activation_th=0.5, deactivation_th=0.0, eps=1e-6
+    ):
+        """Refine boundaries with frame energies inside each segment."""
+        audio = np.asarray(self.load_audio(audio_file))
+        sr = self.sample_rate
+        frame = int(self.time_resolution * sr)
+        new_bounds = []
+        for beg, end in boundaries:
+            s, e = int(beg * sr), int(end * sr)
+            seg = audio[s:e]
+            if len(seg) < frame:
+                continue
+            n = len(seg) // frame
+            frames = seg[: n * frame].reshape(n, frame)
+            energy = 10 * np.log10((frames ** 2).mean(axis=1) + eps)
+            # normalize to 0..1 within segment
+            rng_e = energy.max() - energy.min() + eps
+            norm_e = (energy - energy.min()) / rng_e
+            vad = self.apply_threshold(
+                norm_e, activation_th, deactivation_th
+            )
+            for bs, be in self.get_boundaries(vad, output_value="frames"):
+                new_bounds.append(
+                    (
+                        beg + bs * self.time_resolution,
+                        beg + be * self.time_resolution,
+                    )
+                )
+        return np.asarray(new_bounds).reshape(-1, 2)
+
+    def merge_close_segments(self, boundaries, close_th=0.25):
+        """Merge segments separated by < close_th seconds."""
+        if len(boundaries) == 0:
+            return boundaries
+        merged = [list(boundaries[0])]
+        for beg, end in boundaries[1:]:
+            if beg - merged[-1][1] < close_th:
+                merged[-1][1] = end
+            else:
+                merged.append([beg, end])
+        return np.asarray(merged)
+
+    def remove_short_segments(self, boundaries, len_th=0.25):
+        """Drop segments shorter than len_th seconds."""
+        return np.asarray(
+            [b for b in boundaries if b[1] - b[0] >= len_th]
+        ).reshape(-1, 2)
+
+    def get_speech_segments(
+        self,
+        audio_file,
+        large_chunk_size=30,
+        small_chunk_size=10,
+        activation_th=0.5,
+        deactivation_th=0.25,
+        apply_energy_VAD=False,
+        close_th=0.25,
+        len_th=0.25,
+    ):
+        """Full pipeline: file -> speech segment boundaries (seconds)."""
+        probs = self.get_speech_prob_file(
+            audio_file, large_chunk_size, small_chunk_size
+        )
+        vad = self.apply_threshold(
+            probs, activation_th, deactivation_th
+        )
+        boundaries = self.get_boundaries(vad)
+        if apply_energy_VAD:
+            boundaries = self.energy_VAD(audio_file, boundaries)
+        boundaries = self.merge_close_segments(boundaries, close_th)
+        boundaries = self.remove_short_segments(boundaries, len_th)
+        return boundaries
+
+
+class SepformerSeparation(Pretrained):
+    """Source separation with a masking model."""
+
+    MODULES_NEEDED = ["masknet"]
+
+    def separate_batch(self, mix):
+        import jax.numpy as jnp
+
+        return self._apply("masknet", jnp.asarray(mix))
+
+    def separate_file(self, path):
+        import jax.numpy as jnp
+
+        audio = self.load_audio(path)
+        return self.separate_batch(jnp.asarray(audio)[None])
+
+
+class SpectralMaskEnhancement(Pretrained):
+    """Spectral-domain mask enhancement."""
+
+    MODULES_NEEDED = ["enhance_model"]
+    HPARAMS_NEEDED = ["compute_stft", "compute_istft"]
+
+    def compute_features(self, wavs):
+        import jax.numpy as jnp
+
+        from speechbrain_tpu.processing.features import spectral_magnitude
+
+        stft = self.hparams.compute_stft(wavs)
+        return jnp.log1p(spectral_magnitude(stft, power=0.5))
+
+    def enhance_batch(self, noisy, lengths=None):
+        import jax.numpy as jnp
+
+        from speechbrain_tpu.processing.features import spectral_magnitude
+
+        noisy = jnp.asarray(noisy)
+        stft = self.hparams.compute_stft(noisy)
+        mag = spectral_magnitude(stft, power=0.5)
+        feats = jnp.log1p(mag)
+        mask = self._apply("enhance_model", feats, lengths=lengths)
+        masked = stft * mask[..., None]
+        return self.hparams.compute_istft(
+            masked, sig_length=noisy.shape[1]
+        )
+
+    def enhance_file(self, path, output_path=None):
+        import jax.numpy as jnp
+
+        audio = self.load_audio(path)
+        enhanced = self.enhance_batch(jnp.asarray(audio)[None])
+        if output_path is not None:
+            from speechbrain_tpu.dataio.dataio import write_audio
+
+            write_audio(
+                output_path, np.asarray(enhanced[0]), self.sample_rate
+            )
+        return enhanced[0]

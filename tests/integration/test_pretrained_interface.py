@@ -1,0 +1,86 @@
+"""Train -> save_for_pretrained -> from_hparams -> classify roundtrip.
+
+Covers the inference layer (Pretrained base, fetching, yaml registry)
+end to end on the speaker-id slice.
+"""
+
+import numpy as np
+import pytest
+
+from speechbrain_tpu.pretrained.interfaces import EncoderClassifier
+from speechbrain_tpu.pretrained.training import save_for_pretrained
+
+from .test_speaker_id import FREQS, SR, SpeakerBrain, _make_dataset
+
+
+@pytest.fixture(scope="module")
+def saved_model(tmp_path_factory):
+    import optax
+
+    from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+    from speechbrain_tpu.lobes.models.Xvector import Classifier, Xvector
+    from speechbrain_tpu.utils.epoch_loop import EpochCounter
+
+    savedir = tmp_path_factory.mktemp("pretrained_spkid")
+    ds = _make_dataset()
+    loader = SaveableDataLoader(ds, batch_size=6, shuffle=True)
+    brain = SpeakerBrain(
+        modules={
+            "embedding_model": Xvector(
+                tdnn_channels=(32, 32, 32, 32, 64), lin_neurons=32
+            ),
+            "classifier": Classifier(out_neurons=3, lin_neurons=32),
+        },
+        opt_class=lambda lr: optax.adam(lr),
+        hparams={"lr": 5e-3},
+        run_opts={"seed": 7},
+    )
+    brain.fit(EpochCounter(8), loader)
+    save_for_pretrained(brain, str(savedir))
+    # Write a hyperparams.yaml declaring the module graph.
+    (savedir / "hyperparams.yaml").write_text(
+        """
+sample_rate: 16000
+compute_features: !new:speechbrain_tpu.lobes.features.Fbank
+    n_mels: 24
+modules:
+    embedding_model: !new:speechbrain_tpu.lobes.models.Xvector.Xvector
+        tdnn_channels: !tuple [32, 32, 32, 32, 64]
+        lin_neurons: 32
+    classifier: !new:speechbrain_tpu.lobes.models.Xvector.Classifier
+        out_neurons: 3
+        lin_neurons: 32
+"""
+    )
+    return brain, ds, str(savedir)
+
+
+def test_pretrained_classify(saved_model, tmp_path):
+    import jax.numpy as jnp
+
+    brain, ds, savedir = saved_model
+    clf = EncoderClassifier.from_hparams(
+        source=savedir, savedir=str(tmp_path / "fetched")
+    )
+    correct = total = 0
+    for i in range(len(ds)):
+        ex = ds[i]
+        wav = jnp.asarray(ex["wav_data"])[None]
+        out_probs, score, index, _ = clf.classify_batch(wav)
+        total += 1
+        correct += int(int(index[0]) == ex["spk_id"])
+    assert correct / total > 0.9
+
+
+def test_pretrained_classify_file(saved_model, tmp_path):
+    from speechbrain_tpu.dataio.dataio import write_audio
+
+    brain, ds, savedir = saved_model
+    clf = EncoderClassifier.from_hparams(
+        source=savedir, savedir=str(tmp_path / "fetched2")
+    )
+    ex = ds[0]
+    wav_path = str(tmp_path / "test.wav")
+    write_audio(wav_path, ex["wav_data"], SR)
+    out_probs, score, index, _ = clf.classify_file(wav_path)
+    assert int(index[0]) == ex["spk_id"]
