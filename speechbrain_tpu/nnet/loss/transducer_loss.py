@@ -144,7 +144,6 @@ class TransducerLoss:
         self.use_pallas = use_pallas
 
     def __call__(self, logits, targets, t_lens, u_lens):
-        log_probs = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
         if self.use_pallas:
             try:
                 import jax as _jax
@@ -153,18 +152,23 @@ class TransducerLoss:
             except Exception:  # pragma: no cover
                 on_tpu = False
             if on_tpu:
+                # Logits-native kernel: fuses the softmax into the VJP,
+                # never materializing (B, T, U+1, V) log-probs.
                 from speechbrain_tpu.ops.pallas.transducer import (
-                    transducer_loss_pallas,
+                    transducer_loss_pallas_logits,
                 )
 
-                return transducer_loss_pallas(
-                    log_probs,
+                return transducer_loss_pallas_logits(
+                    jnp.asarray(logits, jnp.float32),
                     targets,
                     t_lens,
                     u_lens,
                     self.blank_index,
                     normalize_by_T=self.normalize_by_T,
                 )
+        log_probs = jax.nn.log_softmax(
+            jnp.asarray(logits, jnp.float32), axis=-1
+        )
         return transducer_forward_loss(
             log_probs,
             targets,

@@ -1,0 +1,160 @@
+"""Hyperparameter-optimization integration (Orion-compatible surface).
+
+Parity target: reference ``utils/hpopt.py:39,78,285``: a reporter
+registry, a context manager that wires ``hpopt_mode`` hparams, and
+result reporting that external HPO tools (Orion, or a generic JSON
+consumer) can scrape.
+"""
+
+import json
+import logging
+import sys
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "hpopt_mode",
+    "GenericHyperparameterOptimizationReporter",
+    "OrionHyperparameterOptimizationReporter",
+    "HyperparameterOptimizationContext",
+    "hyperparameter_optimization",
+    "report_result",
+    "get_trial_id",
+]
+
+_hpopt_modes = {}
+_current_context = None
+
+
+def hpopt_mode(mode):
+    """Decorator registering a reporter class for a mode name."""
+
+    def register(cls):
+        _hpopt_modes[mode] = cls
+        return cls
+
+    return register
+
+
+@hpopt_mode("generic")
+class GenericHyperparameterOptimizationReporter:
+    """Prints the objective as a JSON line for external scrapers."""
+
+    def __init__(self, objective_key="objective", output=None, *args, **kwargs):
+        self.objective_key = objective_key
+        self.output = output or sys.stdout
+
+    def report_objective(self, result):
+        json.dump(
+            {
+                **result,
+                "objective": result.get(self.objective_key),
+            },
+            self.output,
+        )
+        self.output.write("\n")
+
+    @property
+    def is_available(self):
+        return True
+
+    @property
+    def trial_id(self):
+        return "hpopt"
+
+
+@hpopt_mode("orion")
+class OrionHyperparameterOptimizationReporter:
+    """Reports through orion.client when available."""
+
+    def __init__(self, objective_key="objective", *args, **kwargs):
+        self.objective_key = objective_key
+        try:
+            from orion.client import report_objective as orion_report
+
+            self._report = orion_report
+            self._available = True
+        except ImportError:
+            self._report = None
+            self._available = False
+
+    def report_objective(self, result):
+        if self._report is not None:
+            self._report(result.get(self.objective_key))
+
+    @property
+    def is_available(self):
+        return self._available
+
+    @property
+    def trial_id(self):
+        import os
+
+        return os.environ.get("ORION_TRIAL_ID", "orion")
+
+
+class HyperparameterOptimizationContext:
+    """Context manager producing a reporter from hparams/CLI flags.
+
+    Example
+    -------
+    >>> import io
+    >>> out = io.StringIO()
+    >>> with HyperparameterOptimizationContext() as ctx:
+    ...     ctx.reporter = GenericHyperparameterOptimizationReporter(
+    ...         output=out)
+    ...     report_result({"objective": 0.5})
+    >>> "objective" in out.getvalue()
+    True
+    """
+
+    def __init__(self, reporter_args=(), reporter_kwargs=None):
+        self.reporter_args = reporter_args
+        self.reporter_kwargs = reporter_kwargs or {}
+        self.reporter = None
+        self.result = None
+
+    def parse_arguments(self, arg_list):
+        """Wrap core.parse_arguments, extracting hpopt flags."""
+        from speechbrain_tpu.core import parse_arguments
+
+        param_file, run_opts, overrides = parse_arguments(arg_list)
+        return param_file, run_opts, overrides
+
+    def __enter__(self):
+        global _current_context
+        _current_context = self
+        if self.reporter is None:
+            mode = self.reporter_kwargs.pop("hpopt_mode", "generic")
+            cls = _hpopt_modes.get(mode, _hpopt_modes["generic"])
+            self.reporter = cls(
+                *self.reporter_args, **self.reporter_kwargs
+            )
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback):
+        global _current_context
+        if exc_type is None and self.result is not None:
+            self.reporter.report_objective(self.result)
+        _current_context = None
+        return False
+
+
+def hyperparameter_optimization(*args, **kwargs):
+    """Create an HPO context (reference-compatible entry point)."""
+    return HyperparameterOptimizationContext(args, kwargs)
+
+
+def report_result(result):
+    """Record a result dict; reported when the context exits."""
+    if _current_context is not None:
+        _current_context.result = result
+    else:
+        GenericHyperparameterOptimizationReporter().report_objective(result)
+
+
+def get_trial_id():
+    """The active trial id ('hpopt' outside a managed trial)."""
+    if _current_context is not None and _current_context.reporter:
+        return _current_context.reporter.trial_id
+    return "hpopt"
