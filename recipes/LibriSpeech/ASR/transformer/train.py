@@ -1,0 +1,274 @@
+#!/usr/bin/env python3
+"""LibriSpeech conformer hybrid CTC/attention training (TPU-native).
+
+Run (per host):
+    python train.py hparams/conformer_small.yaml --data_folder /data/LibriSpeech
+
+Mirrors the reference recipe structure
+(``recipes/LibriSpeech/ASR/transformer/train.py``): Brain subclass with
+joint CTC+KL objectives, Noam lr stepped per optimizer step, dynamic
+bucketed batching, beam-search evaluation with transformer LM fusion.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import speechbrain_tpu as sb
+from speechbrain_tpu.core import Stage
+from speechbrain_tpu.dataio.batch import BatchShapePolicy
+from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+from speechbrain_tpu.dataio.sampler import DynamicBatchSampler
+from speechbrain_tpu.decoders.seq2seq import S2STransformerBeamSearch
+from speechbrain_tpu.nnet.losses import ctc_loss, kldiv_loss
+from speechbrain_tpu.utils.distributed import run_on_main
+from speechbrain_tpu.utils.metric_stats import ErrorRateStats
+
+
+class ASR(sb.Brain):
+    def compute_forward(self, batch, stage):
+        wavs, wav_lens = batch["sig"], batch["sig_lens"]
+        feats = self.hparams.compute_features(wavs)
+        feats, self._new_extra = self.hparams.normalize(
+            feats,
+            wav_lens,
+            state=self._bound_extra["norm"],
+            epoch=self.hparams.epoch_counter.current,
+            training=stage == Stage.TRAIN,
+        )
+        self._new_extra = {"norm": self._new_extra}
+        if stage == Stage.TRAIN and hasattr(self.hparams, "augmentation"):
+            feats = self.hparams.augmentation(
+                feats, self._bound_rngs["augment"]
+            )
+        if self.precision == "bf16":
+            feats = feats.astype(jnp.bfloat16)
+        src = self.modules.frontend(feats)
+        enc, dec = self.modules.transformer(
+            src,
+            batch["tokens_bos"],
+            wav_len=wav_lens,
+            pad_idx=self.hparams.blank_index,
+        )
+        ctc_logp = jax.nn.log_softmax(
+            self.modules.ctc_lin(enc).astype(jnp.float32), axis=-1
+        )
+        seq_logp = jax.nn.log_softmax(
+            self.modules.seq_lin(dec).astype(jnp.float32), axis=-1
+        )
+        return ctc_logp, seq_logp
+
+    def init_extra_state(self, batch):
+        from speechbrain_tpu.processing.features import GlobalNormState
+
+        return {"norm": GlobalNormState.init(self.hparams.n_mels)}
+
+    def compute_objectives(self, predictions, batch, stage):
+        ctc_logp, seq_logp = predictions
+        mask = batch["batch_mask"]
+        loss_ctc = ctc_loss(
+            ctc_logp,
+            batch["tokens"],
+            batch["sig_lens"] * mask,
+            batch["tokens_lens"] * mask,
+            blank_index=self.hparams.blank_index,
+        )
+        loss_seq = kldiv_loss(
+            seq_logp,
+            batch["tokens_eos"],
+            length=batch["tokens_eos_lens"] * mask,
+            label_smoothing=self.hparams.label_smoothing,
+        )
+        loss = (
+            self.hparams.ctc_weight * loss_ctc
+            + (1 - self.hparams.ctc_weight) * loss_seq
+        )
+        if stage != Stage.TRAIN and hasattr(self, "wer_metric"):
+            hyps, _ = self._beam_search(batch)
+            real = int(np.asarray(mask).sum())
+            predicted = [
+                self.tokenizer([h], task="decode_from_list")[0]
+                for h in hyps[:real]
+            ]
+            targets = self.tokenizer(
+                np.asarray(batch["tokens"])[:real].tolist(),
+                np.asarray(batch["tokens_lens"])[:real],
+                task="decode",
+            )
+            ids = [str(i) for i in range(real)]
+            self.wer_metric.append(ids, predicted, targets)
+        return loss
+
+    def _beam_search(self, batch):
+        feats = self.hparams.compute_features(batch["sig"])
+        feats, _ = self.hparams.normalize(
+            feats, batch["sig_lens"],
+            state=self._bound_extra["norm"], training=False,
+        )
+        src = self.modules.frontend(feats)
+        enc = self.modules.transformer(
+            src, batch["sig_lens"], method="encode"
+        )
+        searcher = S2STransformerBeamSearch(
+            decode_fn=lambda prefix, e, el: self.modules.transformer(
+                prefix, e, el, method="decode"
+            )[0],
+            linear_fn=lambda d: self.modules.seq_lin(d[:, None])[:, 0],
+            ctc_linear_fn=lambda e: self.modules.ctc_lin(e),
+            bos_index=self.hparams.bos_index,
+            eos_index=self.hparams.eos_index,
+            blank_index=self.hparams.blank_index,
+            min_decode_ratio=self.hparams.min_decode_ratio,
+            max_decode_ratio=self.hparams.max_decode_ratio,
+            beam_size=self.hparams.valid_beam_size,
+            ctc_weight=self.hparams.ctc_weight_decode,
+            using_eos_threshold=False,
+            length_normalization=True,
+        )
+        return searcher(enc, batch["sig_lens"])
+
+    def on_fit_batch_end(self, batch, outputs, loss, should_step):
+        if should_step:
+            _, new_lr = self.hparams.noam_annealing()
+            self.lr = new_lr
+
+    def on_stage_start(self, stage, epoch=None):
+        if stage != Stage.TRAIN:
+            self.wer_metric = ErrorRateStats()
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        if stage == Stage.TRAIN:
+            return
+        wer = self.wer_metric.summarize("error_rate")
+        stats = {"loss": stage_loss, "WER": wer}
+        if stage == Stage.VALID:
+            self.hparams.train_logger.log_stats(
+                {"epoch": epoch, "lr": self.lr},
+                train_stats={"loss": self.avg_train_loss},
+                valid_stats=stats,
+            )
+            if self.checkpointer is not None:
+                self.checkpointer.save_and_keep_only(
+                    meta={"WER": wer}, min_keys=["WER"]
+                )
+
+
+def dataio_prepare(hparams, tokenizer):
+    datasets = {}
+    policy_buckets = None
+    for split, path in [
+        ("train", hparams["train_json"]),
+        ("valid", hparams["valid_json"]),
+        ("test", hparams["test_json"]),
+    ]:
+        ds = DynamicItemDataset.from_json(path)
+
+        def audio_pipeline(wav):
+            from speechbrain_tpu.dataio.dataio import read_audio
+
+            return read_audio(wav)
+
+        ds.add_dynamic_item(audio_pipeline, takes="wav", provides="sig")
+
+        def text_pipeline(words):
+            tokens = tokenizer.sp.encode_as_ids(words)
+            return (
+                np.asarray(tokens, np.int64),
+                np.asarray(
+                    [hparams["bos_index"]] + tokens, np.int64
+                ),
+                np.asarray(
+                    tokens + [hparams["eos_index"]], np.int64
+                ),
+            )
+
+        ds.add_dynamic_item(
+            text_pipeline,
+            takes="words",
+            provides=["tokens", "tokens_bos", "tokens_eos"],
+        )
+        ds.set_output_keys(
+            ["id", "sig", "tokens", "tokens_bos", "tokens_eos"]
+        )
+        datasets[split] = ds
+    # Token-budget bucketing with a finite shape menu for XLA.
+    sampler = DynamicBatchSampler(
+        datasets["train"],
+        max_batch_length=hparams["max_batch_length"],
+        num_buckets=hparams["num_buckets"],
+        shuffle=True,
+    )
+    sr = hparams["sample_rate"]
+    policy = BatchShapePolicy(
+        time_buckets=[int(b * sr) for b in sampler.bucket_boundaries],
+    )
+    train_loader = SaveableDataLoader(
+        datasets["train"],
+        batch_sampler=sampler,
+        num_workers=hparams["num_workers"],
+        collate_fn=lambda ex: __import__(
+            "speechbrain_tpu.dataio.batch", fromlist=["PaddedBatch"]
+        ).PaddedBatch(ex, shape_policy=policy),
+    )
+    valid_loader = SaveableDataLoader(datasets["valid"], batch_size=8)
+    test_loader = SaveableDataLoader(datasets["test"], batch_size=8)
+    return train_loader, valid_loader, test_loader
+
+
+if __name__ == "__main__":
+    hparams_file, run_opts, overrides = sb.parse_arguments(sys.argv[1:])
+    from speechbrain_tpu.utils.distributed import ddp_init_group
+    from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
+
+    ddp_init_group(run_opts)
+    with open(hparams_file) as f:
+        hparams = load_hyperpyyaml(f, overrides)
+    sb.create_experiment_directory(
+        experiment_directory=hparams["output_folder"],
+        hyperparams_to_save=hparams_file,
+        overrides=overrides,
+    )
+    from recipes.LibriSpeech.librispeech_prepare import prepare_librispeech
+
+    run_on_main(
+        prepare_librispeech,
+        kwargs={
+            "data_folder": hparams["data_folder"],
+            "save_folder": hparams["save_folder"],
+            "tr_splits": hparams["train_splits"],
+            "dev_splits": hparams["dev_splits"],
+            "te_splits": hparams["test_splits"],
+        },
+    )
+    from speechbrain_tpu.tokenizers.SentencePiece import SentencePiece
+
+    tokenizer = SentencePiece(
+        model_dir=hparams["save_folder"],
+        vocab_size=hparams["vocab_size"],
+        annotation_train=hparams["train_json"],
+        annotation_read="words",
+        model_type=hparams["token_type"],
+        annotation_format="json",
+    )
+    train_loader, valid_loader, test_loader = dataio_prepare(
+        hparams, tokenizer
+    )
+    from speechbrain_tpu.utils.checkpoints import Checkpointer
+
+    checkpointer = Checkpointer(hparams["save_folder"])
+    asr_brain = ASR(
+        modules=hparams["modules"],
+        opt_class=lambda lr: hparams["opt_class"](learning_rate=lr),
+        hparams=hparams,
+        run_opts=run_opts,
+        checkpointer=checkpointer,
+    )
+    asr_brain.tokenizer = tokenizer
+    asr_brain.fit(
+        hparams["epoch_counter"], train_loader, valid_loader
+    )
+    asr_brain.hparams.valid_beam_size = hparams["test_beam_size"]
+    asr_brain.evaluate(test_loader, min_key="WER")

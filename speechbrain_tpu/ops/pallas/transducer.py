@@ -544,16 +544,23 @@ def _tll_bwd(blank_index, normalize_by_T, residuals, g):
         [demit, jnp.zeros((B, T, 1))], axis=-1
     )  # (B, T, U1)
     row_sum = dblank + demit_padded  # Σ_v dlp[v] per lattice cell
-    # dlogits = scatter(dlp) - softmax * row_sum  (single fused pass)
+    # One fused elementwise pass (no scatter): the emit target is the
+    # same for every t, so it broadcasts as (B, 1, U1, V); the blank
+    # column is a (V,) comparison.
+    v_idx = jnp.arange(V)
+    blank_mask = (v_idx == blank_index).astype(logits.dtype)
+    targets_padded = jnp.concatenate(
+        [targets, jnp.full((B, 1), -1, jnp.int32)], axis=-1
+    )  # (B, U1); -1 never matches
+    emit_mask = (
+        v_idx[None, None, :] == targets_padded[:, :, None]
+    ).astype(logits.dtype)  # (B, U1, V)
     sm = jax.nn.softmax(logits, axis=-1)
-    dlogits = -sm * row_sum[..., None]
-    dlogits = dlogits.at[..., blank_index].add(dblank)
-    b_idx = jnp.arange(B)[:, None, None]
-    t_idx = jnp.arange(T)[None, :, None]
-    u_idx = jnp.arange(U)[None, None, :]
-    dlogits = dlogits.at[
-        b_idx, t_idx, u_idx, targets[:, None, :]
-    ].add(demit)
+    dlogits = (
+        -sm * row_sum[..., None]
+        + dblank[..., None] * blank_mask[None, None, None, :]
+        + demit_padded[..., None] * emit_mask[:, None, :, :]
+    )
     return dlogits, None, None, None
 
 
