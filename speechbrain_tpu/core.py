@@ -67,6 +67,29 @@ DEFAULT_LOG_CONFIG = None
 INTRA_EPOCH_CKPT_FLAG = "brain_intra_epoch_ckpt"
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (idempotent).
+
+    Remote-compile TPU environments pay tens of seconds per cold
+    compile; cached reloads take <1s.  Disable with
+    SB_TPU_NO_COMPILE_CACHE=1.
+    """
+    if os.environ.get("SB_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.jax_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
+    except Exception:  # pragma: no cover
+        pass
+
+
 class Stage(Enum):
     """Current stage of the experiment."""
 
@@ -284,6 +307,7 @@ class Brain:
         else:
             self.hparams = SimpleNamespace()
 
+        _enable_compile_cache()
         self.mesh = make_mesh(model_parallel=self.model_parallel)
         self.avg_train_loss = 0.0
         self.step = 0

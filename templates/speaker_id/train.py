@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Worked example: train a tiny speaker-id model end to end.
+
+    python train.py train.yaml          # generates synthetic data, trains
+
+This is the template counterpart of the reference's
+``templates/speaker_id``; every piece (YAML graph, Brain subclass,
+dataio pipeline, checkpointing) matches the full recipes.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+try:
+    import speechbrain_tpu as sb
+except ModuleNotFoundError:  # running from a source checkout
+    sys.path.insert(
+        0,
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+    )
+    import speechbrain_tpu as sb
+
+import numpy as np
+from speechbrain_tpu.core import Stage
+from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+from speechbrain_tpu.nnet.losses import nll_loss
+from speechbrain_tpu.utils.metric_stats import AccuracyStats
+
+
+class SpeakerBrain(sb.Brain):
+    def compute_forward(self, batch, stage):
+        feats = self.hparams.compute_features(batch["sig"])
+        emb = self.modules.embedding_model(
+            feats, lengths=batch["sig_lens"]
+        )
+        return self.modules.classifier(emb[:, 0])
+
+    def compute_objectives(self, predictions, batch, stage):
+        loss = nll_loss(
+            predictions, batch["spk_id"], length=batch["batch_mask"]
+        )
+        if stage != Stage.TRAIN and hasattr(self, "acc"):
+            real = int(np.asarray(batch["batch_mask"]).sum())
+            self.acc.append(
+                np.asarray(predictions)[:real, None, :],
+                np.asarray(batch["spk_id"])[:real, None],
+            )
+        return loss
+
+    def on_stage_start(self, stage, epoch=None):
+        if stage != Stage.TRAIN:
+            self.acc = AccuracyStats()
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        if stage == Stage.VALID:
+            self.hparams.train_logger.log_stats(
+                {"epoch": epoch},
+                train_stats={"loss": self.avg_train_loss},
+                valid_stats={
+                    "loss": stage_loss,
+                    "acc": self.acc.summarize(),
+                },
+            )
+            if self.checkpointer is not None:
+                self.checkpointer.save_and_keep_only(
+                    meta={"acc": self.acc.summarize()}, max_keys=["acc"]
+                )
+
+
+def dataio_prep(hparams):
+    from speechbrain_tpu.dataio.dataio import read_audio
+
+    datasets = {}
+    for split in ["train", "valid"]:
+        ds = DynamicItemDataset.from_json(hparams[f"{split}_json"])
+        ds.add_dynamic_item(read_audio, takes="wav", provides="sig")
+        ds.set_output_keys(["id", "sig", "spk_id"])
+        datasets[split] = ds
+    return datasets
+
+
+if __name__ == "__main__":
+    hparams_file, run_opts, overrides = sb.parse_arguments(sys.argv[1:])
+    from speechbrain_tpu.utils.checkpoints import Checkpointer
+    from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
+
+    with open(hparams_file) as f:
+        hparams = load_hyperpyyaml(f, overrides)
+    sb.create_experiment_directory(
+        hparams["output_folder"], hparams_file, overrides
+    )
+    from mini_data import prepare_mini_data
+
+    prepare_mini_data(hparams["data_folder"])
+    datasets = dataio_prep(hparams)
+    brain = SpeakerBrain(
+        modules=hparams["modules"],
+        opt_class=lambda lr: hparams["opt_class"](learning_rate=lr),
+        hparams=hparams,
+        run_opts=run_opts,
+        checkpointer=Checkpointer(hparams["save_folder"]),
+    )
+    brain.fit(
+        hparams["epoch_counter"],
+        SaveableDataLoader(
+            datasets["train"], batch_size=hparams["batch_size"],
+            shuffle=True,
+        ),
+        SaveableDataLoader(
+            datasets["valid"], batch_size=hparams["batch_size"]
+        ),
+    )
+    print(f"Final train loss: {brain.train_loss:.4f}")
