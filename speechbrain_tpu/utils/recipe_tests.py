@@ -1,0 +1,94 @@
+"""Recipe test driver: run recipes with debug flags and check outputs.
+
+Parity target: reference ``utils/recipe_tests.py:48,116,153,314``.
+Recipes are listed in a CSV (script, hparams, test flags, expected
+files, performance thresholds); the driver runs each in --debug mode
+and validates results.
+"""
+
+import csv
+import logging
+import os
+import subprocess
+import sys
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["load_recipe_csv", "check_files", "check_performance", "run_recipe_tests"]
+
+
+def load_recipe_csv(csv_path):
+    """Rows of the recipe-test table."""
+    with open(csv_path, newline="") as f:
+        return list(csv.DictReader(f, skipinitialspace=True))
+
+
+def check_files(output_folder, expected_files):
+    """All expected files exist under the output folder?"""
+    missing = []
+    for fname in expected_files:
+        if not fname:
+            continue
+        if not os.path.exists(os.path.join(output_folder, fname)):
+            missing.append(fname)
+    if missing:
+        logger.error(f"Missing expected files: {missing}")
+    return not missing
+
+
+def check_performance(train_log, metric, threshold, direction="min"):
+    """Final metric from the train log within the threshold?"""
+    last = None
+    with open(train_log) as f:
+        for line in f:
+            for piece in line.strip().split(" - "):
+                for kv in piece.split(","):
+                    if ":" in kv:
+                        k, v = kv.rsplit(":", 1)
+                        if k.strip().endswith(metric):
+                            try:
+                                last = float(v)
+                            except ValueError:
+                                pass
+    if last is None:
+        logger.error(f"Metric {metric} not found in {train_log}")
+        return False
+    ok = last <= threshold if direction == "min" else last >= threshold
+    if not ok:
+        logger.error(
+            f"{metric}={last} fails threshold {threshold} ({direction})"
+        )
+    return ok
+
+
+def run_recipe_tests(
+    recipe_csv,
+    output_base="test_results",
+    filters=None,
+    run_opts="--debug",
+):
+    """Run every row's recipe with its debug flags; returns pass bools."""
+    rows = load_recipe_csv(recipe_csv)
+    results = {}
+    for row in rows:
+        rid = row.get("RecipeID") or row["Script_file"]
+        if filters and not any(f in rid for f in filters):
+            continue
+        out_dir = os.path.join(output_base, rid.replace("/", "_"))
+        cmd = (
+            [sys.executable, row["Script_file"], row["Hparam_file"]]
+            + row.get("test_debug_flags", run_opts).split()
+            + [f"--output_folder={out_dir}"]
+        )
+        logger.info(f"Running: {' '.join(cmd)}")
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        ok = proc.returncode == 0
+        if ok and row.get("check_files"):
+            ok = check_files(out_dir, row["check_files"].split(";"))
+        results[rid] = ok
+        if not ok:
+            logger.error(
+                f"Recipe {rid} FAILED\n{proc.stdout[-2000:]}\n"
+                f"{proc.stderr[-2000:]}"
+            )
+    return results
