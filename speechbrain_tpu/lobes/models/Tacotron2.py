@@ -11,7 +11,71 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Tacotron2", "Loss", "LocationSensitiveAttention"]
+__all__ = [
+    "Tacotron2",
+    "Loss",
+    "LocationSensitiveAttention",
+    "TextMelCollate",
+]
+
+
+class TextMelCollate:
+    """Collate (text_ids, mel) examples, length-sorted and padded.
+
+    Parity target: reference ``Tacotron2.py:1736``.  Returns numpy
+    arrays ready for the Brain: text, text_lens (absolute), mels,
+    mel_lens (absolute), plus the sort order for id bookkeeping.
+
+    Example
+    -------
+    >>> collate = TextMelCollate(n_mel=4)
+    >>> batch = [
+    ...     {"text_ids": np.array([1, 2]), "mel": np.zeros((5, 4))},
+    ...     {"text_ids": np.array([3]), "mel": np.zeros((3, 4))},
+    ... ]
+    >>> out = collate(batch)
+    >>> out["text"].shape, out["mel"].shape
+    ((2, 2), (2, 5, 4))
+    """
+
+    def __init__(self, n_mel=80, n_frames_per_step=1):
+        self.n_mel = n_mel
+        self.n_frames_per_step = n_frames_per_step
+
+    def __call__(self, batch):
+        order = sorted(
+            range(len(batch)),
+            key=lambda i: len(batch[i]["text_ids"]),
+            reverse=True,
+        )
+        batch = [batch[i] for i in order]
+        max_text = max(len(ex["text_ids"]) for ex in batch)
+        max_mel = max(ex["mel"].shape[0] for ex in batch)
+        rem = max_mel % self.n_frames_per_step
+        if rem:
+            max_mel += self.n_frames_per_step - rem
+        B = len(batch)
+        text = np.zeros((B, max_text), np.int64)
+        text_lens = np.zeros(B, np.int64)
+        mels = np.zeros((B, max_mel, self.n_mel), np.float32)
+        mel_lens = np.zeros(B, np.int64)
+        gate = np.zeros((B, max_mel), np.float32)
+        for i, ex in enumerate(batch):
+            t = np.asarray(ex["text_ids"])
+            m = np.asarray(ex["mel"])
+            text[i, : len(t)] = t
+            text_lens[i] = len(t)
+            mels[i, : m.shape[0]] = m
+            mel_lens[i] = m.shape[0]
+            gate[i, m.shape[0] - 1 :] = 1.0
+        return {
+            "text": text,
+            "text_lens": text_lens,
+            "mel": mels,
+            "mel_lens": mel_lens,
+            "gate": gate,
+            "order": order,
+        }
 
 
 class Prenet(nn.Module):
