@@ -9,6 +9,10 @@ pytest and use the real TPU.
 
 import os
 
+# Keep CPU test runs hermetic: the persistent compile cache is for
+# TPU entry points (bench/__graft_entry__), not the virtual-CPU suite.
+os.environ.setdefault("SB_TPU_NO_COMPILE_CACHE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
