@@ -40,7 +40,7 @@ def main():
     import __graft_entry__ as ge
 
     SECONDS = 10.0
-    B = 16
+    B = 32
     # conformer_small dims (13.3M-param class)
     brain = ge._conformer_brain(d_model=144, layers=12)
     batch = ge._synthetic_batch(B=B, seconds=SECONDS, U=40)

@@ -294,6 +294,11 @@ class Brain:
             "ckpt_interval_minutes": 0,
             "model_parallel": 1,
             "noprogressbar": False,
+            # Host<->device sync cadence for the training loss.  1 =
+            # reference behaviour (sync every step); larger values keep
+            # the dispatch queue full — essential when the device sits
+            # behind a high-latency link, and generally free throughput.
+            "loss_sync_interval": 10,
         }
         for arg, default in run_opt_defaults.items():
             if arg in run_opts:
@@ -327,6 +332,9 @@ class Brain:
         self._init_collected = None
         self._new_extra = None
         self._accum_grads = None
+        self._pending_losses = []
+        self._synced_loss_sum = 0.0
+        self._synced_loss_count = 0
         self._jit_cache = {}
         self._last_ckpt_time = time.time()
         if self.checkpointer is not None:
@@ -637,7 +645,16 @@ class Brain:
         return shard_batch(self.mesh, numeric)
 
     def fit_batch(self, batch):
-        """One training batch; returns the detached loss (float)."""
+        """One training batch; returns the loss.
+
+        The returned value is a DEVICE scalar between sync points and a
+        python float on every ``loss_sync_interval``-th step — dispatch
+        stays asynchronous so transfers/steps pipeline (critical when
+        the device is behind a high-latency link; the reference's
+        per-step ``.detach()`` sync costs nothing on a local GPU but
+        multiplies step time here).  Nonfinite-loss patience is applied
+        at each sync over the whole synced window.
+        """
         device_batch = self.prepare_batch(batch)
         self._ensure_initialized(device_batch)
         rng = self._next_rng()
@@ -667,19 +684,40 @@ class Brain:
                 )
                 self._accum_grads = None
                 self.optimizer_step += 1
-        loss_val = float(loss)
-        if not np.isfinite(loss_val):
-            self.nonfinite_count += 1
-            logger.warning(
-                f"Loss is {loss_val}; update skipped "
-                f"({self.nonfinite_count}/{self.nonfinite_patience})"
-            )
-            if self.nonfinite_count > self.nonfinite_patience:
-                raise ValueError(
-                    "Loss is not finite and patience is exhausted."
+        self._pending_losses.append(loss)
+        sync_every = max(1, int(self.loss_sync_interval))
+        if len(self._pending_losses) >= sync_every:
+            loss = self._sync_losses()
+        self.on_fit_batch_end(batch, None, loss, should_step)
+        return loss
+
+    def _sync_losses(self):
+        """Fetch pending device losses; update averages + nonfinite
+        patience.  Returns the last loss as float (or None if empty)."""
+        if not self._pending_losses:
+            return None
+        vals = [float(v) for v in jax.device_get(self._pending_losses)]
+        self._pending_losses = []
+        last = vals[-1]
+        for v in vals:
+            if np.isfinite(v):
+                self._synced_loss_sum += v
+                self._synced_loss_count += 1
+            else:
+                self.nonfinite_count += 1
+                logger.warning(
+                    f"Loss is {v}; "
+                    f"({self.nonfinite_count}/{self.nonfinite_patience})"
                 )
-        self.on_fit_batch_end(batch, None, loss_val, should_step)
-        return loss_val
+                if self.nonfinite_count > self.nonfinite_patience:
+                    raise ValueError(
+                        "Loss is not finite and patience is exhausted."
+                    )
+        if self._synced_loss_count:
+            self.avg_train_loss = (
+                self._synced_loss_sum / self._synced_loss_count
+            )
+        return last
 
     def evaluate_batch(self, batch, stage):
         """One evaluation batch (loss only, jitted)."""
@@ -773,6 +811,9 @@ class Brain:
         ):
             train_set.batch_sampler.set_epoch(epoch)
         self.avg_train_loss = 0.0
+        self._synced_loss_sum = 0.0
+        self._synced_loss_count = 0
+        self._pending_losses = []
         iterator = train_set
         if progressbar:
             from tqdm import tqdm
@@ -783,10 +824,7 @@ class Brain:
         for batch in iterator:
             self.step += 1
             loss = self.fit_batch(batch)
-            self.avg_train_loss = self.update_average(
-                loss, self.avg_train_loss
-            )
-            if progressbar:
+            if progressbar and isinstance(loss, float):
                 iterator.set_postfix(train_loss=self.avg_train_loss)
             if (
                 self.checkpointer is not None
@@ -797,6 +835,7 @@ class Brain:
                 self._save_intra_epoch_ckpt()
             if self.debug and self.step >= self.debug_batches:
                 break
+        self._sync_losses()  # drain the tail of the pipeline
         self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
         self.train_loss = self.avg_train_loss
         self.step = 0
