@@ -1,0 +1,136 @@
+"""Brain engine unit tests: grad accumulation, lr injection, debug mode,
+nonfinite patience, checkpoint integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from speechbrain_tpu.core import Brain, Stage
+from speechbrain_tpu.nnet.linear import Linear
+
+
+class TinyBrain(Brain):
+    def compute_forward(self, batch, stage):
+        return self.modules.lin(batch["x"])
+
+    def compute_objectives(self, predictions, batch, stage):
+        return ((predictions - batch["y"]) ** 2).mean()
+
+
+def _batch(B=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(B, 4, 8)).astype(np.float32)
+    return {"x": x, "y": (x * 2.0).sum(-1, keepdims=True).repeat(2, -1)}
+
+
+def _make_brain(**run_opts):
+    defaults = {"seed": 0, "loss_sync_interval": 1}
+    defaults.update(run_opts)
+    return TinyBrain(
+        modules={"lin": Linear(n_neurons=2)},
+        opt_class=lambda lr: optax.sgd(lr),
+        hparams={"lr": 0.05},
+        run_opts=defaults,
+    )
+
+
+def test_training_reduces_loss():
+    brain = _make_brain()
+    batch = _batch()
+    losses = []
+    for i in range(20):
+        brain.step = i + 1
+        losses.append(brain.fit_batch(batch))
+    assert losses[-1] < losses[0] * 0.5
+
+
+def test_lr_injection_changes_updates():
+    brain = _make_brain()
+    batch = _batch()
+    brain.step = 1
+    brain.fit_batch(batch)
+    p0 = jax.tree_util.tree_leaves(brain.train_state["params"])[0].copy()
+    brain.lr = 0.0  # freeze
+    brain.step = 2
+    brain.fit_batch(batch)
+    p1 = jax.tree_util.tree_leaves(brain.train_state["params"])[0]
+    assert np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_grad_accumulation_matches_big_batch():
+    # Two half-batches with accumulation == one full batch step (SGD).
+    full = _batch(B=8)
+    halves = [
+        {k: v[:4] for k, v in full.items()},
+        {k: v[4:] for k, v in full.items()},
+    ]
+    b1 = _make_brain()
+    b1.step = 1
+    b1.fit_batch(full)
+    b2 = _make_brain(grad_accumulation_factor=2)
+    for i, h in enumerate(halves):
+        b2.step = i + 1
+        b2.fit_batch(h)
+    p1 = np.asarray(jax.tree_util.tree_leaves(b1.train_state["params"])[0])
+    p2 = np.asarray(jax.tree_util.tree_leaves(b2.train_state["params"])[0])
+    # mean-of-means == full-batch mean here (equal halves)
+    assert np.allclose(p1, p2, atol=1e-5)
+
+
+def test_nonfinite_patience_raises():
+    class NanBrain(TinyBrain):
+        def compute_objectives(self, predictions, batch, stage):
+            return jnp.float32(np.nan) * predictions.sum()
+
+    brain = NanBrain(
+        modules={"lin": Linear(n_neurons=2)},
+        opt_class=lambda lr: optax.sgd(lr),
+        hparams={"lr": 0.1},
+        run_opts={
+            "seed": 0,
+            "nonfinite_patience": 2,
+            "loss_sync_interval": 1,
+        },
+    )
+    batch = _batch()
+    with pytest.raises(ValueError):
+        for i in range(10):
+            brain.step = i + 1
+            brain.fit_batch(batch)
+
+
+def test_debug_mode_truncates():
+    from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+    from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+    from speechbrain_tpu.utils.epoch_loop import EpochCounter
+
+    rng = np.random.default_rng(0)
+    data = {
+        f"u{i}": {
+            "x": rng.normal(size=(4, 8)).astype(np.float32),
+            "y": rng.normal(size=(4, 2)).astype(np.float32),
+        }
+        for i in range(32)
+    }
+    ds = DynamicItemDataset(data)
+    ds.set_output_keys(["id", "x", "y"])
+    brain = _make_brain(debug=True, debug_batches=2, debug_epochs=1)
+    loader = SaveableDataLoader(ds, batch_size=4)
+    brain.fit(EpochCounter(10), loader)
+    # only debug_batches steps ran in the single debug epoch
+    assert brain.optimizer_step <= 4
+
+
+def test_lazy_loss_sync_interval():
+    brain = _make_brain(loss_sync_interval=5)
+    batch = _batch()
+    returns = []
+    for i in range(10):
+        brain.step = i + 1
+        returns.append(brain.fit_batch(batch))
+    floats = [r for r in returns if isinstance(r, float)]
+    # synced every 5th step -> 2 float returns
+    assert len(floats) == 2
+    assert brain.avg_train_loss > 0
