@@ -12,6 +12,7 @@ Parity targets: reference ``nnet/losses.py:27`` (transducer wrapper),
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 __all__ = [
@@ -481,6 +482,50 @@ def distance_diff_loss(predictions, targets, length=None, beta=0.25, reduction="
     return compute_masked_loss(
         lambda p, t: per, predictions, targets, length, reduction=reduction
     )
+
+
+def ctc_loss_kd(log_probs, targets, input_lens, blank_index, device=None):
+    """CTC knowledge distillation: CTC against the teacher's greedy path
+    (reference ``nnet/losses.py:1067``)."""
+    # Teacher targets: argmax path collapsed (repeats+blank removed),
+    # padded to a common length with relative lengths.
+    t_preds = jnp.argmax(targets, axis=-1)
+    B, T = t_preds.shape
+    collapsed = []
+    t_np = np.asarray(t_preds)
+    for row in t_np:
+        seq = [
+            int(v)
+            for i, v in enumerate(row)
+            if (i == 0 or v != row[i - 1]) and v != blank_index
+        ]
+        collapsed.append(seq or [blank_index])
+    U = max(len(s) for s in collapsed)
+    tgt = np.zeros((B, U), np.int32)
+    tgt_lens = np.zeros(B, np.float32)
+    for i, s in enumerate(collapsed):
+        tgt[i, : len(s)] = s
+        tgt_lens[i] = len(s) / U
+    return ctc_loss(
+        log_probs,
+        jnp.asarray(tgt),
+        input_lens,
+        jnp.asarray(tgt_lens),
+        blank_index,
+    )
+
+
+def nll_loss_kd(probabilities, targets, rel_lab_lengths):
+    """Sequence KD: CE against teacher posteriors (reference :1143)."""
+    probabilities = jnp.asarray(probabilities)
+    targets = jnp.asarray(targets)
+    B, T, _ = probabilities.shape
+    abs_len = jnp.round(jnp.asarray(rel_lab_lengths) * T)
+    mask = (
+        jnp.arange(T)[None, :] < abs_len[:, None]
+    ).astype(probabilities.dtype)
+    per = -(targets * jnp.log(jnp.maximum(probabilities, 1e-10))).sum(-1)
+    return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
 class ContrastiveLoss:

@@ -5,10 +5,17 @@ from speechbrain_tpu.pretrained.interfaces import (  # noqa: F401
     EncoderASR,
     EncoderClassifier,
     EncoderDecoderASR,
+    EndToEndSLU,
+    GraphemeToPhoneme,
+    HIFIGAN,
     Pretrained,
     SepformerSeparation,
+    SNREstimator,
     SpeakerRecognition,
     SpectralMaskEnhancement,
+    Tacotron2TTS,
     VAD,
+    WaveformEncoder,
+    WaveformEnhancement,
     foreign_class,
 )

@@ -465,6 +465,206 @@ class VAD(Pretrained):
         return boundaries
 
 
+class WaveformEncoder(Pretrained):
+    """Generic waveform -> representation frontend (e.g. SSL features)."""
+
+    MODULES_NEEDED = ["encoder"]
+
+    def encode_batch(self, wavs, wav_lens=None):
+        import jax.numpy as jnp
+
+        wavs = jnp.asarray(wavs)
+        if wav_lens is None:
+            wav_lens = jnp.ones(wavs.shape[0])
+        return self._apply("encoder", wavs, lengths=wav_lens)
+
+    def encode_file(self, path):
+        import jax.numpy as jnp
+
+        audio = self.load_audio(path)
+        return self.encode_batch(jnp.asarray(audio)[None])[0]
+
+
+class EndToEndSLU(Pretrained):
+    """Spoken language understanding: audio -> semantic string.
+
+    Uses an ASR-style encoder + seq2seq decoder over semantics tokens;
+    ``hparams.tokenizer`` decodes, ``hparams.make_decoder`` builds the
+    searcher (same pattern as EncoderDecoderASR).
+    """
+
+    HPARAMS_NEEDED = ["tokenizer", "make_decoder"]
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.tokenizer = self.hparams.tokenizer
+        self.decoder = self.hparams.make_decoder(self)
+
+    def encode_batch(self, wavs, wav_lens):
+        import jax.numpy as jnp
+
+        wavs = jnp.asarray(wavs)
+        if hasattr(self.hparams, "compute_features"):
+            feats = self.hparams.compute_features(wavs)
+        else:
+            feats = wavs
+        return self._apply("slu_enc", feats, lengths=wav_lens)
+
+    def decode_batch(self, wavs, wav_lens):
+        enc = self.encode_batch(wavs, wav_lens)
+        hyps, scores = self.decoder(enc, wav_lens)[:2]
+        texts = [
+            self.tokenizer([h], task="decode_from_list")[0] for h in hyps
+        ]
+        return texts, hyps
+
+    def decode_file(self, path):
+        import jax.numpy as jnp
+
+        audio = self.load_audio(path)
+        texts, _ = self.decode_batch(
+            jnp.asarray(audio)[None], jnp.ones(1)
+        )
+        return " ".join(texts[0]) if isinstance(texts[0], list) else texts[0]
+
+
+class SNREstimator(Pretrained):
+    """Estimate the SNR of separated sources given the mixture."""
+
+    MODULES_NEEDED = ["encoder", "encoder_out"]
+
+    def estimate_batch(self, mix, predictions):
+        import jax.numpy as jnp
+
+        mix = jnp.asarray(mix)
+        predictions = jnp.asarray(predictions)
+        # Stack mixture with each predicted source
+        inp = jnp.concatenate(
+            [mix[..., None], predictions], axis=-1
+        )
+        enc = self._apply("encoder", inp)
+        out = self._apply(
+            "encoder_out", enc.mean(axis=1) if enc.ndim == 3 else enc
+        )
+        return out
+
+    def __call__(self, mix, predictions):
+        return self.estimate_batch(mix, predictions)
+
+
+class GraphemeToPhoneme(Pretrained):
+    """Text -> phonemes via a trained G2P model."""
+
+    HPARAMS_NEEDED = ["grapheme_encoder", "phoneme_decoder_fn"]
+
+    def g2p(self, text):
+        """One string (or list of strings) -> phoneme list(s)."""
+        single = isinstance(text, str)
+        texts = [text] if single else list(text)
+        import numpy as np
+
+        encoded = [
+            self.hparams.grapheme_encoder.encode_sequence(list(t))
+            for t in texts
+        ]
+        max_len = max(len(e) for e in encoded)
+        graphemes = np.zeros((len(encoded), max_len), np.int64)
+        lens = np.zeros(len(encoded), np.float32)
+        for i, e in enumerate(encoded):
+            graphemes[i, : len(e)] = e
+            lens[i] = len(e) / max_len
+        phonemes = self.hparams.phoneme_decoder_fn(
+            self, graphemes, lens
+        )
+        return phonemes[0] if single else phonemes
+
+    def __call__(self, text):
+        return self.g2p(text)
+
+
+class WaveformEnhancement(Pretrained):
+    """Time-domain waveform enhancement."""
+
+    MODULES_NEEDED = ["enhance_model"]
+
+    def enhance_batch(self, noisy, lengths=None):
+        import jax.numpy as jnp
+
+        return self._apply(
+            "enhance_model", jnp.asarray(noisy), lengths=lengths
+        )
+
+    def enhance_file(self, path, output_path=None):
+        import jax.numpy as jnp
+        import numpy as np
+
+        audio = self.load_audio(path)
+        enhanced = self.enhance_batch(jnp.asarray(audio)[None])
+        if output_path is not None:
+            from speechbrain_tpu.dataio.dataio import write_audio
+
+            write_audio(
+                output_path, np.asarray(enhanced[0]), self.sample_rate
+            )
+        return enhanced[0]
+
+
+class Tacotron2TTS(Pretrained):
+    """Text -> mel spectrogram with a trained Tacotron2."""
+
+    MODULES_NEEDED = ["model"]
+    HPARAMS_NEEDED = ["text_to_sequence"]
+
+    def encode_text(self, texts):
+        import jax.numpy as jnp
+        import numpy as np
+
+        if isinstance(texts, str):
+            texts = [texts]
+        seqs = [self.hparams.text_to_sequence(t) for t in texts]
+        max_len = max(len(s) for s in seqs)
+        tokens = np.zeros((len(seqs), max_len), np.int64)
+        lens = np.zeros(len(seqs), np.float32)
+        for i, s in enumerate(seqs):
+            tokens[i, : len(s)] = s
+            lens[i] = len(s) / max_len
+        module = self.mods["model"]
+        mel_out, mel_post, gates = module.apply(
+            self.params["model"],
+            jnp.asarray(tokens),
+            jnp.asarray(lens),
+            method="infer",
+            rngs={"dropout": __import__("jax").random.PRNGKey(0)},
+        )
+        mel_lens = (
+            np.asarray(
+                __import__("jax").nn.sigmoid(gates) > 0.5
+            ).argmax(axis=1)
+        )
+        mel_lens[mel_lens == 0] = mel_post.shape[1]
+        return mel_post, mel_lens, None
+
+    def __call__(self, texts):
+        return self.encode_text(texts)
+
+
+class HIFIGAN(Pretrained):
+    """Mel spectrogram -> waveform with a trained HiFiGAN generator."""
+
+    MODULES_NEEDED = ["generator"]
+
+    def decode_batch(self, spectrogram):
+        import jax.numpy as jnp
+
+        return self._apply("generator", jnp.asarray(spectrogram))
+
+    def decode_spectrogram(self, spectrogram):
+        return self.decode_batch(spectrogram[None])[0]
+
+    def __call__(self, spectrogram):
+        return self.decode_batch(spectrogram)
+
+
 class SepformerSeparation(Pretrained):
     """Source separation with a masking model."""
 
