@@ -25,6 +25,10 @@ import numpy as np
 def _enable_compile_cache():
     import jax
 
+    if jax.default_backend() != "tpu":
+        # CPU artifacts from the remote-compile service can carry
+        # unsupported machine features (SIGILL risk on load).
+        return
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
     )

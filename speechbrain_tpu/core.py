@@ -77,6 +77,11 @@ def _enable_compile_cache():
     if os.environ.get("SB_TPU_NO_COMPILE_CACHE"):
         return
     try:
+        if jax.default_backend() != "tpu":
+            # CPU artifacts from the remote-compile service can carry
+            # unsupported machine features (SIGILL risk on load); only
+            # the TPU path benefits from persistence.
+            return
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.expanduser("~/.jax_cache"),

@@ -126,16 +126,34 @@ class STFT:
             pad = self.n_fft // 2
             mode = "reflect" if self.pad_mode == "reflect" else "constant"
             x = jnp.pad(x, ((0, 0), (pad, pad)), mode=mode)
-        frames = _frame_signal(x, self.n_fft, self.hop_length)
-        frames = frames * self.window[None, None, :]
         if self.backend == "matmul" and self.onesided:
-            real = frames @ self._dft_re
-            imag = frames @ self._dft_im
+            # Fused framing + window + DFT as ONE strided convolution:
+            # kernel[n, k] = window[n] * dft[n, k]; stride = hop.  The
+            # MXU computes the whole spectrogram without materializing
+            # the (B, frames, n_fft) patch tensor.
+            F = self.n_fft // 2 + 1
+            kern = jnp.concatenate(
+                [
+                    self.window[:, None] * self._dft_re,
+                    self.window[:, None] * self._dft_im,
+                ],
+                axis=1,
+            )[:, None, :]  # (n_fft, 1, 2F) HIO
+            spec2 = jax.lax.conv_general_dilated(
+                x[:, :, None],
+                kern.astype(x.dtype),
+                window_strides=(self.hop_length,),
+                padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )  # (B, frames, 2F)
+            real, imag = spec2[..., :F], spec2[..., F:]
             if self.normalized_stft:
                 scale = 1.0 / math.sqrt(self.n_fft)
                 real, imag = real * scale, imag * scale
             out = jnp.stack([real, imag], axis=-1)
         else:
+            frames = _frame_signal(x, self.n_fft, self.hop_length)
+            frames = frames * self.window[None, None, :]
             spec = jnp.fft.rfft(frames, n=self.n_fft, axis=-1)
             if not self.onesided:
                 spec = jnp.fft.fft(frames, n=self.n_fft, axis=-1)
