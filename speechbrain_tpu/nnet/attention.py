@@ -254,21 +254,14 @@ class RelPosMHAXL(nn.Module):
         content_score = jnp.einsum(
             "bqhd,bkhd->bhqk", q + pos_bias_u[None, None], k
         )
-        # Relative-position scores WITHOUT the (B, H, T, 2T-1)
-        # intermediate + shift: gather p into (T_q, T_k, H, D) once
-        # (batch-shared) and contract directly.  p index l encodes
-        # relative position (T_k - 1 - l); score (i, j) needs rel i-j,
-        # i.e. l = T_k - 1 - i + j.
-        rel_idx = (
-            (T_k - 1)
-            - jnp.arange(T_q)[:, None]
-            + jnp.arange(T_k)[None, :]
-        )
-        rel_idx = jnp.clip(rel_idx, 0, p.shape[1] - 1)
-        p_gathered = p[0, rel_idx]  # (T_q, T_k, H, D)
+        # NOTE: a gathered-(T_q, T_k, H, D) position formulation was
+        # benchmarked and REGRESSES the backward ~3x (gather/scatter
+        # VJP); the (B, H, T, 2T-1) einsum + rel_shift is the fast path
+        # on TPU.
         pos_score = jnp.einsum(
-            "bqhd,qkhd->bhqk", q + pos_bias_v[None, None], p_gathered
+            "bqhd,zlhd->bhql", q + pos_bias_v[None, None], p
         )
+        pos_score = _rel_shift(pos_score)
         scores = (content_score + pos_score) / math.sqrt(d_head)
         if attn_mask is not None:
             scores = jnp.where(attn_mask[None, None], NEG_FILL, scores)
