@@ -1,0 +1,109 @@
+"""Coverage for hpopt, profiling, check_yaml, recipe_tests, DER, BLEU."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+
+def test_hpopt_context_reports():
+    from speechbrain_tpu.utils.hpopt import (
+        GenericHyperparameterOptimizationReporter,
+        HyperparameterOptimizationContext,
+        report_result,
+    )
+
+    out = io.StringIO()
+    with HyperparameterOptimizationContext() as ctx:
+        ctx.reporter = GenericHyperparameterOptimizationReporter(
+            output=out
+        )
+        report_result({"objective": 0.25, "epoch": 3})
+    assert '"objective": 0.25' in out.getvalue()
+
+
+def test_report_time_decorator():
+    from speechbrain_tpu.utils.profiling import report_time
+
+    @report_time
+    def f(x):
+        return x * 2
+
+    assert f(21) == 42
+    assert f.last_timing_ms >= 0
+
+
+def test_profile_schedule():
+    from speechbrain_tpu.utils.profiling import schedule
+
+    gate = schedule(wait=1, warmup=1, active=2, repeat=1)
+    decisions = [gate(i) for i in range(6)]
+    assert decisions == [False, False, True, True, False, False]
+
+
+def test_check_yaml_vs_script(tmp_path):
+    from speechbrain_tpu.utils.check_yaml import check_yaml_vs_script
+
+    yaml_file = tmp_path / "h.yaml"
+    yaml_file.write_text(
+        "lr: 0.1\nn_mels: 40\nunused_var: 3\nderived: !ref <n_mels>\n"
+    )
+    script = tmp_path / "train.py"
+    script.write_text(
+        'lr = hparams["lr"]\nmels = hparams["n_mels"]\n'
+    )
+    assert not check_yaml_vs_script(str(yaml_file), str(script))
+    # "derived" feeds another yaml node only; "unused_var" is dead.
+    assert check_yaml_vs_script(
+        str(yaml_file), str(script), ignore=("unused_var", "derived")
+    )
+
+
+def test_recipe_csv_checks(tmp_path):
+    from speechbrain_tpu.utils.recipe_tests import (
+        check_files,
+        check_performance,
+    )
+
+    (tmp_path / "out.txt").write_text("x")
+    assert check_files(str(tmp_path), ["out.txt"])
+    assert not check_files(str(tmp_path), ["missing.txt"])
+    log = tmp_path / "train_log.txt"
+    log.write_text(
+        "epoch: 1 - train loss: 3.2 - valid PER: 22.0\n"
+        "epoch: 2 - train loss: 1.2 - valid PER: 14.5\n"
+    )
+    assert check_performance(str(log), "PER", 15.0, "min")
+    assert not check_performance(str(log), "PER", 10.0, "min")
+
+
+def test_der_native():
+    from speechbrain_tpu.utils.DER import DER
+
+    ref = [
+        ["SPEAKER", "r1", "0", 0.0, 5.0, "<NA>", "<NA>", "A", "<NA>"],
+        ["SPEAKER", "r1", "0", 5.0, 5.0, "<NA>", "<NA>", "B", "<NA>"],
+    ]
+    sys_rttm = [
+        ["SPEAKER", "r1", "0", 0.0, 5.0, "<NA>", "<NA>", "x", "<NA>"],
+        ["SPEAKER", "r1", "0", 5.0, 5.0, "<NA>", "<NA>", "y", "<NA>"],
+    ]
+    assert DER(ref, sys_rttm, collar=0.0)[-1] == 0.0
+    one_spk = [
+        ["SPEAKER", "r1", "0", 0.0, 10.0, "<NA>", "<NA>", "z", "<NA>"]
+    ]
+    assert abs(DER(ref, one_spk, collar=0.0)[-1] - 50.0) < 1e-6
+
+
+def test_bleu_corpus():
+    from speechbrain_tpu.utils.bleu import BLEUStats
+
+    stats = BLEUStats()
+    stats.append(
+        ids=["u1", "u2"],
+        predict=[["the", "cat", "sat"], ["a", "dog"]],
+        targets=[[["the", "cat", "sat"]], [["the", "dog"]]],
+    )
+    bleu = stats.summarize("BLEU")
+    assert 0 < bleu <= 100.0
