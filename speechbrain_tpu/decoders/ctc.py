@@ -138,22 +138,32 @@ class CTCPrefixScorer:
         r_prev = state["r"]  # (T, 2, n) lattice of prefix g
         psi_prev = state["psi_prev"]
 
-        # --- advance the lattice to include inp_tokens (prefix g+c_last)
-        # On step 0 the prefix is just BOS == empty; the reference calls
-        # forward_step with the candidate token to score, computing r for
-        # prefix h = g + candidate FOR ALL candidates simultaneously.
-        # Here inp_tokens are the last committed tokens; the r we carry
-        # already corresponds to the committed prefix, so we now score
-        # all candidates c given that prefix.
+        # Partial mode (reference ctc.py:120-146): only score the given
+        # K candidate tokens per row — the lattice storage drops from
+        # O(T*n*V) to O(T*n*K), making vocab-5k/beam-66 decoding viable.
+        if candidates is not None:
+            candidates = jnp.asarray(candidates, jnp.int32)  # (n, K)
+            K = candidates.shape[1]
+            xc_full = x  # (n, T, V)
+            x_sel = jnp.take_along_axis(
+                xc_full, candidates[:, None, :], axis=2
+            )  # (n, T, K)
+            xc = jnp.swapaxes(x_sel, 0, 1)  # (T, n, K)
+            cand_ids = candidates
+            width = K
+        else:
+            xc = jnp.swapaxes(x, 0, 1)  # (T, n, V)
+            cand_ids = jnp.broadcast_to(jnp.arange(V)[None, :], (n, V))
+            width = V
 
-        # phi: (T, n, V) score of ending in blank or different char
+        # phi: (T, n, width) score of ending in blank or different char
         r_sum = jnp.logaddexp(r_prev[:, 0], r_prev[:, 1])  # (T, n)
-        phi = jnp.broadcast_to(r_sum[:, :, None], (self.T, n, V))
+        phi = jnp.broadcast_to(
+            r_sum[:, :, None], (self.T, n, width)
+        )
         # When candidate == last token of prefix, phi = r_prev[blank]
         last = state["last_token"]  # (n,)
-        same = (
-            jnp.arange(V)[None, :] == last[:, None]
-        )  # (n, V)
+        same = cand_ids == last[:, None]  # (n, width)
         phi = jnp.where(
             same[None, :, :], r_prev[:, 1][:, :, None], phi
         )
@@ -161,19 +171,18 @@ class CTCPrefixScorer:
         # Time recursion for prefix h = g + c:
         # r_nb[t] = logaddexp(r_nb[t-1], phi[t-1]) + x[t, c]
         # r_b[t]  = logaddexp(r_nb[t-1], r_b[t-1]) + x[t, blank]
-        xc = jnp.swapaxes(x, 0, 1)  # (T, n, V)
-        xb = xc[:, :, self.blank_index][:, :, None]  # (T, n, 1)
+        xb = jnp.swapaxes(x, 0, 1)[:, :, self.blank_index][
+            :, :, None
+        ]  # (T, n, 1)
 
-        start = jnp.full((n, V), self.minus_inf)
         # t=0: r_nb[0] = x[0, c] if prefix empty else -inf;
         # empty prefix detected via step==0
         if state["step"] == 0:
             r_nb0 = xc[0]
-            psi_init_0 = jnp.full((n, V), self.minus_inf)
         else:
-            r_nb0 = jnp.full((n, V), self.minus_inf)
-            psi_init_0 = jnp.full((n, V), self.minus_inf)
-        r_b0 = jnp.full((n, V), self.minus_inf)
+            r_nb0 = jnp.full((n, width), self.minus_inf)
+        psi_init_0 = jnp.full((n, width), self.minus_inf)
+        r_b0 = jnp.full((n, width), self.minus_inf)
 
         def scan_fn(carry, inputs):
             r_nb_prev, r_b_prev, psi_acc = carry
@@ -190,7 +199,7 @@ class CTCPrefixScorer:
             (r_nb0, r_b0, psi0),
             (xc[1:], xb[1:], phi[:-1]),
         )
-        r_nbs = jnp.concatenate([r_nb0[None], r_nbs], axis=0)  # (T, n, V)
+        r_nbs = jnp.concatenate([r_nb0[None], r_nbs], axis=0)
         r_bs = jnp.concatenate([r_b0[None], r_bs], axis=0)
 
         # psi currently integrates frames 1..T-1 (+ t=0 via psi0); limit
@@ -200,14 +209,17 @@ class CTCPrefixScorer:
 
         # EOS candidate: psi(eos) = r_sum at the last valid frame.
         final_r_sum = r_sum[self.last_frame_index, jnp.arange(n)]  # (n,)
-        psi = psi.at[:, self.eos_index].set(final_r_sum)
+        psi = jnp.where(
+            cand_ids == self.eos_index, final_r_sum[:, None], psi
+        )
         # Blank candidate is excluded (never expanded).
-        psi = psi.at[:, self.blank_index].set(self.minus_inf)
+        psi = jnp.where(cand_ids == self.blank_index, self.minus_inf, psi)
 
         scores = psi - psi_prev[:, None]  # delta score
         new_state = {
-            "r_all": jnp.stack([r_nbs, r_bs], axis=1),  # (T, 2, n, V)
+            "r_all": jnp.stack([r_nbs, r_bs], axis=1),  # (T, 2, n, width)
             "psi_all": psi,
+            "cand_ids": cand_ids,
             "r": r_prev,
             "psi_prev": psi_prev,
             "last_token": last,
@@ -229,9 +241,15 @@ class CTCPrefixScorer:
             jnp.arange(self.batch_size), self.beam_size
         )
         rows = batch_idx * self.beam_size + beam_pred  # (n,)
-        r_all = state["r_all"]  # (T, 2, n, V)
-        r_new = r_all[:, :, rows, tokens]  # (T, 2, n)
-        psi_new = state["psi_all"][rows, tokens]  # (n,)
+        r_all = state["r_all"]  # (T, 2, n, width)
+        cand_ids = state["cand_ids"]  # (n, width)
+        # Position of the chosen token in the predecessor's candidate
+        # list (identity map in full mode).
+        pos = jnp.argmax(
+            cand_ids[rows] == tokens[:, None], axis=1
+        )  # (n,)
+        r_new = r_all[:, :, rows, pos]  # (T, 2, n)
+        psi_new = state["psi_all"][rows, pos]  # (n,)
         return {
             "r": r_new,
             "psi_prev": psi_new,

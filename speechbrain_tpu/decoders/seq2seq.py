@@ -206,6 +206,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
         self.lm_weight = lm_weight
         self.ctc_weight = ctc_weight
         self.blank_index = blank_index
+        self.ctc_score_mode = ctc_score_mode
         self.minus_inf = minus_inf
         if length_normalization and length_rewarding > 0:
             raise ValueError(
@@ -284,13 +285,31 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     lm_log_probs, jnp.float32
                 )
             if ctc_scorer is not None:
-                ctc_scores, ctc_state = ctc_scorer.forward_step(
-                    inp, ctc_state
-                )
-                full_scores = (
-                    (1.0 - self.ctc_weight) * full_scores
-                    + self.ctc_weight * ctc_scores
-                )
+                if self.ctc_score_mode == "partial":
+                    # Score only the attention-selected top candidates
+                    # (2*beam, reference ctc.py:120-146): lattice memory
+                    # O(T*n*K) instead of O(T*n*V).
+                    K = min(2 * beam, V)
+                    _, cand = jax.lax.top_k(full_scores, K)  # (n, K)
+                    ctc_scores, ctc_state = ctc_scorer.forward_step(
+                        inp, ctc_state, candidates=cand
+                    )
+                    mixed = jnp.full_like(full_scores, self.minus_inf)
+                    row_idx = jnp.arange(n)[:, None]
+                    mixed = mixed.at[row_idx, cand].set(
+                        (1.0 - self.ctc_weight)
+                        * jnp.take_along_axis(full_scores, cand, axis=1)
+                        + self.ctc_weight * ctc_scores
+                    )
+                    full_scores = mixed
+                else:
+                    ctc_scores, ctc_state = ctc_scorer.forward_step(
+                        inp, ctc_state
+                    )
+                    full_scores = (
+                        (1.0 - self.ctc_weight) * full_scores
+                        + self.ctc_weight * ctc_scores
+                    )
 
             # Finished rows: only eos continuation with zero added score.
             frozen = jnp.full((n, V), self.minus_inf)
