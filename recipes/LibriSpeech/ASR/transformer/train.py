@@ -154,6 +154,11 @@ class ASR(sb.Brain):
                 self.checkpointer.save_and_keep_only(
                     meta={"WER": wer}, min_keys=["WER"]
                 )
+        elif stage == Stage.TEST:
+            self.hparams.train_logger.log_stats(
+                {"Epoch loaded": self.hparams.epoch_counter.current},
+                test_stats=stats,
+            )
 
 
 def dataio_prepare(hparams, tokenizer):
@@ -202,8 +207,14 @@ def dataio_prepare(hparams, tokenizer):
         shuffle=True,
     )
     sr = hparams["sample_rate"]
+    token_buckets = [16, 32, 64, 128, 256, 512]
     policy = BatchShapePolicy(
         time_buckets=[int(b * sr) for b in sampler.bucket_boundaries],
+        time_keys=("sig",),
+        key_buckets={
+            k: token_buckets
+            for k in ("tokens", "tokens_bos", "tokens_eos")
+        },
     )
     train_loader = SaveableDataLoader(
         datasets["train"],
@@ -241,6 +252,8 @@ if __name__ == "__main__":
             "tr_splits": hparams["train_splits"],
             "dev_splits": hparams["dev_splits"],
             "te_splits": hparams["test_splits"],
+            "merge_lst": hparams["train_splits"],
+            "merge_name": "train.json",
         },
     )
     from speechbrain_tpu.tokenizers.SentencePiece import SentencePiece

@@ -86,3 +86,21 @@ def prepare_librispeech(
         logger.info(
             f"Prepared {save_json} ({len(manifest)} utterances)"
         )
+    # Merge several split manifests into one (reference
+    # librispeech_prepare.py merge_csvs path) — e.g. the three train
+    # splits into a single train.json.
+    if merge_lst and merge_name:
+        merged_path = os.path.join(save_folder, merge_name)
+        if not os.path.exists(merged_path):
+            merged = {}
+            for split in merge_lst:
+                with open(
+                    os.path.join(save_folder, f"{split}.json")
+                ) as f:
+                    merged.update(json.load(f))
+            with open(merged_path, "w") as f:
+                json.dump(merged, f, indent=2)
+            logger.info(
+                f"Merged {merge_lst} -> {merged_path} "
+                f"({len(merged)} utterances)"
+            )

@@ -188,8 +188,8 @@ def parse_arguments(arg_list=None):
     parser.add_argument("--debug_epochs", type=int, default=2)
     parser.add_argument("--log_config", type=str)
     parser.add_argument("--seed", type=int, default=None)
-    parser.add_argument("--output_folder", type=str)
-    parser.add_argument("--data_folder", type=str)
+    # NOTE: data_folder / output_folder are NOT run-opts: like the
+    # reference (core.py:131), they pass through as YAML overrides.
     parser.add_argument("--find_unused_parameters", action="store_true")
     parser.add_argument("--jit_module_keys", type=str, nargs="*")
     parser.add_argument("--precision", type=str, choices=["fp32", "bf16"])
@@ -459,13 +459,18 @@ class Brain:
         self._init_collected = {"params": {}, "state": {}}
         self._bound_train = False
         self._bound_rngs = self._make_step_rngs(self._next_rng())
+        # Bind extra state up-front so compute_forward can read
+        # self._bound_extra (e.g. InputNormalization stats) during the
+        # lazy-init trace, exactly as it does inside the jitted step.
+        extra = self.init_extra_state(batch)
+        self._bound_extra = extra
         try:
             self.compute_forward(batch, Stage.TRAIN)
         finally:
             self._init_mode = False
+            self._new_extra = None
         params = self._init_collected["params"]
         model_state = self._init_collected["state"]
-        extra = self.init_extra_state(batch)
         if self.optimizer is None:
             self.init_optimizers()
         opt_state = (

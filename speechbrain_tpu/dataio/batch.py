@@ -47,19 +47,50 @@ class BatchShapePolicy:
     pad_batch_to : int | None
         If set, the batch dim is padded with all-zero rows (length 0)
         up to this size so every compiled program sees one batch size.
+    time_keys : tuple[str] | None
+        Keys the ``time_buckets`` menu applies to (e.g. ``("sig",)``).
+        None (default) applies it to every padded key — fine when all
+        padded keys share the time axis, wrong for mixed audio+token
+        batches.
+    key_buckets : dict[str, list[int]] | None
+        Per-key bucket menus overriding ``time_buckets`` (e.g. a small
+        power-of-two menu for token sequences).
 
     Example
     -------
     >>> policy = BatchShapePolicy(time_buckets=[4, 8])
     >>> policy.target_time(5)
     8
+    >>> policy = BatchShapePolicy(
+    ...     time_buckets=[100, 200], time_keys=("sig",),
+    ...     key_buckets={"tokens": [8, 16]})
+    >>> policy.target_time(150, key="sig"), policy.target_time(5, key="tokens")
+    (200, 8)
+    >>> policy.target_time(7, key="other")  # unscoped key: untouched
+    7
     """
 
-    def __init__(self, time_buckets=None, pad_batch_to=None):
+    def __init__(
+        self,
+        time_buckets=None,
+        pad_batch_to=None,
+        time_keys=None,
+        key_buckets=None,
+    ):
         self.time_buckets = sorted(time_buckets) if time_buckets else None
         self.pad_batch_to = pad_batch_to
+        self.time_keys = tuple(time_keys) if time_keys is not None else None
+        self.key_buckets = (
+            {k: sorted(v) for k, v in key_buckets.items()}
+            if key_buckets
+            else {}
+        )
 
-    def target_time(self, observed_max):
+    def target_time(self, observed_max, key=None):
+        if key is not None and key in self.key_buckets:
+            return ceil_to_bucket(observed_max, self.key_buckets[key])
+        if self.time_keys is not None and key not in self.time_keys:
+            return observed_max
         if self.time_buckets is None:
             return observed_max
         return ceil_to_bucket(observed_max, self.time_buckets)
@@ -113,7 +144,9 @@ class PaddedBatch:
                         max(v.shape[d] for v in values)
                         for d in range(values[0].ndim)
                     )
-                    target_shape = (policy.target_time(observed[0]),) + observed[1:]
+                    target_shape = (
+                        policy.target_time(observed[0], key=key),
+                    ) + observed[1:]
                 if policy is not None and policy.pad_batch_to is not None:
                     # Dummy all-zero examples with zero length.
                     shape = target_shape or tuple(

@@ -43,6 +43,13 @@ def setup_logging(config=None, overrides={}, default_level=logging.INFO):
                     "stream": "ext://sys.stdout",
                 }
             },
+            # Keep third-party debug chatter (jax dispatch/cache-key
+            # logs) out of experiment logs; root stays DEBUG so
+            # file handlers can capture our own debug records.
+            "loggers": {
+                "jax": {"level": "INFO"},
+                "jax._src": {"level": "INFO"},
+            },
             "root": {"level": "DEBUG", "handlers": ["console"]},
         }
     recursive_update(config, overrides)

@@ -83,7 +83,12 @@ def _run_once():
         ]
         if not lines:
             return None, f"no RESULT line in: {out[-300:]}"
-        results.append(json.loads(lines[0][len("RESULT:"):]))
+        try:
+            results.append(json.loads(lines[0][len("RESULT:"):]))
+        except json.JSONDecodeError as e:
+            # Interleaved stdout under load — treat as a transient
+            # environment failure (retried / skipped by the caller).
+            return None, f"bad RESULT line ({e}): {lines[0][:300]}"
     return results, None
 
 
