@@ -120,8 +120,18 @@ def dataio_prepare(hparams, tokenizer):
         shuffle=True,
     )
     sr = hparams["sample_rate"]
+    # Scope time buckets to the waveform; token dims get their own
+    # small menu (U drives the (B,T,U,V) joint — keep it tight).
+    token_buckets = [16, 32, 64, 128, 256]
     policy = BatchShapePolicy(
-        time_buckets=[int(b * sr) for b in sampler.bucket_boundaries]
+        time_buckets=[int(b * sr) for b in sampler.bucket_boundaries],
+        time_keys=("sig",),
+        # tokens_blank = [blank] + tokens must stay exactly one longer
+        # than tokens after padding (the U+1 joint axis).
+        key_buckets={
+            "tokens": token_buckets,
+            "tokens_blank": [b + 1 for b in token_buckets],
+        },
     )
     from speechbrain_tpu.dataio.batch import PaddedBatch
 

@@ -94,10 +94,13 @@ def dataio_prep(hparams):
         ds = DynamicItemDataset.from_json(hparams[f"{split}_json"])
         ds.add_dynamic_item(read_audio, takes="wav", provides="sig")
         ds.add_dynamic_item(
-            lambda p: np.asarray(
-                label_encoder.encode_sequence(p.split()), np.int64
+            lambda p: p.split(), takes="phn", provides="phn_list"
+        )
+        ds.add_dynamic_item(
+            lambda pl: np.asarray(
+                label_encoder.encode_sequence(pl), np.int64
             ),
-            takes="phn",
+            takes="phn_list",
             provides="phn_encoded",
         )
         ds.set_output_keys(["id", "sig", "phn_encoded"])
@@ -105,7 +108,7 @@ def dataio_prep(hparams):
     label_encoder.load_or_create(
         path=hparams["save_folder"] + "/label_encoder.txt",
         from_didatasets=[datasets["train"]],
-        output_key="phn",
+        output_key="phn_list",
         sequence_input=True,
         special_labels={"blank_label": "<blank>"},
     )
@@ -121,6 +124,21 @@ if __name__ == "__main__":
         hparams = load_hyperpyyaml(f, overrides)
     sb.create_experiment_directory(
         hparams["output_folder"], hparams_file, overrides
+    )
+    sys.path.insert(0, __file__.rsplit("/ASR/", 1)[0])
+    from timit_prepare import prepare_timit
+
+    from speechbrain_tpu.utils.distributed import run_on_main
+
+    run_on_main(
+        prepare_timit,
+        kwargs={
+            "data_folder": hparams["data_folder"],
+            "save_json_train": hparams["train_json"],
+            "save_json_valid": hparams["valid_json"],
+            "save_json_test": hparams["test_json"],
+            "phn_set": hparams.get("phn_set", 39),
+        },
     )
     datasets, label_encoder = dataio_prep(hparams)
     brain = CTCBrain(

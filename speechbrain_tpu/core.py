@@ -408,6 +408,28 @@ class Brain:
         )
         if _accepts_kwarg(call_fn, "train") and "train" not in kwargs:
             kwargs["train"] = self._bound_train
+        if self._init_mode:
+            rngs = dict(self._bound_rngs or {})
+            rngs.setdefault("params", self._next_rng())
+            out, variables = module.init_with_output(
+                rngs, *args, method=method, **kwargs
+            )
+            variables = dict(variables)
+            params = variables.pop("params", {})
+            # A module may be traced through several methods during
+            # init (e.g. encode-only in compute_forward, full
+            # __call__ elsewhere); merge the param trees, keeping
+            # earlier entries (same submodule → same init).
+            prev = self._init_collected["params"].get(name)
+            if prev is not None:
+                params = {**params, **prev}
+            self._init_collected["params"][name] = params
+            if variables:
+                prev_state = self._init_collected["state"].get(name)
+                if prev_state is not None:
+                    variables = {**variables, **prev_state}
+                self._init_collected["state"][name] = variables
+            return out
         if method is not None:
             variables = {"params": self._bound_params[name]}
             variables.update((self._bound_state or {}).get(name, {}))
@@ -415,16 +437,6 @@ class Brain:
                 variables, *args, rngs=self._bound_rngs,
                 method=method, **kwargs,
             )
-        if self._init_mode:
-            rngs = dict(self._bound_rngs or {})
-            rngs.setdefault("params", self._next_rng())
-            out, variables = module.init_with_output(rngs, *args, **kwargs)
-            variables = dict(variables)
-            params = variables.pop("params", {})
-            self._init_collected["params"][name] = params
-            if variables:
-                self._init_collected["state"][name] = variables
-            return out
         variables = {"params": self._bound_params[name]}
         state_cols = (self._bound_state or {}).get(name, {})
         variables.update(state_cols)

@@ -200,10 +200,73 @@ def read_audio(waveforms_obj):
     return audio
 
 
+def _read_sphere(path, start=0, stop=None):
+    """Decode a NIST SPHERE file (TIMIT's .WAV container) to float32.
+
+    The header is ASCII ``key -type value`` lines in a fixed-size
+    block; samples follow as PCM (optionally ulaw).  Replaces the
+    reference's torchaudio/sox sphere backend
+    (``timit_prepare.py`` read path) with a pure-numpy decoder.
+    """
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"NIST_1A"):
+            raise ValueError(f"Not a NIST SPHERE file: {path}")
+        header_size = int(f.readline().strip())
+        f.seek(0)
+        header = f.read(header_size).decode("ascii", errors="replace")
+        fields = {}
+        for line in header.splitlines()[2:]:
+            parts = line.split()
+            if len(parts) >= 3 and parts[1].startswith("-"):
+                fields[parts[0]] = parts[2]
+            elif line.strip() == "end_head":
+                break
+        sr = int(fields.get("sample_rate", 16000))
+        n_bytes = int(fields.get("sample_n_bytes", 2))
+        n_channels = int(fields.get("channel_count", 1))
+        n_samples = int(fields.get("sample_count", -1))
+        coding = fields.get("sample_coding", "pcm")
+        byte_fmt = fields.get("sample_byte_format", "01")
+        f.seek(header_size)
+        raw = f.read()
+    if coding.startswith("ulaw"):
+        u = ~np.frombuffer(raw, dtype=np.uint8).astype(np.int32) & 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        mag = ((mantissa << 3) + 0x84) << exponent
+        pcm = np.where(sign, 0x84 - mag, mag - 0x84).astype(np.float32)
+        audio = pcm / 32768.0
+    elif n_bytes == 2:
+        dt = "<i2" if byte_fmt == "01" else ">i2"
+        audio = np.frombuffer(raw, dtype=dt).astype(np.float32) / 32768.0
+    elif n_bytes == 1:
+        audio = (
+            np.frombuffer(raw, dtype=np.int8).astype(np.float32) / 128.0
+        )
+    else:
+        raise ValueError(f"Unsupported SPHERE sample width: {n_bytes}")
+    if n_samples > 0:
+        audio = audio[: n_samples * n_channels]
+    if n_channels > 1:
+        audio = audio.reshape(-1, n_channels)
+    if stop is None:
+        stop = len(audio)
+    return audio[int(start):int(stop)], sr
+
+
 def _load_audio_any(path, start=0, stop=None):
     ext = os.path.splitext(path)[1].lower()
     if ext in (".wav", ".wave", ""):
+        # TIMIT ships SPHERE files with a .WAV extension: sniff magic.
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic == b"NIST":
+            return _read_sphere(path, start, stop)
         return _read_wav(path, start, stop)
+    if ext == ".sph":
+        return _read_sphere(path, start, stop)
     if ext == ".npy":
         audio = np.load(path).astype(np.float32)
         return audio[start:stop], 16000

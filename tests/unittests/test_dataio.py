@@ -117,3 +117,43 @@ def test_numeric_dict():
     nd = batch.numeric_dict()
     assert set(nd.keys()) == {"wav", "wav_lens", "spk"}
     assert nd["spk"].tolist() == [3, 5]
+
+
+def test_sphere_read(tmp_path):
+    """NIST SPHERE decode (TIMIT's .WAV container), incl. magic sniff."""
+    sr = 16000
+    audio = (0.4 * np.sin(2 * np.pi * 300 * np.arange(800) / sr)).astype(
+        np.float32
+    )
+    pcm = (np.clip(audio, -1, 1) * 32767).astype("<i2").tobytes()
+    hdr_lines = [
+        "NIST_1A", "   1024", f"sample_rate -i {sr}",
+        "channel_count -i 1", "sample_n_bytes -i 2",
+        f"sample_count -i {len(audio)}", "sample_byte_format -s2 01",
+        "sample_coding -s3 pcm", "end_head",
+    ]
+    hdr = ("\n".join(hdr_lines) + "\n").encode("ascii")
+    hdr = hdr + b" " * (1024 - len(hdr))
+    path = str(tmp_path / "utt.WAV")  # sphere with a .WAV extension
+    with open(path, "wb") as f:
+        f.write(hdr + pcm)
+    loaded = read_audio(path)
+    assert loaded.shape == audio.shape
+    assert np.abs(loaded - audio).max() < 1e-3
+    seg = read_audio({"file": path, "start": 100, "stop": 300})
+    assert np.allclose(seg, loaded[100:300])
+
+
+def test_shape_policy_per_key():
+    """time_keys scoping + key_buckets menus (mixed audio/token batch)."""
+    policy = BatchShapePolicy(
+        time_buckets=[100, 200], time_keys=("sig",),
+        key_buckets={"tokens": [8, 16]},
+    )
+    examples = [
+        {"id": "a", "sig": np.zeros(150), "tokens": np.arange(5)},
+        {"id": "b", "sig": np.zeros(90), "tokens": np.arange(3)},
+    ]
+    batch = PaddedBatch(examples, shape_policy=policy)
+    assert batch["sig"].data.shape == (2, 200)
+    assert batch["tokens"].data.shape == (2, 8)
