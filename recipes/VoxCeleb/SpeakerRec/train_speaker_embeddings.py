@@ -90,6 +90,19 @@ if __name__ == "__main__":
     sb.create_experiment_directory(
         hparams["output_folder"], hparams_file, overrides
     )
+    sys.path.insert(0, __file__.rsplit("/SpeakerRec/", 1)[0])
+    from voxceleb_prepare import prepare_voxceleb
+
+    from speechbrain_tpu.utils.distributed import run_on_main
+
+    run_on_main(
+        prepare_voxceleb,
+        kwargs={
+            "data_folder": hparams["data_folder"],
+            "save_folder": hparams["save_folder"],
+            "seed": hparams["seed"],
+        },
+    )
     datasets, label_encoder = dataio_prep(hparams)
     brain = SpeakerBrain(
         modules=hparams["modules"],

@@ -192,26 +192,25 @@ def notch_filter(notch_freq, filter_width=101, notch_width=0.05):
     ``signal_processing.py:373``).
     """
     pad = filter_width // 2
-    inputs = np.arange(filter_width) - pad
+    inputs = jnp.arange(filter_width) - pad
     notch_freq = notch_freq + notch_width
 
     def sinc(x):
-        def _sinc(x):
-            return np.sin(x) / x
+        # Trace-safe sinc: notch_freq may be a jit tracer (DropFreq
+        # samples it per step); guard the x=0 singularity with where.
+        safe = jnp.where(x == 0, 1.0, x)
+        return jnp.where(x == 0, 1.0, jnp.sin(safe) / safe)
 
-        return np.concatenate(
-            [_sinc(x[:pad]), np.ones(1), _sinc(x[pad + 1 :])]
-        )
-
+    window = jnp.asarray(np.blackman(filter_width))
     hlpf = sinc(3 * (notch_freq - notch_width) * inputs)
-    hlpf = hlpf * np.blackman(filter_width)
+    hlpf = hlpf * window
     hlpf = hlpf / hlpf.sum()
     hhpf = sinc(3 * (notch_freq + notch_width) * inputs)
-    hhpf = hhpf * np.blackman(filter_width)
+    hhpf = hhpf * window
     hhpf = hhpf / -hhpf.sum()
-    hhpf[pad] += 1
-    kernel = (hlpf + hhpf).astype(np.float32)
-    return jnp.asarray(kernel).reshape(1, -1, 1)
+    hhpf = hhpf.at[pad].add(1.0)
+    kernel = (hlpf + hhpf).astype(jnp.float32)
+    return kernel.reshape(1, -1, 1)
 
 
 def overlap_and_add(signal, frame_step):

@@ -270,6 +270,26 @@ def _parse_overrides(overrides):
     return dict(overrides)
 
 
+def _overrides_as_text(overrides):
+    """Overrides as key -> raw single-line YAML text for textual
+    substitution into the archived config (keeps !tags intact —
+    !tuple etc. have no safe_dump representer by design).
+    """
+    if overrides is None:
+        return {}
+    if isinstance(overrides, str):
+        out = {}
+        for line in overrides.splitlines():
+            m = re.match(r"^([A-Za-z_][\w]*)\s*:\s*(.*)$", line)
+            if m:
+                out[m.group(1)] = m.group(2)
+        return out
+    return {
+        k: yaml.safe_dump(v, default_flow_style=True).strip()
+        for k, v in dict(overrides).items()
+    }
+
+
 def load_hyperpyyaml(
     yaml_stream, overrides=None, overrides_must_match=False
 ):
@@ -303,7 +323,7 @@ def resolve_references(yaml_stream, overrides=None):
         yaml_text = yaml_stream.read()
     else:
         yaml_text = yaml_stream
-    overrides = _parse_overrides(overrides)
+    overrides = _overrides_as_text(overrides)
     if overrides:
         # Textual top-level key replacement keeps tags intact.
         lines = yaml_text.split("\n")
@@ -314,7 +334,7 @@ def resolve_references(yaml_stream, overrides=None):
             if m and m.group(1) in overrides:
                 key = m.group(1)
                 done.add(key)
-                out_lines.append(f"{key}: {yaml.safe_dump(overrides[key], default_flow_style=True).strip()}")
+                out_lines.append(f"{key}: {overrides[key]}")
                 # skip continuation lines (indented block of this key)
                 continue
             if out_lines and re.match(r"^\s+", line) and out_lines[-1].split(":")[0] in done and not re.match(r"^([A-Za-z_][\w]*)\s*:", line):
@@ -323,7 +343,7 @@ def resolve_references(yaml_stream, overrides=None):
             out_lines.append(line)
         for key, value in overrides.items():
             if key not in done:
-                out_lines.append(f"{key}: {yaml.safe_dump(value, default_flow_style=True).strip()}")
+                out_lines.append(f"{key}: {value}")
         yaml_text = "\n".join(out_lines)
     return io.StringIO(yaml_text)
 
