@@ -349,6 +349,8 @@ class PositionalwiseFeedForward(nn.Module):
             h = jax.nn.gelu(h)
         elif self.activation == "swish":
             h = h * jax.nn.sigmoid(h)
+        elif self.activation == "leaky_relu":
+            h = jax.nn.leaky_relu(h)
         else:
             raise ValueError(f"Unknown activation {self.activation}")
         h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)

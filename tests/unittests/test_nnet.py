@@ -218,3 +218,36 @@ def test_attentional_decoder():
     assert attn.shape == (2, 4, 12)
     w = np.asarray(attn)
     assert np.allclose(w.sum(-1), 1.0, atol=1e-4)
+
+
+def test_qbatchnorm():
+    """Quaternion batchnorm: shared sigma across components, train/eval
+    stat tracking, quaternion-direction preservation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speechbrain_tpu.nnet.quaternion_networks.q_normalization import (
+        QBatchNorm,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(2.0, 3.0, size=(64, 5, 8)), jnp.float32)
+    qbn = QBatchNorm(input_size=8)
+    vars_ = qbn.init(jax.random.PRNGKey(0), x, train=False)
+    y, updates = qbn.apply(
+        vars_, x, train=True, mutable=["batch_stats"]
+    )
+    assert y.shape == x.shape
+    # Whole-quaternion standardization: mean ~0 and unit mean squared
+    # quaternion norm (the 4 components SHARE one sigma).
+    assert abs(float(y.mean())) < 1e-4
+    comps = jnp.split(y, 4, axis=-1)
+    qnorm = sum(c**2 for c in comps).mean()
+    assert abs(float(qnorm) - 1.0) < 0.02
+    # Running stats moved toward batch stats.
+    assert float(updates["batch_stats"]["mean"].mean()) != 0.0
+    # Eval mode with tracked stats is deterministic w.r.t. stored stats.
+    merged = {"params": vars_["params"], **updates}
+    y_eval = qbn.apply(merged, x, train=False)
+    assert np.isfinite(np.asarray(y_eval)).all()
