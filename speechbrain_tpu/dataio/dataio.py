@@ -32,6 +32,7 @@ __all__ = [
     "merge_char",
     "merge_csvs",
     "split_word",
+    "read_kaldi_lab",
 ]
 
 
@@ -419,3 +420,44 @@ def split_word(sequences, space="_"):
         chars = list(f"{space}".join(seq))
         out.append(chars)
     return out
+
+
+def read_kaldi_lab(kaldi_ali, kaldi_lab_opts=None):
+    """Read Kaldi alignment labels into ``{utt_id: int32 array}``.
+
+    Parity: reference ``dataio/dataio.py:747``.  With
+    ``kaldi_lab_opts`` (e.g. ``"ali-to-pdf"``), the standard Kaldi
+    pipeline ``gunzip -c ali*.gz | <opts> final.mdl ark:- ark:-`` is
+    executed (requires Kaldi binaries on PATH).  Without opts, any
+    ``ali*.ark`` / ungzipped ``ali*`` int-vector ark files in the
+    directory are parsed natively — no kaldi_io dependency.
+    """
+    import glob as _glob
+    import subprocess
+
+    from speechbrain_tpu.dataio.kaldi_io import read_vec_int_ark
+
+    if kaldi_lab_opts:
+        cmd = (
+            f"gunzip -c {kaldi_ali}/ali*.gz | "
+            f"{kaldi_lab_opts} {kaldi_ali}/final.mdl ark:- ark:-"
+        )
+        proc = subprocess.Popen(
+            cmd, shell=True, stdout=subprocess.PIPE
+        )
+        lab = {k: v for k, v in read_vec_int_ark(proc.stdout)}
+        proc.wait()
+        if proc.returncode != 0:
+            raise RuntimeError(f"Kaldi pipeline failed: {cmd}")
+        return lab
+    lab = {}
+    paths = sorted(_glob.glob(os.path.join(kaldi_ali, "ali*.ark")))
+    if not paths:
+        paths = [
+            p
+            for p in sorted(_glob.glob(os.path.join(kaldi_ali, "ali*")))
+            if not p.endswith(".gz")
+        ]
+    for path in paths:
+        lab.update({k: v for k, v in read_vec_int_ark(path)})
+    return lab

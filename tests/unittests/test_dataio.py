@@ -157,3 +157,53 @@ def test_shape_policy_per_key():
     batch = PaddedBatch(examples, shape_policy=policy)
     assert batch["sig"].data.shape == (2, 200)
     assert batch["tokens"].data.shape == (2, 8)
+
+
+def test_kaldi_ark_roundtrip(tmp_path):
+    """Native Kaldi ark read/write: int vectors, float mats, scp."""
+    import struct
+
+    from speechbrain_tpu.dataio.dataio import read_kaldi_lab
+    from speechbrain_tpu.dataio.kaldi_io import (
+        read_mat_ark,
+        read_mat_scp,
+        read_vec_flt_ark,
+        read_vec_int_ark,
+        write_mat,
+        write_vec_flt,
+    )
+
+    # int-vector ark (alignment labels) written by hand per the spec
+    ali = tmp_path / "ali.1.ark"
+    with open(ali, "wb") as f:
+        for key, vec in [("utt1", [3, 1, 4, 1]), ("utt2", [5, 9])]:
+            f.write(key.encode() + b" \0B\4" + struct.pack("<i", len(vec)))
+            for v in vec:
+                f.write(b"\4" + struct.pack("<i", v))
+    got = {k: v.tolist() for k, v in read_vec_int_ark(str(ali))}
+    assert got == {"utt1": [3, 1, 4, 1], "utt2": [5, 9]}
+    lab = read_kaldi_lab(str(tmp_path))
+    assert lab["utt2"].tolist() == [5, 9]
+
+    # float matrix ark round-trip + scp offsets
+    feats = tmp_path / "feats.ark"
+    scp_lines = []
+    mats = {"a": np.arange(12, dtype=np.float32).reshape(3, 4),
+            "b": np.eye(2, dtype=np.float32)}
+    with open(feats, "wb") as f:
+        for key, m in mats.items():
+            pos = f.tell() + len(key) + 1  # offset points at \0B
+            write_mat(f, m, key)
+            scp_lines.append(f"{key} {feats}:{pos}")
+    for k, m in read_mat_ark(str(feats)):
+        assert np.allclose(m, mats[k])
+    scp = tmp_path / "feats.scp"
+    scp.write_text("\n".join(scp_lines))
+    for k, m in read_mat_scp(str(scp)):
+        assert np.allclose(m, mats[k])
+
+    # float vector ark
+    xv = tmp_path / "xvector.ark"
+    write_vec_flt(str(xv), np.array([1.5, -2.0], np.float32), "spk1")
+    k, v = next(iter(read_vec_flt_ark(str(xv))))
+    assert k == "spk1" and np.allclose(v, [1.5, -2.0])
