@@ -106,6 +106,7 @@ class CTCSegmentation:
         self.tokenizer = tokenizer
 
     def get_log_probs(self, wav):
+        """CTC log-probabilities for the given audio."""
         import jax.numpy as jnp
 
         if callable(self.asr_model) and not hasattr(

@@ -244,6 +244,7 @@ class _BoundModules:
         return name in object.__getattribute__(self, "_brain")._module_defs
 
     def keys(self):
+        """Available keys."""
         return object.__getattribute__(self, "_brain")._module_defs.keys()
 
 
@@ -963,8 +964,10 @@ class _TrainStateRecoverable(Recoverable):
 
     @property
     def value(self):
+        """Current recoverable value."""
         return jax.device_get(self.brain.train_state)
 
     @value.setter
     def value(self, new):
+        """Current recoverable value."""
         self.brain.train_state = replicate_tree(self.brain.mesh, new)

@@ -87,6 +87,7 @@ class BatchShapePolicy:
         )
 
     def target_time(self, observed_max, key=None):
+        """Quantized target length for the observed maximum (per key)."""
         if key is not None and key in self.key_buckets:
             return ceil_to_bucket(observed_max, self.key_buckets[key])
         if self.time_keys is not None and key not in self.time_keys:
@@ -196,10 +197,12 @@ class PaddedBatch:
 
     @property
     def batch_keys(self):
+        """All collated keys."""
         return list(self.__keys)
 
     @property
     def padded_keys(self):
+        """Keys that were padded (PaddedData values)."""
         return list(self.__padded_keys)
 
     def at_position(self, pos):

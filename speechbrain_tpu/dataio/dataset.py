@@ -182,10 +182,12 @@ class FilteredSortedDynamicItemDataset(DynamicItemDataset):
 
     @classmethod
     def from_json(cls, *args, **kwargs):
+        """Construct from a JSON manifest (filtered/sorted view)."""
         raise TypeError("Cannot create FilteredSorted from json directly")
 
     @classmethod
     def from_csv(cls, *args, **kwargs):
+        """Construct from a CSV manifest (filtered/sorted view)."""
         raise TypeError("Cannot create FilteredSorted from csv directly")
 
 

@@ -43,6 +43,7 @@ class CategoricalEncoder:
         self.handle_special_labels(special_labels)
 
     def handle_special_labels(self, special_labels):
+        """Insert special labels (blank/bos/eos/unk) per the dict."""
         if "unk_label" in special_labels:
             self.add_unk(special_labels["unk_label"])
 
@@ -157,6 +158,7 @@ class CategoricalEncoder:
             )
 
     def encode_label_np(self, label, allow_unk=True):
+        """encode_label returning a numpy array."""
         return np.array(self.encode_label(label, allow_unk), dtype=np.int64)
 
     def encode_sequence(self, sequence, allow_unk=True):
@@ -164,6 +166,7 @@ class CategoricalEncoder:
         return [self.encode_label(label, allow_unk) for label in sequence]
 
     def encode_sequence_np(self, sequence, allow_unk=True):
+        """encode_sequence returning a numpy array."""
         return np.array(self.encode_sequence(sequence, allow_unk), dtype=np.int64)
 
     def decode_ndim(self, x):
@@ -271,6 +274,7 @@ class TextEncoder(CategoricalEncoder):
     """CategoricalEncoder + BOS/EOS token handling for seq2seq text."""
 
     def handle_special_labels(self, special_labels):
+        """Insert special labels (blank/bos/eos/unk) per the dict."""
         super().handle_special_labels(special_labels)
         if "bos_label" in special_labels and "eos_label" in special_labels:
             if special_labels["bos_label"] == special_labels["eos_label"]:
@@ -315,9 +319,11 @@ class TextEncoder(CategoricalEncoder):
         self.eos_label = eos_label
 
     def get_bos_index(self):
+        """Index of the BOS label."""
         return self.lab2ind[self.bos_label]
 
     def get_eos_index(self):
+        """Index of the EOS label."""
         return self.lab2ind[self.eos_label]
 
     def prepend_bos_label(self, x):
@@ -329,9 +335,11 @@ class TextEncoder(CategoricalEncoder):
         return [self.get_bos_index()] + list(x)
 
     def append_eos_label(self, x):
+        """Append the EOS label."""
         return list(x) + [self.eos_label]
 
     def append_eos_index(self, x):
+        """Append the EOS label at the given index."""
         return list(x) + [self.get_eos_index()]
 
     def _get_extras(self):
@@ -352,6 +360,7 @@ class CTCTextEncoder(TextEncoder):
     """TextEncoder + CTC blank handling."""
 
     def handle_special_labels(self, special_labels):
+        """Insert special labels (blank/bos/eos/unk) per the dict."""
         super().handle_special_labels(special_labels)
         if "blank_label" in special_labels:
             self.insert_blank(
@@ -360,14 +369,17 @@ class CTCTextEncoder(TextEncoder):
             )
 
     def add_blank(self, blank_label=DEFAULT_BLANK):
+        """Append the CTC blank label."""
         self.add_label(blank_label)
         self.blank_label = blank_label
 
     def insert_blank(self, blank_label=DEFAULT_BLANK, index=0):
+        """Insert the CTC blank label at the given index."""
         self.insert_label(blank_label, index)
         self.blank_label = blank_label
 
     def get_blank_index(self):
+        """Index of the CTC blank label."""
         return self.lab2ind[self.blank_label]
 
     def collapse_labels(self, x, merge_repeats=True):

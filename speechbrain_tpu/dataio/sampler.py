@@ -106,6 +106,7 @@ class ReproducibleWeightedRandomSampler:
         self.epoch = epoch
 
     def set_epoch(self, epoch):
+        """Set the epoch for deterministic reshuffling."""
         self.epoch = epoch
 
     def __iter__(self):
@@ -153,6 +154,7 @@ class ConcatDatasetBatchSampler:
                 batch = []
 
     def set_epoch(self, epoch):
+        """Set the epoch for deterministic reshuffling."""
         if hasattr(self.samplers[0], "epoch"):
             for s in self.samplers:
                 s.set_epoch(epoch)
@@ -288,6 +290,7 @@ class DynamicBatchSampler:
         ]
 
     def get_durations(self, batch):
+        """Durations (seconds) of the given example ids."""
         return [self._ex_lengths[str(idx)] for idx in batch]
 
     def _get_boundaries_through_warping(
@@ -366,6 +369,7 @@ class DynamicBatchSampler:
             self._permute_batches()
 
     def set_epoch(self, epoch):
+        """Set the epoch for deterministic reshuffling."""
         self._epoch = epoch
         self._generate_batches()
 
@@ -405,6 +409,7 @@ class DistributedSamplerWrapper:
         return (n + self.num_replicas - 1) // self.num_replicas
 
     def set_epoch(self, epoch):
+        """Set the epoch for deterministic reshuffling."""
         if hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
 

@@ -109,6 +109,7 @@ class CTCPrefixScorer:
         self.last_frame_index = jnp.clip(self.abs_lens - 1, 0, T - 1)
 
     def init_state(self):
+        """Build the initial decoding state."""
         n = self.batch_size * self.beam_size
         # r: (T, 2, n) forward lattice of the CURRENT prefix
         # [0]=nonblank, [1]=blank ending.

@@ -37,6 +37,7 @@ MINUS_INF = -1e20
 
 
 class S2SBaseSearcher:
+    """Interface for autoregressive searchers (greedy/beam)."""
     def __init__(
         self, bos_index, eos_index, min_decode_ratio, max_decode_ratio
     ):
@@ -49,12 +50,15 @@ class S2SBaseSearcher:
         raise NotImplementedError
 
     def reset_mem(self, batch_size, enc_states):
+        """Initial decoder memory for a fresh search."""
         raise NotImplementedError
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        """One decoder step: scores + updated memory."""
         raise NotImplementedError
 
     def lm_forward_step(self, inp_tokens, memory):
+        """One LM step: log-probs + updated LM memory."""
         raise NotImplementedError
 
 
@@ -141,6 +145,7 @@ class S2SRNNGreedySearcher(S2SGreedySearcher):
         self.rnn_init_fn = rnn_init_fn
 
     def reset_mem(self, batch_size, enc_states):
+        """Initial decoder memory for a fresh search."""
         return {
             "hs": self.rnn_init_fn(batch_size, enc_states.dtype),
             "c": jnp.zeros(
@@ -150,6 +155,7 @@ class S2SRNNGreedySearcher(S2SGreedySearcher):
         }
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        """One decoder step: scores + updated memory."""
         emb = self.embedding_fn(inp_tokens)
         dec_out, hs, c, w, attn_state = self.decoder_step_fn(
             emb, memory["hs"], memory["c"], enc_states, enc_lens,
@@ -216,9 +222,11 @@ class S2SBeamSearcher(S2SBaseSearcher):
     # -- hooks for subclasses -------------------------------------------
 
     def reset_lm_mem(self, n):
+        """Initial LM memory for a fresh search."""
         return None
 
     def lm_forward_step(self, inp_tokens, memory):
+        """One LM step: log-probs + updated LM memory."""
         raise NotImplementedError
 
     def ctc_forward_step(self, enc_states):
@@ -410,6 +418,7 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
         self.temperature = temperature
 
     def reset_mem(self, batch_size, enc_states):
+        """Initial decoder memory for a fresh search."""
         return {
             "hs": self.rnn_init_fn(batch_size, enc_states.dtype),
             "c": jnp.zeros(
@@ -419,6 +428,7 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
         }
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        """One decoder step: scores + updated memory."""
         emb = self.embedding_fn(inp_tokens)
         dec_out, hs, c, w, attn_state = self.decoder_step_fn(
             emb, memory["hs"], memory["c"], enc_states, enc_lens,
@@ -433,6 +443,7 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
         )
 
     def ctc_forward_step(self, enc_states):
+        """CTC log-probabilities over the encoder states."""
         return jax.nn.log_softmax(self.ctc_linear_fn(enc_states), axis=-1)
 
 
@@ -449,9 +460,11 @@ class S2SRNNBeamSearchLM(S2SRNNBeamSearcher):
         self.lm_init_fn = lm_init_fn
 
     def reset_lm_mem(self, n):
+        """Initial LM memory for a fresh search."""
         return self.lm_init_fn(n)
 
     def lm_forward_step(self, inp_tokens, memory):
+        """One LM step: log-probs + updated LM memory."""
         return self.lm_step_fn(inp_tokens, memory)
 
 
@@ -485,6 +498,7 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         self.temperature_lm = temperature_lm
 
     def reset_mem(self, batch_size, enc_states):
+        """Initial decoder memory for a fresh search."""
         return {
             "prefix": jnp.full(
                 (batch_size, 1), self.bos_index, jnp.int32
@@ -492,6 +506,7 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         }
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        """One decoder step: scores + updated memory."""
         prefix = memory["prefix"]
         # Append current tokens unless this is the first step (bos
         # already present).
@@ -513,9 +528,11 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         return log_probs, {"prefix": new_prefix}, None
 
     def reset_lm_mem(self, n):
+        """Initial LM memory for a fresh search."""
         return {"prefix": jnp.full((n, 1), self.bos_index, jnp.int32)}
 
     def lm_forward_step(self, inp_tokens, memory):
+        """One LM step: log-probs + updated LM memory."""
         prefix = memory["prefix"]
         if prefix.shape[1] == 1 and bool(
             jnp.all(inp_tokens == self.bos_index)
@@ -532,4 +549,5 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         return log_probs, {"prefix": new_prefix}
 
     def ctc_forward_step(self, enc_states):
+        """CTC log-probabilities over the encoder states."""
         return jax.nn.log_softmax(self.ctc_linear_fn(enc_states), axis=-1)

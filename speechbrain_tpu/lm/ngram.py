@@ -44,6 +44,7 @@ class BackoffNgramLM:
         self.top_order = max(ngrams.keys())
 
     def logprob(self, token, context=tuple()):
+        """Sequence log-probability under the n-gram LM."""
         # Truncate context to the highest order available.
         context = tuple(context)
         if len(context) >= self.top_order:

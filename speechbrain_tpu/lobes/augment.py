@@ -76,6 +76,7 @@ class SpecAugment:
         return x
 
     def time_warp(self, x, key):
+        """SpecAugment time warping."""
         B, T, F = x.shape
         W = self.time_warp_window
         if T <= 2 * W:
@@ -95,6 +96,7 @@ class SpecAugment:
         return x[:, lo, :] * (1 - frac) + x[:, hi, :] * frac
 
     def mask_along_axis(self, x, key, axis):
+        """Zero random bands along the given axis."""
         B, T, F = x.shape
         D = T if axis == 1 else F
         n_mask = self.n_time_mask if axis == 1 else self.n_freq_mask

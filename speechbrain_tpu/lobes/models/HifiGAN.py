@@ -135,6 +135,7 @@ class DiscriminatorP(nn.Module):
 
 
 class MultiPeriodDiscriminator(nn.Module):
+    """HiFiGAN multi-period discriminator ensemble."""
     periods: tuple = (2, 3, 5, 7, 11)
 
     @nn.compact
@@ -183,6 +184,7 @@ class DiscriminatorS(nn.Module):
 
 
 class MultiScaleDiscriminator(nn.Module):
+    """HiFiGAN multi-scale discriminator ensemble."""
     pools: tuple = (1, 2, 4)
 
     @nn.compact

@@ -79,6 +79,7 @@ class TextMelCollate:
 
 
 class Prenet(nn.Module):
+    """Tacotron2 decoder prenet (bottleneck MLP with always-on dropout)."""
     sizes: tuple = (256, 256)
     dropout: float = 0.5
 
@@ -127,6 +128,7 @@ class LocationSensitiveAttention(nn.Module):
 
 
 class Postnet(nn.Module):
+    """Tacotron2 conv postnet refining the coarse mel output."""
     n_mel: int = 80
     channels: int = 512
     kernel: int = 5
@@ -152,6 +154,7 @@ class Postnet(nn.Module):
 
 
 class Encoder(nn.Module):
+    """Tacotron2 text encoder (convs + BiLSTM)."""
     emb_dim: int = 512
     n_convs: int = 3
     kernel: int = 5
@@ -205,6 +208,7 @@ class Tacotron2(nn.Module):
     max_decoder_steps: int = 1000
 
     def setup(self):
+        """Flax setup: declare submodules/params."""
         from speechbrain_tpu.nnet.RNN import LSTMCell
 
         self.embedding = nn.Embed(self.n_symbols, self.symbol_emb)

@@ -44,6 +44,7 @@ class AttentionSeq2Seq(nn.Module):
     dec_layers: int = 1
 
     def setup(self):
+        """Flax setup: declare submodules/params."""
         self.grapheme_emb = Embedding(
             num_embeddings=self.grapheme_vocab,
             embedding_dim=self.emb_dim,
@@ -105,6 +106,7 @@ class TransformerG2P(nn.Module):
     dropout: float = 0.1
 
     def setup(self):
+        """Flax setup: declare submodules/params."""
         self.grapheme_emb = Embedding(
             num_embeddings=self.grapheme_vocab,
             embedding_dim=self.d_model,

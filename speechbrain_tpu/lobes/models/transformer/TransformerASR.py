@@ -62,6 +62,7 @@ class TransformerASR(nn.Module):
     max_length: int = 2500
 
     def setup(self):
+        """Flax setup: declare submodules/params."""
         self.custom_src_module = nn.Dense(self.d_model)
         self.custom_tgt_module = NormalizedEmbedding(
             d_model=self.d_model, vocab=self.tgt_vocab

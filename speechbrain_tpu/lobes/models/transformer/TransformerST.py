@@ -76,6 +76,7 @@ class TransformerST(nn.Module):
     mt_src_vocab: int = 0
 
     def setup(self):
+        """Flax setup: declare submodules/params."""
         self.st = TransformerASR(
             tgt_vocab=self.tgt_vocab,
             input_size=self.input_size,

@@ -452,6 +452,7 @@ class AttentionalRNNDecoder(nn.Module):
     dropout: float = 0.0
 
     def setup(self):
+        """Flax setup: declare submodules/params."""
         if self.rnn_type == "gru":
             self.rnn = GRUCell(
                 hidden_size=self.hidden_size,

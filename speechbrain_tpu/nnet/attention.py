@@ -51,12 +51,14 @@ class ContentBasedAttention(nn.Module):
     scaling: float = 1.0
 
     def setup(self):
+        """Flax setup: declare submodules/params."""
         self.mlp_enc = nn.Dense(self.attn_dim)
         self.mlp_dec = nn.Dense(self.attn_dim)
         self.mlp_attn = nn.Dense(1, use_bias=False)
         self.mlp_out = nn.Dense(self.output_dim)
 
     def init_state(self, enc_states):
+        """Build the initial decoding state."""
         return {"enc_proj": self.mlp_enc(enc_states)}
 
     def __call__(self, enc_states, enc_lens, dec_states, state=None):
@@ -87,6 +89,7 @@ class LocationAwareAttention(nn.Module):
     scaling: float = 1.0
 
     def setup(self):
+        """Flax setup: declare submodules/params."""
         self.mlp_enc = nn.Dense(self.attn_dim)
         self.mlp_dec = nn.Dense(self.attn_dim)
         self.mlp_loc = nn.Dense(self.attn_dim)
@@ -100,6 +103,7 @@ class LocationAwareAttention(nn.Module):
         self.mlp_out = nn.Dense(self.output_dim)
 
     def init_state(self, enc_states):
+        """Build the initial decoding state."""
         B, T = enc_states.shape[0], enc_states.shape[1]
         return {
             "enc_proj": self.mlp_enc(enc_states),
@@ -135,11 +139,13 @@ class KeyValueAttention(nn.Module):
     output_dim: int
 
     def setup(self):
+        """Flax setup: declare submodules/params."""
         self.key_linear = nn.Dense(self.attn_dim)
         self.query_linear = nn.Dense(self.attn_dim)
         self.value_linear = nn.Dense(self.output_dim)
 
     def init_state(self, enc_states):
+        """Build the initial decoding state."""
         return {
             "keys": self.key_linear(enc_states),
             "values": self.value_linear(enc_states),

@@ -154,6 +154,7 @@ class LinearWarmupScheduler:
         self.current_step = 0
 
     def get_next_value(self):
+        """Next hyperparameter value to try."""
         step = self.current_step
         self.current_step += 1
         if step < self.num_warmup_steps:

@@ -155,6 +155,7 @@ class EncoderDecoderASR(Pretrained):
         self.decoder = self.hparams.make_decoder(self)
 
     def encode_batch(self, wavs, wav_lens):
+        """Encode a batch of waveforms into embeddings/features."""
         import jax.numpy as jnp
 
         wavs = jnp.asarray(wavs)
@@ -165,6 +166,7 @@ class EncoderDecoderASR(Pretrained):
         return self._apply("encoder", feats, wav_lens)
 
     def transcribe_batch(self, wavs, wav_lens):
+        """Transcribe a batch of waveforms."""
         enc = self.encode_batch(wavs, wav_lens)
         hyps, scores = self.decoder(enc, wav_lens)[:2]
         texts = [
@@ -176,6 +178,7 @@ class EncoderDecoderASR(Pretrained):
         return texts, hyps
 
     def transcribe_file(self, path):
+        """Transcribe a single audio file."""
         import jax.numpy as jnp
 
         audio = self.load_audio(path)
@@ -192,6 +195,7 @@ class EncoderASR(Pretrained):
     HPARAMS_NEEDED = ["tokenizer", "blank_index"]
 
     def encode_batch(self, wavs, wav_lens):
+        """Encode a batch of waveforms into embeddings/features."""
         import jax.numpy as jnp
 
         wavs = jnp.asarray(wavs)
@@ -202,6 +206,7 @@ class EncoderASR(Pretrained):
         return self._apply("encoder", feats, wav_lens)
 
     def transcribe_batch(self, wavs, wav_lens):
+        """Transcribe a batch of waveforms."""
         from speechbrain_tpu.decoders.ctc import ctc_greedy_decode
 
         logp = self.encode_batch(wavs, wav_lens)
@@ -219,6 +224,7 @@ class EncoderASR(Pretrained):
         self.tokenizer = self.hparams.tokenizer
 
     def transcribe_file(self, path):
+        """Transcribe a single audio file."""
         import jax.numpy as jnp
 
         audio = self.load_audio(path)
@@ -234,6 +240,7 @@ class EncoderClassifier(Pretrained):
     MODULES_NEEDED = ["embedding_model", "classifier"]
 
     def encode_batch(self, wavs, wav_lens=None, normalize=False):
+        """Encode a batch of waveforms into embeddings/features."""
         import jax.numpy as jnp
 
         wavs = jnp.asarray(wavs)
@@ -253,6 +260,7 @@ class EncoderClassifier(Pretrained):
         return emb
 
     def classify_batch(self, wavs, wav_lens=None):
+        """Posteriors + best class for a batch of waveforms."""
         import jax.numpy as jnp
 
         emb = self.encode_batch(wavs, wav_lens)
@@ -266,6 +274,7 @@ class EncoderClassifier(Pretrained):
         return out_probs, score, index, text_lab
 
     def classify_file(self, path):
+        """Posteriors + best class for one audio file."""
         import jax.numpy as jnp
 
         audio = self.load_audio(path)
@@ -280,6 +289,7 @@ class SpeakerRecognition(EncoderClassifier):
     MODULES_NEEDED = ["embedding_model"]
 
     def verify_batch(self, wavs1, wavs2, wav1_lens=None, wav2_lens=None, threshold=0.25):
+        """Speaker verification scores + decisions for wav pairs."""
         import jax.numpy as jnp
 
         emb1 = self.encode_batch(wavs1, wav1_lens, normalize=True)
@@ -293,6 +303,7 @@ class SpeakerRecognition(EncoderClassifier):
         return score, score > threshold
 
     def verify_files(self, path1, path2, threshold=0.25):
+        """Speaker verification between two audio files."""
         import jax.numpy as jnp
 
         w1 = jnp.asarray(self.load_audio(path1))[None]
@@ -320,6 +331,7 @@ class VAD(Pretrained):
         )
 
     def get_speech_prob_chunk(self, wavs, wav_lens=None):
+        """Frame-level speech probabilities for waveform chunks."""
         import jax.numpy as jnp
 
         wavs = jnp.asarray(wavs)
@@ -471,6 +483,7 @@ class WaveformEncoder(Pretrained):
     MODULES_NEEDED = ["encoder"]
 
     def encode_batch(self, wavs, wav_lens=None):
+        """Encode a batch of waveforms into embeddings/features."""
         import jax.numpy as jnp
 
         wavs = jnp.asarray(wavs)
@@ -479,6 +492,7 @@ class WaveformEncoder(Pretrained):
         return self._apply("encoder", wavs, lengths=wav_lens)
 
     def encode_file(self, path):
+        """Encode a single audio file."""
         import jax.numpy as jnp
 
         audio = self.load_audio(path)
@@ -501,6 +515,7 @@ class EndToEndSLU(Pretrained):
         self.decoder = self.hparams.make_decoder(self)
 
     def encode_batch(self, wavs, wav_lens):
+        """Encode a batch of waveforms into embeddings/features."""
         import jax.numpy as jnp
 
         wavs = jnp.asarray(wavs)
@@ -511,6 +526,7 @@ class EndToEndSLU(Pretrained):
         return self._apply("slu_enc", feats, lengths=wav_lens)
 
     def decode_batch(self, wavs, wav_lens):
+        """Decode a batch into hypotheses/waveforms."""
         enc = self.encode_batch(wavs, wav_lens)
         hyps, scores = self.decoder(enc, wav_lens)[:2]
         texts = [
@@ -519,6 +535,7 @@ class EndToEndSLU(Pretrained):
         return texts, hyps
 
     def decode_file(self, path):
+        """Transcribe a single audio file."""
         import jax.numpy as jnp
 
         audio = self.load_audio(path)
@@ -534,6 +551,7 @@ class SNREstimator(Pretrained):
     MODULES_NEEDED = ["encoder", "encoder_out"]
 
     def estimate_batch(self, mix, predictions):
+        """Estimate SNR for a batch of (mix, predictions)."""
         import jax.numpy as jnp
 
         mix = jnp.asarray(mix)
@@ -588,6 +606,7 @@ class WaveformEnhancement(Pretrained):
     MODULES_NEEDED = ["enhance_model"]
 
     def enhance_batch(self, noisy, lengths=None):
+        """Enhance a batch of noisy waveforms."""
         import jax.numpy as jnp
 
         return self._apply(
@@ -595,6 +614,7 @@ class WaveformEnhancement(Pretrained):
         )
 
     def enhance_file(self, path, output_path=None):
+        """Enhance a single audio file (optionally saving it)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -616,6 +636,7 @@ class Tacotron2TTS(Pretrained):
     HPARAMS_NEEDED = ["text_to_sequence"]
 
     def encode_text(self, texts):
+        """Synthesize mel spectrograms from input texts."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -654,11 +675,13 @@ class HIFIGAN(Pretrained):
     MODULES_NEEDED = ["generator"]
 
     def decode_batch(self, spectrogram):
+        """Decode a batch into hypotheses/waveforms."""
         import jax.numpy as jnp
 
         return self._apply("generator", jnp.asarray(spectrogram))
 
     def decode_spectrogram(self, spectrogram):
+        """Vocode a single spectrogram to a waveform."""
         return self.decode_batch(spectrogram[None])[0]
 
     def __call__(self, spectrogram):
@@ -671,11 +694,13 @@ class SepformerSeparation(Pretrained):
     MODULES_NEEDED = ["masknet"]
 
     def separate_batch(self, mix):
+        """Separate a batch of mixtures into sources."""
         import jax.numpy as jnp
 
         return self._apply("masknet", jnp.asarray(mix))
 
     def separate_file(self, path):
+        """Separate a single mixture file into sources."""
         import jax.numpy as jnp
 
         audio = self.load_audio(path)
@@ -689,6 +714,7 @@ class SpectralMaskEnhancement(Pretrained):
     HPARAMS_NEEDED = ["compute_stft", "compute_istft"]
 
     def compute_features(self, wavs):
+        """Feature extraction for the loaded model."""
         import jax.numpy as jnp
 
         from speechbrain_tpu.processing.features import spectral_magnitude
@@ -697,6 +723,7 @@ class SpectralMaskEnhancement(Pretrained):
         return jnp.log1p(spectral_magnitude(stft, power=0.5))
 
     def enhance_batch(self, noisy, lengths=None):
+        """Enhance a batch of noisy waveforms."""
         import jax.numpy as jnp
 
         from speechbrain_tpu.processing.features import spectral_magnitude
@@ -712,6 +739,7 @@ class SpectralMaskEnhancement(Pretrained):
         )
 
     def enhance_file(self, path, output_path=None):
+        """Enhance a single audio file (optionally saving it)."""
         import jax.numpy as jnp
 
         audio = self.load_audio(path)

@@ -50,25 +50,31 @@ class StatObject_SB:
         self.stat1 = stat1 if stat1 is not None else np.array([], dtype=np.float64)
 
     def save_stat_object(self, filename):
+        """Pickle this stat object to disk."""
         with open(filename, "wb") as f:
             pickle.dump(self, f)
 
     @staticmethod
     def load(filename):
+        """Load state from the given path."""
         with open(filename, "rb") as f:
             return pickle.load(f)
 
     def get_mean_stat1(self):
+        """Mean of first-order stats over segments."""
         return np.mean(self.stat1, axis=0)
 
     def get_total_covariance_stat1(self):
+        """Total covariance of first-order stats."""
         C = self.stat1 - self.get_mean_stat1()
         return np.dot(C.T, C) / self.stat1.shape[0]
 
     def get_model_stat0(self, mod_id):
+        """Zero-order stats of one model id."""
         return self.stat0[self.modelset == mod_id, :]
 
     def get_model_stat1(self, mod_id):
+        """First-order stats of one model id."""
         return self.stat1[self.modelset == mod_id, :]
 
     def sum_stat_per_model(self):
@@ -90,16 +96,20 @@ class StatObject_SB:
         return sts, session_per_model
 
     def center_stat1(self, mu):
+        """Subtract mu from first-order stats."""
         self.stat1 = self.stat1 - mu
 
     def norm_stat1(self):
+        """L2-normalize first-order stats per segment."""
         norms = np.linalg.norm(self.stat1, axis=1, keepdims=True)
         self.stat1 = self.stat1 / np.maximum(norms, 1e-12)
 
     def rotate_stat1(self, R):
+        """Rotate first-order stats by the given matrix."""
         self.stat1 = np.dot(self.stat1, R)
 
     def whiten_stat1(self, mu, sigma):
+        """Whiten first-order stats by sigma (Cholesky or eigen)."""
         eigvals, eigvecs = np.linalg.eigh(sigma)
         ind = eigvals.real.argsort()[::-1]
         eigvals = eigvals.real[ind]
@@ -144,6 +154,7 @@ class LDA:
         self.transform_mat = None
 
     def do_lda(self, stat_server, reduced_dim=2):
+        """Fit the LDA projection from the stat object."""
         unique = np.unique(stat_server.modelset)
         dim = stat_server.stat1.shape[1]
         mu = stat_server.get_mean_stat1()

@@ -145,6 +145,7 @@ class Spec_Clust_unorm:
         self.max_num_spkrs = max_num_spkrs
 
     def do_spec_clust(self, X, k_oracle, p_val):
+        """Full unnormalized spectral clustering pipeline."""
         sim_mat = self.get_sim_mat(X)
         prunned_sim_mat = self.p_pruning(sim_mat, p_val)
         sym_prund_sim_mat = 0.5 * (
@@ -155,12 +156,14 @@ class Spec_Clust_unorm:
         self.cluster_embs(emb, num_of_spk)
 
     def get_sim_mat(self, X):
+        """Cosine similarity matrix of the embeddings."""
         X = np.asarray(X)
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         Xn = X / np.maximum(norms, 1e-12)
         return Xn @ Xn.T
 
     def p_pruning(self, A, pval):
+        """Keep the top-p affinities per row, zero the rest."""
         A = A.copy()
         n = A.shape[0]
         n_keep = max(int(round(pval * n)), 2)
@@ -170,12 +173,14 @@ class Spec_Clust_unorm:
         return A
 
     def get_laplacian(self, M):
+        """Unnormalized graph Laplacian of the pruned sim matrix."""
         M = M.copy()
         np.fill_diagonal(M, 0.0)
         D = np.diag(M.sum(axis=1))
         return D - M
 
     def get_spec_embs(self, L, k_oracle=4):
+        """Spectral embeddings + estimated k from the Laplacian."""
         vals, vecs = np.linalg.eigh(L)
         if k_oracle is not None:
             num_of_spk = k_oracle
@@ -189,6 +194,7 @@ class Spec_Clust_unorm:
         return vecs[:, :num_of_spk], num_of_spk
 
     def cluster_embs(self, emb, k):
+        """Assign embeddings to k clusters via spectral embeddings."""
         from sklearn.cluster import KMeans
 
         km = KMeans(n_clusters=k, n_init=10, random_state=0)

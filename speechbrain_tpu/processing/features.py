@@ -167,6 +167,7 @@ class STFT:
         return out
 
     def get_filter_properties(self):
+        """(sr, hop, n_fft) tuple describing this STFT."""
         return {
             "window_size": self.n_fft,
             "stride": self.hop_length,
@@ -387,10 +388,12 @@ class Filterbank:
 
 
 def hz_to_mel(hz):
+    """Hz to mel scale."""
     return 2595 * np.log10(1 + np.asarray(hz) / 700)
 
 
 def mel_to_hz(mel):
+    """Mel scale to Hz."""
     return 700 * (10 ** (np.asarray(mel) / 2595) - 1)
 
 
@@ -518,6 +521,7 @@ class GlobalNormState:
 
     @staticmethod
     def init(dim):
+        """Fresh accumulator state for the given feature dim."""
         return {
             "count": jnp.zeros((), jnp.float32),
             "mean": jnp.zeros((dim,), jnp.float32),

@@ -127,6 +127,7 @@ class BPEModel:
         return symbols
 
     def encode_as_pieces(self, text):
+        """Text to list of subword pieces (BPE merges)."""
         pieces = []
         for word in text.strip().split():
             if self.model_type == "word":
@@ -140,12 +141,14 @@ class BPEModel:
         return pieces
 
     def encode_as_ids(self, text):
+        """Text to list of piece ids."""
         return [
             self.piece2id.get(p, self.unk_id)
             for p in self.encode_as_pieces(text)
         ]
 
     def decode_ids(self, ids):
+        """Ids back to text."""
         pieces = [
             self.pieces[i] if 0 <= i < len(self.pieces) else ""
             for i in ids
@@ -153,23 +156,28 @@ class BPEModel:
         return self.decode_pieces(pieces)
 
     def decode_pieces(self, pieces):
+        """Pieces back to text (strip word markers)."""
         text = "".join(
             p for p in pieces if p not in self.special_tokens
         )
         return text.replace(WORD_BOUNDARY, " ").strip()
 
     def get_piece_size(self):
+        """Vocabulary size."""
         return len(self.pieces)
 
     def id_to_piece(self, i):
+        """Id to piece string."""
         return self.pieces[i]
 
     def piece_to_id(self, piece):
+        """Piece string to id (unk id if absent)."""
         return self.piece2id.get(piece, self.unk_id)
 
     # -- persistence -------------------------------------------------------
 
     def save(self, path):
+        """Write the model (vocab+merges) as JSON."""
         with open(path, "w") as f:
             json.dump(
                 {
@@ -186,6 +194,7 @@ class BPEModel:
 
     @classmethod
     def load(cls, path):
+        """Load state from the given path."""
         with open(path) as f:
             data = json.load(f)
         model = cls(

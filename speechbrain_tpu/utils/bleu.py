@@ -95,6 +95,7 @@ class BLEUStats(MetricStats):
         self.merge_words = merge_words
 
     def clear(self):
+        """Reset accumulated statistics."""
         self.ids = []
         self.predicts = []
         self.targets = []
@@ -107,12 +108,14 @@ class BLEUStats(MetricStats):
         self.targets.extend(targets)
 
     def summarize(self, field=None):
+        """Return the requested summary statistic(s)."""
         self.summary = corpus_bleu(self.predicts, self.targets)
         if field is not None:
             return self.summary[field]
         return self.summary
 
     def write_stats(self, filestream):
+        """Write a detailed report to the given stream."""
         if not self.summary:
             self.summarize()
         print(f"BLEU: {self.summary['BLEU']:.2f}", file=filestream)

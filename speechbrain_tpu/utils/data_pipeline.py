@@ -48,9 +48,11 @@ class DynamicItem:
         return self.func(*args)
 
     def next_takes(self):
+        """Keys this item consumes."""
         return self.takes
 
     def next_provides(self):
+        """Keys this item provides."""
         return self.provides
 
     def provided_in_order(self):
@@ -58,6 +60,7 @@ class DynamicItem:
         return [self.provides]
 
     def reset(self):
+        """Reset iteration state."""
         pass
 
 
@@ -82,18 +85,21 @@ class GeneratorDynamicItem(DynamicItem):
         return out
 
     def next_takes(self):
+        """Keys this item consumes."""
         # Arguments are consumed only when the generator is created.
         if self.current_generator is None:
             return self.takes
         return []
 
     def next_provides(self):
+        """Keys this item provides."""
         keys = self.provides[self.num_provided_items]
         if isinstance(keys, str):
             return [keys]
         return list(keys)
 
     def provided_in_order(self):
+        """Provided-key groups in generator yield order."""
         out = []
         for keys in self.provides:
             if isinstance(keys, str):
@@ -103,6 +109,7 @@ class GeneratorDynamicItem(DynamicItem):
         return out
 
     def reset(self):
+        """Reset iteration state."""
         if self.current_generator is not None:
             self.current_generator.close()
         self.current_generator = None
@@ -169,11 +176,13 @@ class DataPipeline:
         self.set_output_keys(output_keys)
 
     def add_static_keys(self, static_keys):
+        """Declare keys that exist in the raw data dict."""
         for key in static_keys:
             node_id = self.dg.add_node(data=StaticItem(key=key))
             self.key_to_node[key] = node_id
 
     def add_dynamic_items(self, dynamic_items):
+        """Add several dynamic items at once."""
         for item in dynamic_items:
             if isinstance(item, dict):
                 self.add_dynamic_item(**item)
@@ -295,6 +304,7 @@ class DataPipeline:
         }
 
     def get_selected_node_ids(self, selected_keys):
+        """Dependency-ordered node ids computing the given keys."""
         return [self.key_to_node[key] for key in selected_keys]
 
     def _prepare_run(self, data):

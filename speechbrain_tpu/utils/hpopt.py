@@ -45,6 +45,7 @@ class GenericHyperparameterOptimizationReporter:
         self.output = output or sys.stdout
 
     def report_objective(self, result):
+        """Report the objective value to the hpopt backend."""
         json.dump(
             {
                 **result,
@@ -56,10 +57,12 @@ class GenericHyperparameterOptimizationReporter:
 
     @property
     def is_available(self):
+        """Whether this backend/resource can be used here."""
         return True
 
     @property
     def trial_id(self):
+        """Identifier of the current hyperparameter trial."""
         return "hpopt"
 
 
@@ -79,15 +82,18 @@ class OrionHyperparameterOptimizationReporter:
             self._available = False
 
     def report_objective(self, result):
+        """Report the objective value to the hpopt backend."""
         if self._report is not None:
             self._report(result.get(self.objective_key))
 
     @property
     def is_available(self):
+        """Whether this backend/resource can be used here."""
         return self._available
 
     @property
     def trial_id(self):
+        """Identifier of the current hyperparameter trial."""
         import os
 
         return os.environ.get("ORION_TRIAL_ID", "orion")

@@ -139,6 +139,7 @@ class _Resolver:
         self.resolving = set()
 
     def resolve(self, node):
+        """Resolve a parsed node tree into python objects."""
         node_id = id(node)
         if node_id in self.cache:
             return self.cache[node_id]

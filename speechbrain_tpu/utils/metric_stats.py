@@ -59,11 +59,13 @@ class MetricStats:
         self.clear()
 
     def clear(self):
+        """Reset accumulated statistics."""
         self.scores = []
         self.ids = []
         self.summary = {}
 
     def append(self, ids, *args, **kwargs):
+        """Accumulate a batch of ids/predictions/targets."""
         self.ids.extend(ids)
         args = [_to_numpy(a) for a in args]
         kwargs = {k: _to_numpy(v) for k, v in kwargs.items()}
@@ -71,6 +73,7 @@ class MetricStats:
         self.scores.extend(scores.tolist())
 
     def summarize(self, field=None):
+        """Return the requested summary statistic(s)."""
         scores = np.asarray(self.scores, dtype=np.float64)
         min_index = int(np.argmin(scores)) if len(scores) else 0
         max_index = int(np.argmax(scores)) if len(scores) else 0
@@ -86,6 +89,7 @@ class MetricStats:
         return self.summary
 
     def write_stats(self, filestream, verbose=False):
+        """Write a detailed report to the given stream."""
         if not self.summary:
             self.summarize()
         message = f"Average score: {self.summary['average']}\n"
@@ -126,6 +130,7 @@ class ErrorRateStats(MetricStats):
         self.space_token = space_token
 
     def clear(self):
+        """Reset accumulated statistics."""
         self.scores = []
         self.ids = []
         self.summary = {}
@@ -139,6 +144,7 @@ class ErrorRateStats(MetricStats):
         target_len=None,
         ind2lab=None,
     ):
+        """Accumulate a batch of ids/predictions/targets."""
         self.ids.extend(ids)
         if predict_len is not None:
             predict = undo_padding(predict, predict_len)
@@ -157,6 +163,7 @@ class ErrorRateStats(MetricStats):
         self.scores.extend(scores)
 
     def summarize(self, field=None):
+        """Return the requested summary statistic(s)."""
         self.summary = wer_summary(self.scores)
         self.summary["error_rate"] = self.summary["WER"]
         if field is not None:
@@ -204,11 +211,13 @@ class AccuracyStats(MetricStats):
         self.clear()
 
     def clear(self):
+        """Reset accumulated statistics."""
         self.correct = 0.0
         self.total = 0.0
         self.summary = {}
 
     def append(self, log_probabilities, targets, length=None):
+        """Accumulate a batch of ids/predictions/targets."""
         log_probabilities = _to_numpy(log_probabilities)
         targets = _to_numpy(targets)
         if length is not None:
@@ -224,6 +233,7 @@ class AccuracyStats(MetricStats):
         self.total += float(mask.sum())
 
     def summarize(self, field=None):
+        """Return the requested summary statistic(s)."""
         acc = self.correct / max(1.0, self.total)
         self.summary = {"accuracy": acc, "correct": self.correct, "total": self.total}
         if field is not None:
@@ -241,17 +251,20 @@ class BinaryMetricStats(MetricStats):
         self.clear()
 
     def clear(self):
+        """Reset accumulated statistics."""
         self.ids = []
         self.scores = []
         self.labels = []
         self.summary = {}
 
     def append(self, ids, scores, labels):
+        """Accumulate a batch of ids/predictions/targets."""
         self.ids.extend(ids)
         self.scores.extend(np.atleast_1d(_to_numpy(scores)).tolist())
         self.labels.extend(np.atleast_1d(_to_numpy(labels)).tolist())
 
     def summarize(self, field=None, threshold=None, beta=1, eps=1e-8):
+        """Return the requested summary statistic(s)."""
         scores = np.asarray(self.scores, dtype=np.float64)
         labels = np.asarray(self.labels, dtype=np.float64)
         if threshold is None:
@@ -350,6 +363,7 @@ class ClassificationStats(MetricStats):
         self.clear()
 
     def clear(self):
+        """Reset accumulated statistics."""
         self.ids = []
         self.predictions = []
         self.targets = []
@@ -357,6 +371,7 @@ class ClassificationStats(MetricStats):
         self.summary = {}
 
     def append(self, ids, predictions, targets, categories=None):
+        """Accumulate a batch of ids/predictions/targets."""
         self.ids.extend(ids)
         self.predictions.extend(predictions)
         self.targets.extend(targets)
@@ -366,6 +381,7 @@ class ClassificationStats(MetricStats):
             self.categories.extend([None] * len(ids))
 
     def summarize(self, field=None):
+        """Return the requested summary statistic(s)."""
         correct = sum(
             p == t for p, t in zip(self.predictions, self.targets)
         )
@@ -391,6 +407,7 @@ class ClassificationStats(MetricStats):
         return self.summary
 
     def write_stats(self, filestream):
+        """Write a detailed report to the given stream."""
         if not self.summary:
             self.summarize()
         filestream.write(f"Overall accuracy: {self.summary['accuracy']:.2%}\n")

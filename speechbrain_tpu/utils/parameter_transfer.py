@@ -41,9 +41,11 @@ class Pretrainer:
         self.is_local = []
 
     def add_loadables(self, loadables):
+        """Register objects whose parameters get fetched+loaded."""
         self.loadables.update(loadables)
 
     def add_paths(self, paths):
+        """Register source paths for named loadables."""
         self.paths.update(paths)
 
     def collect_files(self, default_source=None):

@@ -26,6 +26,7 @@ class TrainLogger:
         test_stats=None,
         verbose=False,
     ):
+        """Log one stats entry (epoch/train/valid/test)."""
         raise NotImplementedError
 
 
@@ -62,6 +63,7 @@ class FileTrainLogger(TrainLogger):
         test_stats=None,
         verbose=True,
     ):
+        """Log one stats entry (epoch/train/valid/test)."""
         string_summary = self._stats_to_string(stats_meta)
         for dataset, stats in [
             ("train", train_stats),
@@ -98,6 +100,7 @@ class TensorboardLogger(TrainLogger):
         test_stats=None,
         verbose=False,
     ):
+        """Log one stats entry (epoch/train/valid/test)."""
         if self.writer is None:
             return
         self.global_step["meta"] += 1
@@ -143,6 +146,7 @@ class WandBLogger(TrainLogger):
         test_stats=None,
         verbose=False,
     ):
+        """Log one stats entry (epoch/train/valid/test)."""
         logs = {}
         for dataset, stats in [
             ("train", train_stats),

@@ -10,6 +10,7 @@ FREQS = [220.0, 880.0, 3520.0]
 
 
 def prepare_mini_data(data_folder="./data", n_per_class=10, seed=0):
+    """Generate the synthetic mini speaker dataset + manifests."""
     from speechbrain_tpu.dataio.dataio import write_audio
 
     os.makedirs(data_folder, exist_ok=True)

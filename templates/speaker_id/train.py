@@ -32,7 +32,9 @@ from speechbrain_tpu.utils.metric_stats import AccuracyStats
 
 
 class SpeakerBrain(sb.Brain):
+    """Brain for speaker-id training (template recipe)."""
     def compute_forward(self, batch, stage):
+        """Features -> embeddings -> class posteriors."""
         feats = self.hparams.compute_features(batch["sig"])
         emb = self.modules.embedding_model(
             feats, lengths=batch["sig_lens"]
@@ -40,6 +42,7 @@ class SpeakerBrain(sb.Brain):
         return self.modules.classifier(emb[:, 0])
 
     def compute_objectives(self, predictions, batch, stage):
+        """Classification loss (+error metrics off-train)."""
         loss = nll_loss(
             predictions, batch["spk_id"], length=batch["batch_mask"]
         )
@@ -52,10 +55,12 @@ class SpeakerBrain(sb.Brain):
         return loss
 
     def on_stage_start(self, stage, epoch=None):
+        """Prepare metrics at stage start."""
         if stage != Stage.TRAIN:
             self.acc = AccuracyStats()
 
     def on_stage_end(self, stage, stage_loss, epoch=None):
+        """Log stats and checkpoint at stage end."""
         if stage == Stage.VALID:
             self.hparams.train_logger.log_stats(
                 {"epoch": epoch},
@@ -72,6 +77,7 @@ class SpeakerBrain(sb.Brain):
 
 
 def dataio_prep(hparams):
+    """Build datasets and the label encoder from the manifests."""
     from speechbrain_tpu.dataio.dataio import read_audio
 
     datasets = {}

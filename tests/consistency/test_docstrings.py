@@ -1,0 +1,22 @@
+"""Repo-QA consistency: every public function/class has a docstring,
+and URL collection works (reference tests/consistency/test_docstrings.py).
+"""
+
+from speechbrain_tpu.utils.check_docstrings import (
+    check_docstrings,
+    missing_docstrings,
+)
+from speechbrain_tpu.utils.check_url import get_all_urls
+
+
+def test_docstrings_present():
+    """The whole package + templates carry docstrings."""
+    missing = missing_docstrings(".", ["speechbrain_tpu", "templates"])
+    assert not missing, f"Missing docstrings: {missing[:10]}"
+    assert check_docstrings(".", ["speechbrain_tpu", "templates"])
+
+
+def test_url_collection():
+    """URL scraping runs offline over the repo docs."""
+    urls = get_all_urls(["README.md"])
+    assert isinstance(urls, dict)
