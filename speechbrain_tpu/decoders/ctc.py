@@ -88,6 +88,7 @@ class CTCPrefixScorer:
     def __init__(self, x, enc_lens, batch_size, beam_size, blank_index, eos_index, ctc_window_size=0):
         self.blank_index = blank_index
         self.eos_index = eos_index
+        self.ctc_window_size = int(ctc_window_size)
         self.batch_size = batch_size
         self.beam_size = beam_size
         self.minus_inf = -1e20
@@ -185,20 +186,47 @@ class CTCPrefixScorer:
         psi_init_0 = jnp.full((n, width), self.minus_inf)
         r_b0 = jnp.full((n, width), self.minus_inf)
 
+        # Attention-window mode (reference ctc.py:190-197): restrict the
+        # time recursion to [min(attn_peak)-W, max(attn_peak)+W).  The
+        # reference extracts the bounds with .item() (host sync +
+        # dynamic loop range); here they stay traced and the scan is
+        # masked — identical numerics, static shapes, no sync.
+        win_lo = win_hi = None
+        if self.ctc_window_size > 0 and attn is not None:
+            attn = jnp.asarray(attn)
+            if attn.ndim == 4:  # (n, heads, q, T): avg heads, last q
+                attn = attn.mean(axis=1)[:, -1, :]
+            elif attn.ndim == 3:  # (n, q, T): last query step
+                attn = attn[:, -1, :]
+            attn_peak = jnp.argmax(attn, axis=-1)  # (n,)
+            win_lo = jnp.maximum(
+                jnp.max(jnp.asarray(state["step"], jnp.int32)),
+                jnp.min(attn_peak) - self.ctc_window_size,
+            )
+            win_lo = jnp.maximum(win_lo, 1)
+            win_hi = jnp.minimum(
+                self.T, jnp.max(attn_peak) + self.ctc_window_size
+            )
+
         def scan_fn(carry, inputs):
             r_nb_prev, r_b_prev, psi_acc = carry
-            x_t, xb_t, phi_tm1 = inputs
+            x_t, xb_t, phi_tm1, t = inputs
             r_nb = jnp.logaddexp(r_nb_prev, phi_tm1) + x_t
             r_b = jnp.logaddexp(r_nb_prev, r_b_prev) + xb_t
-            psi_acc = jnp.logaddexp(psi_acc, phi_tm1 + x_t)
-            return (r_nb, r_b, psi_acc), (r_nb, r_b)
+            psi_new = jnp.logaddexp(psi_acc, phi_tm1 + x_t)
+            if win_lo is not None:
+                inside = (t >= win_lo) & (t < win_hi)
+                r_nb = jnp.where(inside, r_nb, self.minus_inf)
+                r_b = jnp.where(inside, r_b, self.minus_inf)
+                psi_new = jnp.where(inside, psi_new, psi_acc)
+            return (r_nb, r_b, psi_new), (r_nb, r_b)
 
         # psi = logaddexp over t of phi[t-1] + x[t, c], plus init term
         psi0 = jnp.logaddexp(psi_init_0, r_nb0)
         (r_nb_T, r_b_T, psi), (r_nbs, r_bs) = jax.lax.scan(
             scan_fn,
             (r_nb0, r_b0, psi0),
-            (xc[1:], xb[1:], phi[:-1]),
+            (xc[1:], xb[1:], phi[:-1], jnp.arange(1, self.T)),
         )
         r_nbs = jnp.concatenate([r_nb0[None], r_nbs], axis=0)
         r_bs = jnp.concatenate([r_b0[None], r_bs], axis=0)

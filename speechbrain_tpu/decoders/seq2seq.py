@@ -213,6 +213,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
         self.ctc_weight = ctc_weight
         self.blank_index = blank_index
         self.ctc_score_mode = ctc_score_mode
+        self.ctc_window_size = ctc_window_size
         self.minus_inf = minus_inf
         if length_normalization and length_rewarding > 0:
             raise ValueError(
@@ -255,7 +256,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
         if self.ctc_weight > 0:
             x_ctc = self.ctc_forward_step(enc_states)
             ctc_scorer = CTCPrefixScorer(
-                x_ctc, enc_lens, B, beam, self.blank_index, self.eos_index
+                x_ctc, enc_lens, B, beam, self.blank_index,
+                self.eos_index, ctc_window_size=self.ctc_window_size,
             )
             ctc_state = ctc_scorer.init_state()
 
@@ -300,7 +302,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     K = min(2 * beam, V)
                     _, cand = jax.lax.top_k(full_scores, K)  # (n, K)
                     ctc_scores, ctc_state = ctc_scorer.forward_step(
-                        inp, ctc_state, candidates=cand
+                        inp, ctc_state, candidates=cand, attn=attn
                     )
                     mixed = jnp.full_like(full_scores, self.minus_inf)
                     row_idx = jnp.arange(n)[:, None]
@@ -312,7 +314,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     full_scores = mixed
                 else:
                     ctc_scores, ctc_state = ctc_scorer.forward_step(
-                        inp, ctc_state
+                        inp, ctc_state, attn=attn
                     )
                     full_scores = (
                         (1.0 - self.ctc_weight) * full_scores

@@ -242,3 +242,45 @@ def test_transducer_beam_equals_greedy_when_peaked():
     b, _ = beam(jnp.asarray(enc))
     assert g[0] == [2]
     assert b[0] == [2]
+
+
+def test_ctc_prefix_scorer_attention_window():
+    """Windowed CTC prefix scoring: a full-width window reproduces the
+    unwindowed scores exactly; a narrow window confines the alignment."""
+    import numpy as np
+
+    from speechbrain_tpu.decoders.ctc import CTCPrefixScorer
+
+    rng = np.random.default_rng(11)
+    B, beam, T, V = 1, 2, 12, 6
+    x = np.log(
+        rng.dirichlet(np.ones(V), size=(B, T)).astype(np.float32)
+    )
+    enc_lens = np.ones(B)
+    n = B * beam
+
+    full = CTCPrefixScorer(x, enc_lens, B, beam, blank_index=0, eos_index=1)
+    wide = CTCPrefixScorer(
+        x, enc_lens, B, beam, blank_index=0, eos_index=1,
+        ctc_window_size=T,
+    )
+    narrow = CTCPrefixScorer(
+        x, enc_lens, B, beam, blank_index=0, eos_index=1,
+        ctc_window_size=1,
+    )
+    inp = np.full(n, 2, np.int64)
+    # Attention peaked at frame 5 for every row.
+    attn = np.zeros((n, T), np.float32)
+    attn[:, 5] = 1.0
+
+    s_full, st_full = full.forward_step(inp, None)
+    s_wide, st_wide = wide.forward_step(inp, None, attn=attn)
+    # Window [5-12, 5+12) covers all frames -> identical scores.
+    assert np.allclose(np.asarray(s_full), np.asarray(s_wide), atol=1e-5)
+
+    s_nar, _ = narrow.forward_step(inp, None, attn=attn)
+    s_nar = np.asarray(s_nar)
+    # Narrow window [4, 6) restricts the alignment mass: scores differ
+    # from full scoring but stay finite for real candidates.
+    assert not np.allclose(s_nar, np.asarray(s_full), atol=1e-3)
+    assert np.isfinite(s_nar[:, 2:]).all()
