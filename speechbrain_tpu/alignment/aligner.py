@@ -65,11 +65,43 @@ class HMMAligner:
     """
 
     def __init__(
-        self, states_per_phoneme=1, output_folder="", neg_inf=-1e20
+        self,
+        states_per_phoneme=1,
+        output_folder="",
+        neg_inf=-1e20,
+        lexicon_path=None,
     ):
         self.states_per_phoneme = states_per_phoneme
         self.neg_inf = neg_inf
         self.align_dict = {}
+        self.lexicon = None
+        if lexicon_path is not None:
+            self._load_lexicon(lexicon_path)
+
+    def _load_lexicon(self, lexicon_path):
+        """Parse a ``word phn1 phn2 ...`` lexicon file with repeated
+        lines for alternative pronunciations (reference aligner
+        ``__init__`` lexicon branch, aligner.py:98-136)."""
+        lexicon = {}
+        phones = set()
+        with open(lexicon_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                word, pron = parts[0], " ".join(parts[1:])
+                phones.update(parts[1:])
+                if word in lexicon:
+                    lexicon[word][len(lexicon[word])] = pron
+                else:
+                    lexicon[word] = {0: pron}
+        self.lexicon = lexicon
+        phones = sorted(phones)
+        # sil reserved at index 0 (not usually in the lexicon itself).
+        self.lex_lab2ind = {p: i + 1 for i, p in enumerate(phones)}
+        self.lex_ind2lab = {i + 1: p for i, p in enumerate(phones)}
+        self.lex_lab2ind["sil"] = 0
+        self.lex_ind2lab[0] = "sil"
 
     def _build_graph(self, phns):
         """Expand phones to HMM states: (U * states_per_phoneme,) ids."""
@@ -183,6 +215,211 @@ class HMMAligner:
 
     def __call__(self, emission_pred, lens, phns, phn_lens, dp="forward"):
         return self.forward(emission_pred, lens, phns, phn_lens, dp)
+
+    # -- lexicon graphs (multi-pronunciation alignment) -----------------
+
+    def _use_lexicon(self, words, interword_sils, sample_pron):
+        """Build one utterance's HMM graph from the lexicon: optional
+        silences, one branch per pronunciation (reference aligner.py:138).
+
+        Returns (phoneme_state_ids, log transition matrix, start states,
+        final states) — all numpy/python.
+        """
+        import random as _random
+
+        spp = self.states_per_phoneme
+        sil = self.silence_index
+        n_states = 0
+        words_prime = []  # [word_idx, [state seqs per pron], is_sil]
+        phoneme_indices = []
+        word_index = 0
+
+        def add_sil():
+            nonlocal n_states, word_index
+            words_prime.append(
+                [word_index, [[n_states + i for i in range(spp)]], True]
+            )
+            phoneme_indices.extend(sil * spp + i for i in range(spp))
+            n_states += spp
+            word_index += 1
+
+        for word in words:
+            if word_index == 0 or interword_sils:
+                add_sil()
+            entry = [word_index, [], False]
+            prons = list(self.lexicon[word].values())
+            if sample_pron and len(prons) > 1:
+                prons = [_random.choice(prons)]
+            for pron_idx, pron in enumerate(prons):
+                entry[1].append([])
+                for p in pron.split():
+                    phoneme_indices.extend(
+                        self.lex_lab2ind[p] * spp + i for i in range(spp)
+                    )
+                    entry[1][pron_idx].extend(
+                        n_states + i for i in range(spp)
+                    )
+                    n_states += spp
+            words_prime.append(entry)
+            word_index += 1
+        add_sil()  # optional final silence
+
+        trans = np.eye(n_states)  # self-loops
+        final_states = []
+        for entry in words_prime:
+            word_idx, prons, is_sil = entry
+            next_word_exists = word_idx < len(words_prime) - 2
+            last_states = [p[-1] for p in prons]
+            for pron in prons:
+                for a, b in zip(pron[:-1], pron[1:]):
+                    trans[a, b] = 1.0
+            if next_word_exists:
+                nxt = word_idx + (1 if (is_sil or not interword_sils) else 2)
+                for ls in last_states:
+                    for pron in words_prime[nxt][1]:
+                        trans[ls, pron[0]] = 1.0
+            else:
+                final_states += last_states
+            if not is_sil:
+                sil_start = words_prime[word_idx + 1][1][0][0]
+                for ls in last_states:
+                    trans[ls, sil_start] = 1.0
+        with np.errstate(divide="ignore"):
+            log_trans = np.where(trans == 1.0, 0.0, -np.inf)
+        log_trans = log_trans - jax.nn.logsumexp(
+            jnp.asarray(log_trans), axis=1, keepdims=True
+        )
+        log_trans = np.nan_to_num(
+            np.asarray(log_trans), nan=self.neg_inf, neginf=self.neg_inf
+        )
+        start_states = [words_prime[0][1][0][0]] + [
+            p[0] for p in words_prime[1][1]
+        ]
+        return (
+            np.asarray(phoneme_indices, np.int64),
+            log_trans,
+            start_states,
+            final_states,
+        )
+
+    def use_lexicon(self, words, interword_sils=True, sample_pron=False):
+        """Batched lexicon graphs (reference aligner.py:294).
+
+        Arguments
+        ---------
+        words : list[list[str]] transcripts per utterance.
+        interword_sils : bool — optional silences between words (else
+            only at utterance edges).
+        sample_pron : bool — sample one pronunciation instead of
+            keeping all branches.
+
+        Returns (poss_phns (B, U), poss_phn_lens rel (B,), trans_prob
+        (B, U, U), pi_prob (B, U), final_states list[list[int]]).
+        """
+        self.silence_index = self.lex_lab2ind["sil"]
+        rows = [
+            self._use_lexicon(ws, interword_sils, sample_pron)
+            for ws in words
+        ]
+        U_max = max(len(r[0]) for r in rows)
+        B = len(rows)
+        poss_phns = np.zeros((B, U_max), np.int64)
+        trans_prob = np.full((B, U_max, U_max), self.neg_inf)
+        pi_prob = np.full((B, U_max), self.neg_inf)
+        lens = np.zeros(B)
+        final_states = []
+        for b, (phns_b, trans_b, starts_b, finals_b) in enumerate(rows):
+            U = len(phns_b)
+            poss_phns[b, :U] = phns_b
+            trans_prob[b, :U, :U] = trans_b
+            # padding states: absorbing self-loops keep the DP benign
+            for u in range(U, U_max):
+                trans_prob[b, u, u] = 0.0
+            pi = np.full(U_max, self.neg_inf)
+            pi[starts_b] = 1.0
+            pi_prob[b] = pi - jax.nn.logsumexp(jnp.asarray(pi))
+            lens[b] = U / U_max
+            final_states.append(finals_b)
+        return (
+            jnp.asarray(poss_phns),
+            jnp.asarray(lens),
+            jnp.asarray(trans_prob),
+            jnp.asarray(pi_prob),
+            final_states,
+        )
+
+    def forward_graph(
+        self,
+        emission_pred,
+        lens,
+        poss_phns,
+        poss_phn_lens,
+        trans_prob,
+        pi_prob,
+        final_states,
+        dp="forward",
+    ):
+        """Alignment DP over an arbitrary transition graph (the lexicon
+        path of reference ``forward(prob_matrices=...)``, aligner.py:819).
+
+        forward: (B,) log-likelihood summed over final states.
+        viterbi: ((B,) best-path scores, alignments list[list[int]]).
+        """
+        emission_pred = jnp.asarray(emission_pred)
+        B, T, _ = emission_pred.shape
+        poss_phns = jnp.asarray(poss_phns, jnp.int32)
+        U = poss_phns.shape[1]
+        abs_T = jnp.round(jnp.asarray(lens) * T).astype(jnp.int32)
+        abs_U = jnp.round(jnp.asarray(poss_phn_lens) * U).astype(jnp.int32)
+        emis = self._emission(emission_pred, poss_phns)  # (B, T, U)
+        u_valid = jnp.arange(U)[None, :] < abs_U[:, None]
+        emis = jnp.where(u_valid[:, None, :], emis, self.neg_inf)
+        A = jnp.swapaxes(jnp.asarray(trans_prob), 1, 2)  # in->out
+        emis_t = jnp.swapaxes(emis, 0, 1)  # (T, B, U)
+        alpha0 = jnp.asarray(pi_prob) + emis[:, 0]
+        final_mask = jnp.full((B, U), False)
+        for b, fs in enumerate(final_states):
+            final_mask = final_mask.at[b, jnp.asarray(fs)].set(True)
+        ts = jnp.arange(1, T)
+
+        if dp == "forward":
+            def fwd_step(alpha, inputs):
+                e_t, t = inputs
+                new = batch_log_matvecmul(A, alpha) + e_t
+                # Freeze rows whose utterance already ended.
+                alpha = jnp.where((t < abs_T)[:, None], new, alpha)
+                return alpha, None
+
+            alpha_T, _ = jax.lax.scan(fwd_step, alpha0, (emis_t[1:], ts))
+            score = jnp.where(final_mask, alpha_T, self.neg_inf)
+            return jax.nn.logsumexp(score, axis=-1)
+
+        def vit_step(alpha, inputs):
+            e_t, t = inputs
+            best, arg = batch_log_maxvecmul(A, alpha)
+            active = (t < abs_T)[:, None]
+            alpha = jnp.where(active, best + e_t, alpha)
+            # Self-point frozen rows so backtrace stays put.
+            arg = jnp.where(active, arg, jnp.arange(U)[None, :])
+            return alpha, arg
+
+        alpha_T, args = jax.lax.scan(vit_step, alpha0, (emis_t[1:], ts))
+        score_masked = jnp.where(final_mask, alpha_T, self.neg_inf)
+        scores = jnp.max(score_masked, axis=-1)
+        # Host backtrace (decode-time path, like the reference).
+        args_np = np.asarray(args)  # (T-1, B, U)
+        final_t = np.asarray(jnp.clip(abs_T - 1, 0, T - 1))
+        phns_np = np.asarray(poss_phns)
+        u_best = np.asarray(jnp.argmax(score_masked, axis=-1))
+        alignments = []
+        for b in range(B):
+            u = int(u_best[b])
+            path = [int(phns_np[b, u])]
+            for t in range(int(final_t[b]) - 1, -1, -1):
+                u = int(args_np[t, b, u])
+                path.append(int(phns_np[b, u]))
+            alignments.append(path[::-1])
+        return scores, alignments
 
     # -- alignment storage (flat-start training support) ----------------
 

@@ -107,3 +107,55 @@ def test_bleu_corpus():
     )
     bleu = stats.summarize("BLEU")
     assert 0 < bleu <= 100.0
+
+
+def test_hmm_aligner_lexicon():
+    """Multi-pronunciation lexicon graphs: topology matches the
+    reference example, forward/viterbi DP match brute-force path
+    enumeration over the graph."""
+    from itertools import product
+
+    import numpy as np
+
+    from speechbrain_tpu.alignment.aligner import HMMAligner
+
+    al = HMMAligner()
+    al.lexicon = {"a": {0: "a"}, "b": {0: "b", 1: "c"}}
+    al.lex_lab2ind = {"sil": 0, "a": 1, "b": 2, "c": 3}
+    words = [["a", "b"]]
+    poss, lens, trans, pi, finals = al.use_lexicon(
+        words, interword_sils=True
+    )
+    assert np.asarray(poss).tolist() == [[0, 1, 0, 2, 3, 0]]
+    assert finals == [[3, 4, 5]]
+    tr = np.asarray(trans)[0]
+    assert np.isclose(tr[0, 0], np.log(0.5), atol=1e-4)
+    assert np.isclose(tr[1, 4], np.log(0.25), atol=1e-4)
+    poss2, _, _, _, finals2 = al.use_lexicon(words, interword_sils=False)
+    assert np.asarray(poss2).tolist() == [[0, 1, 2, 3, 0]]
+    assert finals2 == [[2, 3, 4]]
+
+    rng = np.random.default_rng(0)
+    T, V = 4, 5
+    em = np.log(rng.dirichlet(np.ones(V), size=(1, T)).astype(np.float32))
+    fwd = al.forward_graph(
+        em, np.ones(1), poss, lens, trans, pi, finals, dp="forward"
+    )
+    vit, alis = al.forward_graph(
+        em, np.ones(1), poss, lens, trans, pi, finals, dp="viterbi"
+    )
+    U = poss.shape[1]
+    pi_np, tr_np, poss_np = (
+        np.asarray(pi)[0], np.asarray(trans)[0], np.asarray(poss)[0],
+    )
+    tot, best = -np.inf, -np.inf
+    for path in product(range(U), repeat=T):
+        lp = pi_np[path[0]] + em[0, 0, poss_np[path[0]]]
+        for t in range(1, T):
+            lp += tr_np[path[t - 1], path[t]] + em[0, t, poss_np[path[t]]]
+        if path[-1] in finals[0]:
+            tot = np.logaddexp(tot, lp)
+            best = max(best, lp)
+    assert np.isclose(float(fwd[0]), tot, atol=1e-4)
+    assert np.isclose(float(vit[0]), best, atol=1e-4)
+    assert len(alis[0]) == T
