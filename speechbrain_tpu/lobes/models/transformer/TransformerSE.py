@@ -71,6 +71,11 @@ class CNNTransformerSE(nn.Module):
             )
         if self.custom_emb_module is not None:
             x = self.custom_emb_module(x)
+        if x.shape[-1] != self.d_model:
+            # Default input projection onto d_model (the reference
+            # relies on custom_emb_module for this; a Dense keeps the
+            # module usable standalone).
+            x = nn.Dense(self.d_model, name="in_proj")(x)
         enc_out, _ = TransformerEncoder(
             num_layers=self.num_layers,
             nhead=self.nhead,

@@ -384,10 +384,16 @@ def cal_si_snr(source, estimate_source):
     return 10 * jnp.log10(ratio + eps)
 
 
-def get_si_snr_with_pitwrapper(source, estimate_source):
-    """PIT-wrapped negative SI-SNR loss (B, T, C)."""
+def get_si_snr_with_pitwrapper(source, estimate_source, reduction="mean"):
+    """PIT-wrapped negative SI-SNR loss (B, T, C).
+
+    ``reduction``: "mean" (default) or "none" for per-example losses
+    (lets callers weight out padded batch rows).
+    """
     pit = PitWrapper(lambda p, t: -cal_si_snr(t, p))
     loss, perms = pit(estimate_source, source)
+    if reduction == "none":
+        return loss
     return loss.mean()
 
 

@@ -18,6 +18,7 @@ __all__ = [
     "notch_filter",
     "overlap_and_add",
     "dB_to_amplitude",
+    "resynthesize",
 ]
 
 
@@ -235,3 +236,34 @@ def overlap_and_add(signal, frame_step):
     out = jnp.zeros((flat.shape[0], time), dtype=signal.dtype)
     out = out.at[:, idx].add(flat.reshape(flat.shape[0], -1))
     return out.reshape(lead_dims + (time,))
+
+
+def resynthesize(enhanced_mag, noisy_inputs, stft, istft, normalize_wavs=True):
+    """Resynthesize waveforms: enhanced magnitude + noisy phase -> iSTFT.
+
+    Parity target: reference ``processing/signal_processing.py:486``.
+
+    Arguments
+    ---------
+    enhanced_mag : (batch, frames, freq) predicted spectral magnitude.
+    noisy_inputs : (batch, time) noisy waveforms (phase source).
+    stft, istft : STFT/ISTFT callables from ``processing.features``.
+    normalize_wavs : bool — peak-normalize outputs.
+    """
+    noisy_feats = stft(noisy_inputs)
+    noisy_phase = jnp.arctan2(
+        noisy_feats[..., 1], noisy_feats[..., 0]
+    )  # (B, frames, freq)
+    frames = min(enhanced_mag.shape[1], noisy_phase.shape[1])
+    mag = enhanced_mag[:, :frames]
+    phase = noisy_phase[:, :frames]
+    complex_spec = jnp.stack(
+        [mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=-1
+    )
+    pred_wavs = istft(complex_spec, sig_length=noisy_inputs.shape[1])
+    if normalize_wavs:
+        abs_max = jnp.max(
+            jnp.abs(pred_wavs), axis=1, keepdims=True
+        )
+        pred_wavs = pred_wavs / jnp.maximum(abs_max, 1.0)
+    return pred_wavs
