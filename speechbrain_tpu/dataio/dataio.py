@@ -268,6 +268,8 @@ def _load_audio_any(path, start=0, stop=None):
         return _read_wav(path, start, stop)
     if ext == ".sph":
         return _read_sphere(path, start, stop)
+    if ext in (".mp3", ".ogg", ".opus", ".m4a"):
+        return _read_via_ffmpeg(path, start, stop)
     if ext == ".npy":
         audio = np.load(path).astype(np.float32)
         return audio[start:stop], 16000
@@ -461,3 +463,29 @@ def read_kaldi_lab(kaldi_ali, kaldi_lab_opts=None):
     for path in paths:
         lab.update({k: v for k, v in read_vec_int_ark(path)})
     return lab
+
+
+def _read_via_ffmpeg(path, start=0, stop=None, target_sr=None):
+    """Decode compressed audio (mp3/ogg/opus/m4a) through ffmpeg.
+
+    The image has no native codec library (no torchaudio/soundfile);
+    ffmpeg — when installed — pipes f32le PCM which is sliced here.
+    Raises a clear error otherwise (convert the corpus to wav).
+    """
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            f"Cannot decode {path}: no native codec support and ffmpeg "
+            "is not installed. Convert the corpus to wav first."
+        )
+    cmd = ["ffmpeg", "-v", "error", "-i", path, "-f", "f32le"]
+    if target_sr:
+        cmd += ["-ar", str(target_sr)]
+    cmd += ["-ac", "1", "pipe:1"]
+    out = subprocess.run(cmd, capture_output=True, check=True).stdout
+    audio = np.frombuffer(out, dtype=np.float32)
+    if stop is None:
+        stop = len(audio)
+    return audio[int(start):int(stop)], target_sr or 0

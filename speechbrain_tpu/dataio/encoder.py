@@ -170,11 +170,20 @@ class CategoricalEncoder:
         return np.array(self.encode_sequence(sequence, allow_unk), dtype=np.int64)
 
     def decode_ndim(self, x):
-        """Decode arbitrarily nested int containers/arrays to labels."""
+        """Decode arbitrarily nested int containers/arrays to labels.
+
+        Indices outside the inventory decode to ``<id=N>`` instead of
+        raising: models whose output layer is wider than the label set
+        can argmax onto unmapped logits early in training, and error
+        metrics should record (not crash on) those hypotheses.
+        """
         try:
             return [self.decode_ndim(subtensor) for subtensor in x]
         except TypeError:
-            return self.ind2lab[int(x)]
+            idx = int(x)
+            if idx in self.ind2lab:
+                return self.ind2lab[idx]
+            return f"<id={idx}>"
 
     def expect_len(self, expected_len):
         """Assert the vocabulary has the expected size (guards against
