@@ -31,4 +31,8 @@ def test_yaml_loads(yaml_path, tmp_path):
     }
     with open(yaml_path) as f:
         hparams = load_hyperpyyaml(f, overrides)
-    assert "modules" in hparams or "model" in hparams
+    # Brain recipes declare modules/model; pipeline recipes (e.g.
+    # diarization) declare the embedding model directly.
+    assert any(
+        k in hparams for k in ("modules", "model", "embedding_model")
+    )
