@@ -478,7 +478,10 @@ class Brain:
         extra = self.init_extra_state(batch)
         self._bound_extra = extra
         try:
-            self.compute_forward(batch, Stage.TRAIN)
+            predictions = self.compute_forward(batch, Stage.TRAIN)
+            # Hook for subclasses whose losses touch modules the
+            # forward pass does not (e.g. GAN discriminators).
+            self.init_trace_extra(batch, predictions)
         finally:
             self._init_mode = False
             self._new_extra = None
@@ -510,6 +513,10 @@ class Brain:
     def init_extra_state(self, batch):
         """Override: extra mutable state (e.g. InputNormalization stats)."""
         return {}
+
+    def init_trace_extra(self, batch, predictions):
+        """Override: trace additional modules during lazy init (modules
+        only reached from the loss, e.g. GAN discriminators)."""
 
     # ------------------------------------------------------------------
     # Jitted steps
