@@ -132,6 +132,7 @@ def dataio_prepare(hparams, tokenizer):
             "tokens": token_buckets,
             "tokens_blank": [b + 1 for b in token_buckets],
         },
+        batch_buckets=[2, 4, 8, 16, 32, 64, 128],
     )
     from speechbrain_tpu.dataio.batch import PaddedBatch
 

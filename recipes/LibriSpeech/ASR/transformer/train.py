@@ -215,6 +215,7 @@ def dataio_prepare(hparams, tokenizer):
             k: token_buckets
             for k in ("tokens", "tokens_bos", "tokens_eos")
         },
+        batch_buckets=[2, 4, 8, 16, 32, 64, 128],
     )
     train_loader = SaveableDataLoader(
         datasets["train"],

@@ -666,8 +666,14 @@ class Brain:
                 for k, v in numeric.items():
                     pad_block = np.zeros((pad_n,) + v.shape[1:], dtype=v.dtype)
                     padded[k] = np.concatenate([np.asarray(v), pad_block])
+                existing = numeric.get(
+                    "batch_mask", np.ones(B, np.float32)
+                )
                 padded["batch_mask"] = np.concatenate(
-                    [np.ones(B, np.float32), np.zeros(pad_n, np.float32)]
+                    [
+                        np.asarray(existing, np.float32),
+                        np.zeros(pad_n, np.float32),
+                    ]
                 )
                 numeric = padded
             elif "batch_mask" not in numeric:

@@ -55,6 +55,12 @@ class BatchShapePolicy:
     key_buckets : dict[str, list[int]] | None
         Per-key bucket menus overriding ``time_buckets`` (e.g. a small
         power-of-two menu for token sequences).
+    batch_buckets : list[int] | None
+        Menu for the BATCH dimension: each batch is padded with
+        zero-length dummy rows up to the nearest bucket, so dynamic
+        batching compiles one program per (batch-bucket, time-bucket)
+        pair instead of one per observed batch size.  Dummy rows carry
+        ``batch_mask`` 0 (masked-loss convention).
 
     Example
     -------
@@ -76,6 +82,7 @@ class BatchShapePolicy:
         pad_batch_to=None,
         time_keys=None,
         key_buckets=None,
+        batch_buckets=None,
     ):
         self.time_buckets = sorted(time_buckets) if time_buckets else None
         self.pad_batch_to = pad_batch_to
@@ -85,6 +92,17 @@ class BatchShapePolicy:
             if key_buckets
             else {}
         )
+        self.batch_buckets = (
+            sorted(batch_buckets) if batch_buckets else None
+        )
+
+    def target_batch(self, observed):
+        """Quantized batch size (None = no batch quantization)."""
+        if self.pad_batch_to is not None:
+            return self.pad_batch_to
+        if self.batch_buckets is None:
+            return None
+        return ceil_to_bucket(observed, self.batch_buckets)
 
     def target_time(self, observed_max, key=None):
         """Quantized target length for the observed maximum (per key)."""
@@ -119,14 +137,17 @@ class PaddedBatch:
         self.__keys = list(examples[0].keys())
         self.__padded_keys = []
         self.__dict = {}
+        self.__pad_to = None
         policy = shape_policy
         real_batch = len(examples)
-        if policy is not None and policy.pad_batch_to is not None:
-            if real_batch > policy.pad_batch_to:
-                raise ValueError(
-                    f"Batch of {real_batch} exceeds pad_batch_to="
-                    f"{policy.pad_batch_to}"
-                )
+        pad_to = (
+            policy.target_batch(real_batch) if policy is not None else None
+        )
+        if pad_to is not None and real_batch > pad_to:
+            raise ValueError(
+                f"Batch of {real_batch} exceeds batch target {pad_to}"
+            )
+        self.__pad_to = pad_to
         for key in self.__keys:
             values = [ex[key] for ex in examples]
             if isinstance(values[0], (np.ndarray, float, int)) and not isinstance(
@@ -148,13 +169,13 @@ class PaddedBatch:
                     target_shape = (
                         policy.target_time(observed[0], key=key),
                     ) + observed[1:]
-                if policy is not None and policy.pad_batch_to is not None:
+                if pad_to is not None:
                     # Dummy all-zero examples with zero length.
                     shape = target_shape or tuple(
                         max(v.shape[d] for v in values)
                         for d in range(values[0].ndim)
                     )
-                    n_dummy = policy.pad_batch_to - real_batch
+                    n_dummy = pad_to - real_batch
                     values = values + [
                         np.zeros((0,) + shape[1:], dtype=values[0].dtype)
                     ] * n_dummy
@@ -167,8 +188,8 @@ class PaddedBatch:
                 self.__dict[key] = padded
                 self.__padded_keys.append(key)
             else:
-                if policy is not None and policy.pad_batch_to is not None:
-                    n_dummy = policy.pad_batch_to - real_batch
+                if pad_to is not None:
+                    n_dummy = pad_to - real_batch
                     if isinstance(values[0], np.ndarray):
                         values = values + [np.zeros_like(values[0])] * n_dummy
                     else:
@@ -211,7 +232,12 @@ class PaddedBatch:
         return self.__dict[key]
 
     def numeric_dict(self):
-        """Flat dict of arrays for jit: key -> data, key_lens -> lengths."""
+        """Flat dict of arrays for jit: key -> data, key_lens -> lengths.
+
+        When the batch dim was padded to a bucket, a ``batch_mask``
+        (1 real / 0 dummy) is included so per-example losses can weight
+        out the dummy rows.
+        """
         out = {}
         for key in self.__keys:
             value = self.__dict[key]
@@ -220,4 +246,11 @@ class PaddedBatch:
                 out[f"{key}_lens"] = value.lengths
             elif isinstance(value, np.ndarray):
                 out[key] = value
+        if (
+            self.__pad_to is not None
+            and self.__pad_to > self.__length
+        ):
+            mask = np.zeros(self.__pad_to, np.float32)
+            mask[: self.__length] = 1.0
+            out["batch_mask"] = mask
         return out

@@ -207,3 +207,21 @@ def test_kaldi_ark_roundtrip(tmp_path):
     write_vec_flt(str(xv), np.array([1.5, -2.0], np.float32), "spk1")
     k, v = next(iter(read_vec_flt_ark(str(xv))))
     assert k == "spk1" and np.allclose(v, [1.5, -2.0])
+
+
+def test_shape_policy_batch_buckets():
+    """Batch-dim quantization: dummy rows + batch_mask in numeric_dict."""
+    policy = BatchShapePolicy(
+        time_buckets=[8], batch_buckets=[2, 4, 8]
+    )
+    examples = [
+        {"id": f"u{i}", "sig": np.ones(5) * (i + 1)} for i in range(3)
+    ]
+    batch = PaddedBatch(examples, shape_policy=policy)
+    nd = batch.numeric_dict()
+    assert nd["sig"].shape == (4, 8)  # batch 3 -> 4, time 5 -> 8
+    assert nd["batch_mask"].tolist() == [1.0, 1.0, 1.0, 0.0]
+    assert nd["sig_lens"].tolist()[-1] == 0.0  # dummy row length 0
+    # exact bucket hit: no dummy rows, no mask emitted
+    batch2 = PaddedBatch(examples[:2], shape_policy=policy)
+    assert "batch_mask" not in batch2.numeric_dict()
