@@ -9,13 +9,15 @@ as ids/pieces, decode back to text.  Word-boundary marker "▁"
 interchangeable in format.
 
 Supported model types: "bpe" (greedy merges by pair frequency),
-"char", "word".  Unigram LM training is approximated by BPE (documented
-divergence; scoring-compatible vocab files).
+"unigram" (substring-seeded Viterbi-EM with pruning — the
+sentencepiece unigram-LM algorithm with Viterbi E-steps), "char",
+"word".
 """
 
 import collections
 import json
 import logging
+import math
 import os
 import re
 
@@ -37,6 +39,7 @@ class BPEModel:
         self.pieces = []
         self.piece2id = {}
         self.merges = []
+        self.scores = {}
 
     # -- training ----------------------------------------------------------
 
@@ -60,6 +63,8 @@ class BPEModel:
             self.pieces = list(self.special_tokens) + words
             self._rebuild_index()
             return self
+        if self.model_type == "unigram":
+            return self._train_unigram(word_freq, pieces)
         # BPE merges.
         words = {
             word: (list(word), freq) for word, freq in word_freq.items()
@@ -103,9 +108,113 @@ class BPEModel:
             pair: i for i, pair in enumerate(self.merges)
         }
 
+    # -- unigram LM training (sentencepiece algorithm, Viterbi E-step) --
+
+    MAX_PIECE_LEN = 10
+    SEED_FACTOR = 4
+    EM_ITERS = 2
+    SHRINK = 0.75
+
+    def _viterbi_split(self, word, scores):
+        """Best segmentation of ``word`` under piece log-probs.
+
+        Unknown single chars get a large penalty (guaranteed fallback).
+        Returns (pieces, total score).
+        """
+        n = len(word)
+        best = [(-math.inf, -1)] * (n + 1)
+        best[0] = (0.0, -1)
+        maxlen = self.MAX_PIECE_LEN
+        for e in range(1, n + 1):
+            for s in range(max(0, e - maxlen), e):
+                if best[s][0] == -math.inf:
+                    continue
+                piece = word[s:e]
+                sc = scores.get(piece)
+                if sc is None:
+                    if e - s == 1:
+                        sc = -20.0  # unk char fallback
+                    else:
+                        continue
+                cand = best[s][0] + sc
+                if cand > best[e][0]:
+                    best[e] = (cand, s)
+        pieces = []
+        e = n
+        while e > 0:
+            s = best[e][1]
+            pieces.append(word[s:e])
+            e = s
+        return pieces[::-1], best[n][0]
+
+    def _train_unigram(self, word_freq, base_pieces):
+        """Seed with frequent substrings, Viterbi-EM, prune to size."""
+        # 1) seed: all substrings up to MAX_PIECE_LEN by frequency
+        sub_freq = collections.Counter()
+        for word, freq in word_freq.items():
+            L = len(word)
+            for s in range(L):
+                for e in range(s + 1, min(L, s + self.MAX_PIECE_LEN) + 1):
+                    sub_freq[word[s:e]] += freq
+        chars = {p for p in sub_freq if len(p) == 1}
+        n_seed = max(
+            self.vocab_size * self.SEED_FACTOR, len(chars) + 16
+        )
+        seed = dict(sub_freq.most_common(n_seed))
+        for c in chars:  # single chars always survive
+            seed.setdefault(c, sub_freq[c])
+        total = sum(seed.values())
+        scores = {
+            p: math.log(f / total) for p, f in seed.items()
+        }
+        target = self.vocab_size - len(self.special_tokens)
+
+        def em(scores, iters):
+            for _ in range(iters):
+                counts = collections.Counter()
+                for word, freq in word_freq.items():
+                    pieces, _ = self._viterbi_split(word, scores)
+                    for p in pieces:
+                        counts[p] += freq
+                tot = sum(counts.values())
+                scores = {
+                    p: math.log(c / tot)
+                    for p, c in counts.items()
+                    if p in scores
+                }
+                # chars must stay segmentable
+                for c in chars:
+                    scores.setdefault(c, math.log(0.5 / max(tot, 1)))
+            return scores
+
+        scores = em(scores, self.EM_ITERS)
+        # 2) prune multi-char pieces with the lowest scores until target
+        while len(scores) > target:
+            keep = max(
+                int(len(scores) * self.SHRINK), target
+            )
+            multi = sorted(
+                (p for p in scores if len(p) > 1),
+                key=lambda p: scores[p],
+            )
+            n_drop = len(scores) - keep
+            for p in multi[:n_drop]:
+                del scores[p]
+            scores = em(scores, 1)
+            if not multi:
+                break
+        vocab = sorted(scores, key=lambda p: -scores[p])[:target]
+        self.pieces = list(self.special_tokens) + vocab
+        self.scores = {p: scores[p] for p in vocab}
+        self._rebuild_index()
+        return self
+
     # -- encoding ----------------------------------------------------------
 
     def _bpe_word(self, word):
+        if self.model_type == "unigram":
+            pieces, _ = self._viterbi_split(word, self.scores)
+            return pieces
         symbols = list(word)
         if self.model_type != "bpe":
             return symbols
@@ -187,6 +296,7 @@ class BPEModel:
                     "unk_id": self.unk_id,
                     "pieces": self.pieces,
                     "merges": [list(m) for m in self.merges],
+                    "scores": self.scores,
                 },
                 f,
                 ensure_ascii=False,
@@ -205,6 +315,7 @@ class BPEModel:
         )
         model.pieces = data["pieces"]
         model.merges = [tuple(m) for m in data["merges"]]
+        model.scores = data.get("scores", {})
         model._rebuild_index()
         return model
 
@@ -251,11 +362,6 @@ class SentencePiece:
         text_file=None,
         add_dummy_prefix=True,
     ):
-        if model_type == "unigram":
-            logger.info(
-                "Native tokenizer approximates 'unigram' training with BPE"
-            )
-            model_type = "bpe"
         self.model_dir = model_dir
         self.vocab_size = int(vocab_size)
         self.model_type = model_type

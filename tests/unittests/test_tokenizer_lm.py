@@ -121,3 +121,32 @@ def test_backoff_lm():
 def test_perplexity():
     details = [{"num_tokens": 4, "neglogprob": 4.0}]
     assert ngram_perplexity(details) == 10.0
+
+
+def test_unigram_training_and_roundtrip():
+    """Native unigram: Viterbi-EM learns multi-char pieces, encoding
+    round-trips, and save/load preserves scores."""
+    import random
+
+    from speechbrain_tpu.tokenizers.SentencePiece import BPEModel
+
+    random.seed(0)
+    words = [
+        "printing", "interest", "inter", "nation", "international",
+        "printer", "nationally", "print", "rest", "ring",
+    ]
+    sents = [" ".join(random.choices(words, k=6)) for _ in range(200)]
+    m = BPEModel(vocab_size=60, model_type="unigram").train(sents)
+    multi = [p for p in m.pieces if len(p.replace("▁", "")) > 2]
+    assert len(multi) > 5  # real subword pieces, not chars
+    for text in ["printing international interest", "restation print"]:
+        assert m.decode_ids(m.encode_as_ids(text)) == text
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json") as f:
+        m.save(f.name)
+        m2 = BPEModel.load(f.name)
+        assert m2.encode_as_ids("printing rest") == m.encode_as_ids(
+            "printing rest"
+        )
+        assert m2.scores and m2.model_type == "unigram"
