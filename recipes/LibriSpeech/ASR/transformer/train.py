@@ -102,17 +102,8 @@ class ASR(sb.Brain):
             self.wer_metric.append(ids, predicted, targets)
         return loss
 
-    def _beam_search(self, batch):
-        feats = self.hparams.compute_features(batch["sig"])
-        feats, _ = self.hparams.normalize(
-            feats, batch["sig_lens"],
-            state=self._bound_extra["norm"], training=False,
-        )
-        src = self.modules.frontend(feats)
-        enc = self.modules.transformer(
-            src, batch["sig_lens"], method="encode"
-        )
-        searcher = S2STransformerBeamSearch(
+    def _make_searcher(self):
+        return S2STransformerBeamSearch(
             decode_fn=lambda prefix, e, el: self.modules.transformer(
                 prefix, e, el, method="decode"
             )[0],
@@ -128,7 +119,48 @@ class ASR(sb.Brain):
             using_eos_threshold=False,
             length_normalization=True,
         )
-        return searcher(enc, batch["sig_lens"])
+
+    def _search_impl(self, params, model_state, extra, sig, sig_lens):
+        """Whole decode (features -> encoder -> beam search) as ONE
+        traced program — a single device dispatch per batch instead of
+        thousands of per-op dispatches (critical behind a high-latency
+        link; also persistent-cacheable)."""
+        rngs = self._make_step_rngs(jax.random.PRNGKey(0))
+        self._bind(params, model_state, extra, rngs, train=False)
+        feats = self.hparams.compute_features(sig)
+        feats, _ = self.hparams.normalize(
+            feats, sig_lens,
+            state=self._bound_extra["norm"], training=False,
+        )
+        src = self.modules.frontend(feats)
+        enc = self.modules.transformer(src, sig_lens, method="encode")
+        return self._searcher.search_device(
+            enc, sig_lens, early_exit=False
+        )
+
+    def _beam_search(self, batch):
+        if not hasattr(self, "_searcher"):
+            self._searcher = self._make_searcher()
+            self._jitted_search = jax.jit(self._search_impl)
+        saved = (
+            self._bound_params, self._bound_state,
+            self._bound_extra, self._bound_rngs, self._bound_train,
+        )
+        try:
+            seq, scores = self._jitted_search(
+                self.train_state["params"],
+                self.train_state["model_state"],
+                self.train_state["extra"],
+                batch["sig"],
+                batch["sig_lens"],
+            )
+        finally:
+            # Restore the eager eval bindings (the trace left tracers).
+            (
+                self._bound_params, self._bound_state,
+                self._bound_extra, self._bound_rngs, self._bound_train,
+            ) = saved
+        return self._searcher.finalize(seq, scores)
 
     def on_fit_batch_end(self, batch, outputs, loss, should_step):
         if should_step:

@@ -237,6 +237,17 @@ class S2SBeamSearcher(S2SBaseSearcher):
     # -- main loop -------------------------------------------------------
 
     def __call__(self, enc_states, wav_len):
+        seq, scores = self.search_device(enc_states, wav_len)
+        return self.finalize(seq, scores)
+
+    def search_device(self, enc_states, wav_len, early_exit=True):
+        """Device-side search: all jnp, jittable with
+        ``early_exit=False`` (no host syncs in the loop; finished rows
+        only extend eos at zero score, so running the full unrolled
+        loop is result-identical).
+
+        Returns (alived_seq (B*beam, max_steps), beam_scores (B, beam)).
+        """
         enc_states = jnp.asarray(enc_states)
         B, T = enc_states.shape[0], enc_states.shape[1]
         beam = self.beam_size
@@ -357,11 +368,16 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 B, beam
             )
             inp = tokens_flat
-            if bool(jnp.all(finished)):
+            if early_exit and bool(jnp.all(finished)):
                 break
+        return alived_seq, beam_scores
 
-        # Final scoring: length normalization over true lengths.
-        seq = np.asarray(alived_seq).reshape(B, beam, -1)
+    def finalize(self, alived_seq, beam_scores):
+        """Host-side hypothesis extraction + length normalization."""
+        beam = self.beam_size
+        seq = np.asarray(alived_seq)
+        B = seq.shape[0] // beam
+        seq = seq.reshape(B, beam, -1)
         scores = np.asarray(beam_scores)
         lengths = np.zeros((B, beam), np.int64)
         hyps_all = []
@@ -510,13 +526,10 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
         """One decoder step: scores + updated memory."""
         prefix = memory["prefix"]
-        # Append current tokens unless this is the first step (bos
-        # already present).
-        if prefix.shape[1] == 1 and bool(
-            jnp.all(prefix[:, 0] == self.bos_index)
-        ) and inp_tokens is not None and bool(
-            jnp.all(inp_tokens == self.bos_index)
-        ):
+        # First step: bos is already present (prefix length is STATIC,
+        # and it grows monotonically, so the shape check alone is the
+        # trace-safe first-step test).
+        if prefix.shape[1] == 1 and inp_tokens is not None:
             new_prefix = prefix
         else:
             new_prefix = jnp.concatenate(
