@@ -517,24 +517,17 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
 
     def reset_mem(self, batch_size, enc_states):
         """Initial decoder memory for a fresh search."""
-        return {
-            "prefix": jnp.full(
-                (batch_size, 1), self.bos_index, jnp.int32
-            )
-        }
+        # Empty prefix: every step (including the first, whose
+        # inp_tokens is bos) appends — keeps shapes static per step
+        # with no value-dependent branching (trace-safe).
+        return {"prefix": jnp.zeros((batch_size, 0), jnp.int32)}
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
         """One decoder step: scores + updated memory."""
         prefix = memory["prefix"]
-        # First step: bos is already present (prefix length is STATIC,
-        # and it grows monotonically, so the shape check alone is the
-        # trace-safe first-step test).
-        if prefix.shape[1] == 1 and inp_tokens is not None:
-            new_prefix = prefix
-        else:
-            new_prefix = jnp.concatenate(
-                [prefix, inp_tokens[:, None]], axis=1
-            )
+        new_prefix = jnp.concatenate(
+            [prefix, inp_tokens[:, None]], axis=1
+        )
         dec_out = self.decode_fn(new_prefix, enc_states, enc_lens)
         logits = self.linear_fn(dec_out[:, -1])
         log_probs = jax.nn.log_softmax(
