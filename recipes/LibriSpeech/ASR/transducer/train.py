@@ -73,6 +73,38 @@ class Transducer(sb.Brain):
         if should_step:
             _, self.lr = self.hparams.noam_annealing()
 
+    def transducer_searcher(self):
+        """TransducerBeamSearcher over the trained prediction/joint
+        nets (test-time decoding; hparams beam_size/state_beam/
+        expand_beam)."""
+
+        def pred_step(tokens, state):
+            import jax.numpy as jnp
+
+            if tokens is None:
+                emb = jnp.zeros(
+                    (state, self.hparams.joint_dim), jnp.float32
+                )
+                out, new_state = self.modules.dec(emb[:, None])
+                return out[:, 0], new_state
+            emb = self.modules.emb(tokens[:, None])
+            out, new_state = self.modules.dec(emb, state)
+            return self.modules.dec_lin(out[:, 0]), new_state
+
+        def joint(enc, pred):
+            import jax.numpy as jnp
+
+            return self.modules.out_lin(jnp.tanh(enc + pred))
+
+        return TransducerBeamSearcher(
+            decode_fn=pred_step,
+            joint_fn=joint,
+            blank_id=self.hparams.blank_index,
+            beam_size=self.hparams.beam_size,
+            state_beam=self.hparams.state_beam,
+            expand_beam=self.hparams.expand_beam,
+        )
+
     def on_stage_end(self, stage, stage_loss, epoch=None):
         if stage == Stage.VALID:
             self.hparams.train_logger.log_stats(

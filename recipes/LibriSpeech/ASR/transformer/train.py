@@ -103,7 +103,18 @@ class ASR(sb.Brain):
         return loss
 
     def _make_searcher(self):
+        # Shallow LM fusion when a trained LM is attached (load its
+        # params with the Pretrainer into self.lm_params).
+        lm_fn = None
+        lm_weight = 0.0
+        if getattr(self, "lm_params", None) is not None:
+            lm_weight = self.hparams.lm_weight
+            lm_fn = lambda prefix: self.hparams.lm_model.apply(
+                self.lm_params, prefix, train=False
+            )
         return S2STransformerBeamSearch(
+            lm_fn=lm_fn,
+            lm_weight=lm_weight,
             decode_fn=lambda prefix, e, el: self.modules.transformer(
                 prefix, e, el, method="decode"
             )[0],

@@ -68,10 +68,31 @@ class SEBrain(sb.Brain):
                 np.asarray(clean_wavs)[:real],
                 np.asarray(batch["clean_sig_lens"])[:real],
             )
+            if stage == Stage.TEST:
+                # Persist enhanced audio (reference writes test wavs).
+                import os
+
+                from speechbrain_tpu.dataio.dataio import write_audio
+
+                os.makedirs(self.hparams.enhanced_folder, exist_ok=True)
+                lens = np.asarray(batch["clean_sig_lens"])[:real]
+                T = predict_wav.shape[1]
+                for i in range(real):
+                    n = int(round(float(lens[i]) * T))
+                    write_audio(
+                        os.path.join(
+                            self.hparams.enhanced_folder,
+                            f"utt_{self._test_wav_count + i}.wav",
+                        ),
+                        np.asarray(predict_wav)[i, :n],
+                        self.hparams.sample_rate,
+                    )
+                self._test_wav_count += real
         return loss
 
     def on_stage_start(self, stage, epoch=None):
         """STOI metric off-train."""
+        self._test_wav_count = 0
         if stage != Stage.TRAIN:
             from speechbrain_tpu.nnet.loss.stoi_loss import stoi_loss
             from speechbrain_tpu.utils.metric_stats import MetricStats

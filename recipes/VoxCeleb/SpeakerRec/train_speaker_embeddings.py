@@ -101,6 +101,7 @@ if __name__ == "__main__":
             "data_folder": hparams["data_folder"],
             "save_folder": hparams["save_folder"],
             "seed": hparams["seed"],
+            "verification_pairs_file": hparams.get("verification_file"),
         },
     )
     datasets, label_encoder = dataio_prep(hparams)

@@ -40,6 +40,8 @@ class Separation(sb.Brain):
         per_ex = get_si_snr_with_pitwrapper(
             targets, predictions, reduction="none"
         )
+        # Clamp pathological examples (reference loss_upper_lim guard).
+        per_ex = jnp.minimum(per_ex, self.hparams.loss_upper_lim)
         return (per_ex * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
     def on_fit_batch_end(self, batch, outputs, loss, should_step):

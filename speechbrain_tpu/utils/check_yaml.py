@@ -35,6 +35,8 @@ def detect_script_vars(script_file, var_lst):
             f"hparams.{var}",
             f'attr["{var}"]',
             f"self.hparams.{var}",
+            f'hparams.get("{var}"',
+            f"hparams.get('{var}'",
         ]
         if any(p in text for p in patterns):
             detected.append(var)
