@@ -32,7 +32,9 @@ def test_yaml_loads(yaml_path, tmp_path):
     with open(yaml_path) as f:
         hparams = load_hyperpyyaml(f, overrides)
     # Brain recipes declare modules/model; pipeline recipes (e.g.
-    # diarization) declare the embedding model directly.
+    # diarization) declare the embedding model directly; tokenizer
+    # recipes declare only the tokenizer constructor.
     assert any(
-        k in hparams for k in ("modules", "model", "embedding_model")
+        k in hparams
+        for k in ("modules", "model", "embedding_model", "tokenizer")
     )
