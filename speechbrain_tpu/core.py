@@ -116,6 +116,11 @@ def create_experiment_directory(
         setup_logging,
     )
 
+    # The recipe script that called us — captured here (not inside
+    # create_and_log, whose caller is run_on_main) so the copy
+    # archives the actual train script (reference ``core.py:95``).
+    calling_module = inspect.getmodule(inspect.currentframe().f_back)
+
     def create_and_log():
         os.makedirs(experiment_directory, exist_ok=True)
         if hyperparams_to_save is not None:
@@ -131,9 +136,10 @@ def create_experiment_directory(
                 print("# %s" % os.path.abspath(hyperparams_to_save), file=w)
                 print("# yamllint disable", file=w)
                 w.write(resolved_yaml.getvalue())
-        module = inspect.getmodule(inspect.currentframe().f_back.f_back)
-        if module is not None and hasattr(module, "__file__"):
-            callingfile = os.path.realpath(module.__file__)
+        if calling_module is not None and hasattr(
+            calling_module, "__file__"
+        ):
+            callingfile = os.path.realpath(calling_module.__file__)
             import shutil
 
             try:

@@ -494,8 +494,9 @@ class AttentionalRNNDecoder(nn.Module):
         self.proj = nn.Dense(self.hidden_size)
 
     def attn_init(self, enc_states):
-        """Precompute the attention's encoder projection (decode prep)."""
-        return self.attn.init_state(enc_states)["enc_proj"]
+        """Initial attention state for decoding (precomputed encoder
+        projection, plus e.g. ``prev_attn`` for location attention)."""
+        return self.attn.init_state(enc_states)
 
     def forward_step(self, inp, hs, c, enc_states, enc_lens, attn_state=None):
         """One decode step.  inp: (B, E), c: (B, H) previous context."""

@@ -121,10 +121,42 @@ class HyperparameterOptimizationContext:
         self.result = None
 
     def parse_arguments(self, arg_list):
-        """Wrap core.parse_arguments, extracting hpopt flags."""
-        from speechbrain_tpu.core import parse_arguments
+        """Wrap core.parse_arguments, extracting hpopt flags.
 
-        param_file, run_opts, overrides = parse_arguments(arg_list)
+        Reference semantics (``utils/hpopt.py:312-367``): an ``--hpopt``
+        override enables reporting; if its value is a YAML file path,
+        that file is loaded (with ``trial_id`` available for ``!ref``)
+        and merged under the CLI overrides — used for trial-specific
+        settings like short epoch counts or disabled checkpointing.
+        """
+        import os
+
+        import yaml
+
+        from speechbrain_tpu.core import parse_arguments
+        from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
+
+        param_file, run_opts, overrides_yaml = parse_arguments(arg_list)
+        overrides = (
+            yaml.safe_load(overrides_yaml) if overrides_yaml else {}
+        ) or {}
+        hpopt = overrides.get("hpopt", False)
+        mode = overrides.get("hpopt_mode") or "generic"
+        if hpopt:
+            cls = _hpopt_modes.get(mode, _hpopt_modes["generic"])
+            self.reporter = cls(
+                *self.reporter_args, **self.reporter_kwargs
+            )
+            if isinstance(hpopt, str) and os.path.exists(hpopt):
+                with open(hpopt) as f:
+                    hpopt_overrides = load_hyperpyyaml(
+                        f,
+                        overrides={"trial_id": get_trial_id()},
+                        overrides_must_match=False,
+                    )
+                overrides = dict(hpopt_overrides, **overrides)
+            for key in ("hpopt", "hpopt_mode"):
+                overrides.pop(key, None)
         return param_file, run_opts, overrides
 
     def __enter__(self):

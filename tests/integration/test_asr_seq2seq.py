@@ -137,11 +137,9 @@ def test_greedy_search_decodes(trained):
                 brain.modules.seq_lin(d[:, None])[:, 0], axis=-1
             ),
             dec_hidden_size=32,
-            attn_init_fn=lambda es: {
-                "enc_proj": brain.modules.dec(
-                    es, method="attn_init"
-                )
-            },
+            attn_init_fn=lambda es: brain.modules.dec(
+                es, method="attn_init"
+            ),
             rnn_init_fn=lambda n, dtype: jnp.zeros((1, n, 32), dtype),
             bos_index=BOS,
             eos_index=EOS,
