@@ -31,6 +31,8 @@ __all__ = [
     "S2SRNNBeamSearcher",
     "S2SRNNBeamSearchLM",
     "S2STransformerBeamSearch",
+    "S2SWhisperGreedySearch",
+    "S2SWhisperBeamSearch",
 ]
 
 MINUS_INF = -1e20
@@ -559,3 +561,221 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
     def ctc_forward_step(self, enc_states):
         """CTC log-probabilities over the encoder states."""
         return jax.nn.log_softmax(self.ctc_linear_fn(enc_states), axis=-1)
+
+
+class _WhisperTokenMixin:
+    """Whisper decoder-prompt bookkeeping shared by greedy/beam search
+    (reference ``decoders/seq2seq.py:199-284,1401-1520``).
+
+    Whisper decoding is conditioned on a task prompt
+    ``[bos, language, task, timestamp]``; the first three live in the
+    initial memory and the timestamp token plays the role of
+    ``bos_index`` (the first ``inp_tokens`` fed to the decoder), so the
+    model sees the full prompt in order.
+    """
+
+    def _init_whisper_tokens(
+        self, language_token, bos_token, task_token, timestamp_token
+    ):
+        self.language_token = language_token
+        self.bos_token = bos_token
+        self.task_token = task_token
+        self.timestamp_token = timestamp_token
+        self.decoder_input_tokens = None
+
+    def set_language_token(self, language_token):
+        """Set the language token used in the decoder prompt."""
+        self.language_token = language_token
+
+    def set_bos_token(self, bos_token):
+        """Set the bos token used in the decoder prompt."""
+        self.bos_token = bos_token
+
+    def set_task_token(self, task_token):
+        """Set the task token used in the decoder prompt."""
+        self.task_token = task_token
+
+    def set_timestamp_token(self, timestamp_token):
+        """Set the timestamp token; it becomes ``bos_index`` (the first
+        searched input), reference ``seq2seq.py:243-249``."""
+        self.timestamp_token = timestamp_token
+        self.bos_index = self.timestamp_token
+
+    def set_decoder_input_tokens(self, decoder_input_tokens):
+        """Install ``[bos, language, task, timestamp]`` (e.g. a
+        tokenizer's ``prefix_tokens``), reference ``seq2seq.py:251-267``."""
+        self.set_bos_token(decoder_input_tokens[0])
+        self.set_language_token(decoder_input_tokens[1])
+        self.set_task_token(decoder_input_tokens[2])
+        self.set_timestamp_token(decoder_input_tokens[3])
+        self.decoder_input_tokens = [
+            self.bos_token,
+            self.language_token,
+            self.task_token,
+        ]
+
+    def _prompt_mem(self, batch_size):
+        if self.decoder_input_tokens is None:
+            self.decoder_input_tokens = [
+                self.bos_token,
+                self.language_token,
+                self.task_token,
+            ]
+            self.bos_index = self.timestamp_token
+        return {
+            "prefix": jnp.tile(
+                jnp.asarray(self.decoder_input_tokens, jnp.int32)[None, :],
+                (batch_size, 1),
+            )
+        }
+
+    def _whisper_step(self, inp_tokens, memory, enc_states, temperature=1.0):
+        prefix = jnp.concatenate(
+            [memory["prefix"], inp_tokens[:, None]], axis=1
+        )
+        logits, attn = self.model.forward_decoder(enc_states, prefix)
+        log_probs = jax.nn.log_softmax(
+            jnp.asarray(logits[:, -1], jnp.float32) / temperature, axis=-1
+        )
+        return log_probs, {"prefix": prefix}, attn
+
+
+class S2SWhisperGreedySearch(_WhisperTokenMixin, S2SGreedySearcher):
+    """Greedy decoding for Whisper models (reference
+    ``decoders/seq2seq.py:199``).
+
+    Arguments
+    ---------
+    model : object with ``forward_decoder(enc_states, ids) ->
+        (logits, attn)`` — a ``lobes.models.whisper.Whisper`` bound to
+        params, or a ``HuggingFaceWhisper``.
+    language_token, bos_token, task_token, timestamp_token : int
+        Default prompt (multilingual vocab ids); override per-language
+        with ``set_decoder_input_tokens``.
+    """
+
+    def __init__(
+        self,
+        model,
+        language_token=50259,
+        bos_token=50258,
+        task_token=50359,
+        timestamp_token=50363,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.model = model
+        self._init_whisper_tokens(
+            language_token, bos_token, task_token, timestamp_token
+        )
+
+    def reset_mem(self, batch_size, enc_states):
+        """Initial memory = the ``[bos, language, task]`` prompt."""
+        return self._prompt_mem(batch_size)
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        """One decoder step over the growing prompt."""
+        return self._whisper_step(inp_tokens, memory, enc_states)
+
+    def __call__(self, enc_states, wav_len):
+        # The prompt prefix grows every step, so the scan-based greedy
+        # loop (fixed carry shapes) does not apply; step in Python like
+        # the beam searcher (one compiled program per prefix length,
+        # cached across utterances of the same bucket).
+        enc_states = jnp.asarray(enc_states)
+        B, T = enc_states.shape[0], enc_states.shape[1]
+        enc_lens = jnp.asarray(wav_len)
+        max_steps = max(1, int(T * self.max_decode_ratio))
+        memory = self.reset_mem(B, enc_states)
+        inp = jnp.full((B,), self.bos_index, jnp.int32)
+        finished = jnp.zeros(B, bool)
+        scores = jnp.zeros(B)
+        out_tokens = []
+        for _ in range(max_steps):
+            log_probs, memory, _ = self.forward_step(
+                inp, memory, enc_states, enc_lens
+            )
+            token = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+            tok_score = jnp.max(log_probs, axis=-1)
+            token = jnp.where(finished, self.eos_index, token)
+            scores = scores + jnp.where(finished, 0.0, tok_score)
+            finished = finished | (token == self.eos_index)
+            out_tokens.append(token)
+            inp = token
+            if bool(jnp.all(finished)):
+                break
+        tokens = np.asarray(jnp.stack(out_tokens, axis=1))
+        hyps = []
+        for row in tokens:
+            hyp = []
+            for t in row:
+                if t == self.eos_index:
+                    break
+                hyp.append(int(t))
+            hyps.append(hyp)
+        return hyps, np.asarray(scores)
+
+
+class S2SWhisperBeamSearch(_WhisperTokenMixin, S2SBeamSearcher):
+    """Beam search for Whisper models (reference
+    ``decoders/seq2seq.py:1401``).
+
+    Arguments
+    ---------
+    module : list
+        ``[model]`` or ``[model, ctc_linear_fn]`` — matching the
+        reference's optional CTC head.
+    lm_fn : optional (prefix (n, L)) -> (n, L, V) LM logits for shallow
+        fusion.
+    """
+
+    def __init__(
+        self,
+        module,
+        temperature=1.0,
+        temperature_lm=1.0,
+        language_token=50259,
+        bos_token=50258,
+        task_token=50359,
+        timestamp_token=50363,
+        lm_fn=None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.model = module[0]
+        self.ctc_linear_fn = module[1] if len(module) == 2 else None
+        self.temperature = temperature
+        self.temperature_lm = temperature_lm
+        self.lm_fn = lm_fn
+        self._init_whisper_tokens(
+            language_token, bos_token, task_token, timestamp_token
+        )
+
+    def reset_mem(self, batch_size, enc_states):
+        """Initial memory = the ``[bos, language, task]`` prompt."""
+        return self._prompt_mem(batch_size)
+
+    def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
+        """One decoder step over the growing prompt."""
+        return self._whisper_step(
+            inp_tokens, memory, enc_states, self.temperature
+        )
+
+    def ctc_forward_step(self, enc_states):
+        """CTC log-probabilities over the encoder states."""
+        return jax.nn.log_softmax(self.ctc_linear_fn(enc_states), axis=-1)
+
+    def reset_lm_mem(self, n):
+        """Initial LM memory for a fresh search."""
+        return {"prefix": jnp.full((n, 1), self.bos_index, jnp.int32)}
+
+    def lm_forward_step(self, inp_tokens, memory):
+        """One LM step: log-probs + updated LM memory."""
+        prefix = jnp.concatenate(
+            [memory["prefix"], inp_tokens[:, None]], axis=1
+        )
+        logits = self.lm_fn(prefix)
+        log_probs = jax.nn.log_softmax(
+            logits[:, -1] / self.temperature_lm, axis=-1
+        )
+        return log_probs, {"prefix": prefix}

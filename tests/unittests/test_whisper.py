@@ -1,0 +1,199 @@
+"""Whisper lobe + searcher tests.
+
+Parity targets: reference ``lobes/models/huggingface_whisper.py`` (mel
+frontend, encoder/decoder API) and ``decoders/seq2seq.py:199,1401``
+(Whisper greedy/beam searchers).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speechbrain_tpu.lobes.models.whisper import (
+    Whisper,
+    log_mel_spectrogram,
+    mel_filters_slaney,
+    pad_or_trim,
+)
+
+
+def _tiny_whisper(vocab=32, **over):
+    kwargs = dict(
+        vocab_size=vocab,
+        d_model=16,
+        nhead=4,
+        encoder_layers=1,
+        decoder_layers=1,
+        d_ffn=32,
+        n_samples=1600,
+        max_source_positions=5,
+        max_target_positions=64,
+    )
+    kwargs.update(over)
+    return Whisper(**kwargs)
+
+
+def test_mel_filters_match_transformers():
+    transformers = pytest.importorskip("transformers")
+    from transformers.audio_utils import mel_filter_bank
+
+    ref = mel_filter_bank(
+        num_frequency_bins=201,
+        num_mel_filters=80,
+        min_frequency=0.0,
+        max_frequency=8000.0,
+        sampling_rate=16000,
+        norm="slaney",
+        mel_scale="slaney",
+    ).T
+    ours = mel_filters_slaney(80)
+    assert np.abs(ref - ours).max() < 1e-6
+
+
+def test_log_mel_matches_whisper_feature_extractor():
+    transformers = pytest.importorskip("transformers")
+    from transformers import WhisperFeatureExtractor
+
+    fe = WhisperFeatureExtractor()
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(16000).astype(np.float32) * 0.1
+    ref = fe(wav, sampling_rate=16000, return_tensors="np").input_features[0]
+    ours = log_mel_spectrogram(
+        pad_or_trim(wav[None, :]), mel_filters_slaney(80)
+    )[0]
+    # ref is (n_mels, T); ours (T, n_mels)
+    assert np.abs(ref.T - np.asarray(ours)).max() < 1e-3
+
+
+def test_pad_or_trim():
+    x = jnp.ones((2, 10))
+    assert pad_or_trim(x, 16).shape == (2, 16)
+    assert pad_or_trim(x, 4).shape == (2, 4)
+    assert float(pad_or_trim(x, 16)[0, -1]) == 0.0
+
+
+def test_whisper_forward_and_freeze_grads():
+    model = _tiny_whisper()
+    wav = jnp.zeros((2, 1600))
+    ids = jnp.zeros((2, 3), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), wav, ids, train=False)
+    enc, logits, attn = model.apply(params, wav, ids, train=False)
+    assert enc.shape == (2, 5, 16)
+    assert logits.shape == (2, 3, 32)
+
+    frozen = _tiny_whisper(freeze=True)
+
+    def loss(p):
+        _, lg, _ = frozen.apply(p, wav, ids, train=False)
+        return jnp.sum(lg**2)
+
+    g = jax.grad(loss)(params)
+    assert all(
+        float(jnp.abs(x).max()) == 0.0 for x in jax.tree_util.tree_leaves(g)
+    )
+
+
+def test_whisper_encoder_only():
+    model = _tiny_whisper(encoder_only=True)
+    wav = jnp.zeros((1, 1600))
+    params = model.init(jax.random.PRNGKey(0), wav, train=False)
+    enc = model.apply(params, wav, train=False)
+    assert enc.shape == (1, 5, 16)
+
+
+class _BoundWhisper:
+    """Bind a flax Whisper to params, exposing forward_decoder."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+
+    def forward_decoder(self, enc_states, ids):
+        return self.model.apply(
+            self.params,
+            enc_states,
+            ids,
+            train=False,
+            method=self.model.forward_decoder,
+        )
+
+
+def test_whisper_greedy_and_beam_search():
+    from speechbrain_tpu.decoders.seq2seq import (
+        S2SWhisperBeamSearch,
+        S2SWhisperGreedySearch,
+    )
+
+    vocab = 32
+    model = _tiny_whisper(vocab)
+    wav = jnp.zeros((2, 1600))
+    ids = jnp.zeros((2, 3), jnp.int32)
+    params = model.init(jax.random.PRNGKey(3), wav, ids, train=False)
+    bound = _BoundWhisper(model, params)
+    enc = model.apply(params, wav, train=False, method=model.forward_encoder)
+
+    common = dict(
+        bos_index=0,
+        eos_index=1,
+        min_decode_ratio=0.0,
+        max_decode_ratio=1.0,
+        language_token=2,
+        bos_token=3,
+        task_token=4,
+        timestamp_token=5,
+    )
+    greedy = S2SWhisperGreedySearch(bound, **common)
+    greedy.set_decoder_input_tokens([3, 2, 4, 5])
+    assert greedy.bos_index == 5
+    hyps, scores = greedy(enc, jnp.ones(2))
+    assert len(hyps) == 2
+    assert all(1 not in h for h in hyps)
+
+    beam = S2SWhisperBeamSearch(
+        [bound], beam_size=3, using_eos_threshold=False, **common
+    )
+    beam.set_decoder_input_tokens([3, 2, 4, 5])
+    bhyps, bscores = beam(enc, jnp.ones(2))
+    assert len(bhyps) == 2
+    assert np.all(np.isfinite(np.asarray(bscores)))
+    assert all(isinstance(h, list) for h in bhyps)
+    # With beam_size 1 and no eos gating, beam must agree with greedy.
+    beam1 = S2SWhisperBeamSearch(
+        [bound],
+        beam_size=1,
+        using_eos_threshold=False,
+        length_normalization=False,
+        **common,
+    )
+    beam1.set_decoder_input_tokens([3, 2, 4, 5])
+    b1hyps, _ = beam1(enc, jnp.ones(2))
+    assert b1hyps == hyps
+
+
+def test_hf_whisper_wrapper_offline(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    from transformers import WhisperConfig
+
+    from speechbrain_tpu.lobes.models.whisper import HuggingFaceWhisper
+
+    cfg = WhisperConfig(
+        vocab_size=64,
+        num_mel_bins=80,
+        d_model=16,
+        encoder_layers=1,
+        decoder_layers=1,
+        encoder_attention_heads=4,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=32,
+        decoder_ffn_dim=32,
+        max_source_positions=1500,
+        max_target_positions=448,
+    )
+    cfg.save_pretrained(tmp_path)
+    m = HuggingFaceWhisper(str(tmp_path), config_only=True)
+    wav = jnp.zeros((1, 16000))
+    ids = jnp.zeros((1, 2), jnp.int32)
+    enc, logits, attn = m(wav, ids)
+    assert enc.shape == (1, 1500, 16)
+    assert logits.shape == (1, 2, 64)
