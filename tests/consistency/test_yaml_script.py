@@ -42,12 +42,32 @@ def _dynamic_keys(yaml_path, script_path):
     }
 
 
+def _csv_pairs():
+    """Authoritative yaml->script mapping from tests/recipes.csv
+    (reference ``tests/recipes.csv`` Script_file/Hparam_file columns)."""
+    from speechbrain_tpu.utils.recipe_tests import load_recipe_csv
+
+    csv_path = os.path.join(REPO, "tests", "recipes.csv")
+    mapping = {}
+    if os.path.exists(csv_path):
+        for row in load_recipe_csv(csv_path):
+            if row.get("Hparam_file") and row.get("Script_file"):
+                mapping[os.path.join(REPO, row["Hparam_file"])] = (
+                    os.path.join(REPO, row["Script_file"])
+                )
+    return mapping
+
+
 def _pairs():
+    csv_pairs = _csv_pairs()
     out = []
     for yaml_path in glob.glob(
         os.path.join(REPO, "recipes", "**", "hparams", "*.yaml"),
         recursive=True,
     ):
+        if yaml_path in csv_pairs:
+            out.append((yaml_path, csv_pairs[yaml_path]))
+            continue
         recipe_dir = os.path.dirname(os.path.dirname(yaml_path))
         for script in ("train.py", "experiment.py",
                        "train_speaker_embeddings.py"):
