@@ -50,7 +50,7 @@ class Transducer(sb.Brain):
         joint = jnp.tanh(
             enc[:, :, None, :] + pred[:, None, :, :]
         )
-        return self.modules.out_lin(joint).astype(jnp.float32)
+        return self.modules.out_lin(joint).astype(jnp.float32), enc
 
     def init_extra_state(self, batch):
         from speechbrain_tpu.processing.features import GlobalNormState
@@ -58,16 +58,37 @@ class Transducer(sb.Brain):
         return {"norm": GlobalNormState.init(self.hparams.n_mels)}
 
     def compute_objectives(self, predictions, batch, stage):
+        logits, enc = predictions
         mask = batch["batch_mask"]
         loss = transducer_loss(
-            predictions,
+            logits,
             batch["tokens"],
             batch["sig_lens"] * mask,
             batch["tokens_lens"] * mask,
             blank_index=self.hparams.blank_index,
             use_pallas=True,
         )
+        if stage == Stage.TEST and hasattr(self, "wer_metric"):
+            hyps, _ = self._searcher(enc, batch["sig_lens"])
+            real = int(np.asarray(mask).sum())
+            predicted = [
+                self.tokenizer([h], task="decode_from_list")[0]
+                for h in hyps[:real]
+            ]
+            targets = self.tokenizer(
+                np.asarray(batch["tokens"])[:real].tolist(),
+                np.asarray(batch["tokens_lens"])[:real],
+                task="decode",
+            )
+            self.wer_metric.append(
+                [str(i) for i in range(real)], predicted, targets
+            )
         return loss
+
+    def on_stage_start(self, stage, epoch=None):
+        if stage == Stage.TEST:
+            self.wer_metric = ErrorRateStats()
+            self._searcher = self.transducer_searcher()
 
     def on_fit_batch_end(self, batch, outputs, loss, should_step):
         if should_step:
@@ -78,18 +99,26 @@ class Transducer(sb.Brain):
         nets (test-time decoding; hparams beam_size/state_beam/
         expand_beam)."""
 
-        def pred_step(tokens, state):
+        def pred_step(tokens, state, n):
             import jax.numpy as jnp
 
+            # State is kept BATCH-LEADING ((B, L, H)) because the
+            # greedy scan and beam permutation index state leaves by
+            # their leading axis; the GRU's hx is (L, B, H).
             if tokens is None:
                 emb = jnp.zeros(
-                    (state, self.hparams.joint_dim), jnp.float32
+                    (n, 1, self.hparams.joint_dim), jnp.float32
                 )
-                out, new_state = self.modules.dec(emb[:, None])
-                return out[:, 0], new_state
-            emb = self.modules.emb(tokens[:, None])
-            out, new_state = self.modules.dec(emb, state)
-            return self.modules.dec_lin(out[:, 0]), new_state
+                out, hx = self.modules.dec(emb)
+            else:
+                emb = self.modules.emb(tokens[:, None])
+                out, hx = self.modules.dec(
+                    emb, hx=jnp.swapaxes(state, 0, 1)
+                )
+            return (
+                self.modules.dec_lin(out[:, 0]),
+                jnp.swapaxes(hx, 0, 1),
+            )
 
         def joint(enc, pred):
             import jax.numpy as jnp
@@ -116,6 +145,12 @@ class Transducer(sb.Brain):
                 self.checkpointer.save_and_keep_only(
                     meta={"loss": stage_loss}, min_keys=["loss"]
                 )
+        elif stage == Stage.TEST:
+            wer = self.wer_metric.summarize("error_rate")
+            self.hparams.train_logger.log_stats(
+                {"Epoch loaded": self.hparams.epoch_counter.current},
+                test_stats={"loss": stage_loss, "WER": wer},
+            )
 
 
 def dataio_prepare(hparams, tokenizer):

@@ -18,6 +18,23 @@ VALID_SPKS = ("p226", "p287")
 
 TRAIN_DIRS = ("noisy_trainset_28spk_wav", "clean_trainset_28spk_wav")
 TEST_DIRS = ("noisy_testset_wav", "clean_testset_wav")
+TXT_DIRS = {
+    "noisy_trainset_28spk_wav": "trainset_28spk_txt",
+    "noisy_testset_wav": "testset_txt",
+}
+
+
+def _read_words(data_folder, noisy_dir_name, utt_id):
+    """Transcript for ``utt_id`` when the corpus txt dir is present
+    (used by the ASR/MTL recipes; enhancement ignores it)."""
+    txt_dir = TXT_DIRS.get(noisy_dir_name)
+    if txt_dir is None:
+        return ""
+    path = os.path.join(data_folder, txt_dir, utt_id + ".txt")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        return " ".join(f.read().split()).upper()
 
 
 def prepare_voicebank(
@@ -48,10 +65,14 @@ def prepare_voicebank(
             clean = os.path.join(clean_dir, fn)
             if not os.path.exists(clean):
                 continue
-            manifest[os.path.splitext(fn)[0]] = {
+            utt_id = os.path.splitext(fn)[0]
+            manifest[utt_id] = {
                 "noisy_wav": noisy,
                 "clean_wav": clean,
                 "duration": round(len(read_audio(noisy)) / 16000.0, 3),
+                "words": _read_words(
+                    data_folder, os.path.basename(noisy_dir), utt_id
+                ),
             }
         return manifest
 

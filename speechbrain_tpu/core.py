@@ -463,8 +463,10 @@ class Brain:
         return sub
 
     def _make_step_rngs(self, key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        return {"dropout": k1, "gumbel": k2, "augment": k3}
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return {
+            "dropout": k1, "gumbel": k2, "augment": k3, "noise": k4,
+        }
 
     # ------------------------------------------------------------------
     # Initialization (lazy, from the first batch)

@@ -56,20 +56,49 @@ class _RecurrentBase(nn.Module):
             return nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         return x
 
-    def _run_layers(self, x, train, single_layer_fn):
+    def _run_layers(self, x, train, single_layer_fn, hx=None):
+        """Run the layer stack.  ``hx`` is the torch-convention initial
+        state: (num_layers * num_directions, B, H) array (or a tuple of
+        such arrays for LSTM); the returned final state uses the same
+        stacked layout, so sequence RNNs are resumable step-by-step
+        (transducer prediction networks, streaming decode)."""
+        D = 2 if self.bidirectional else 1
         states = []
         for layer_idx in range(self.num_layers):
-            fwd, s_f = single_layer_fn(x, layer_idx, False)
+            init_f = (
+                None if hx is None else self._slice_hx(hx, layer_idx * D)
+            )
+            fwd, s_f = single_layer_fn(x, layer_idx, False, init_f)
             if self.bidirectional:
-                bwd, s_b = single_layer_fn(x, layer_idx, True)
+                init_b = (
+                    None
+                    if hx is None
+                    else self._slice_hx(hx, layer_idx * D + 1)
+                )
+                bwd, s_b = single_layer_fn(x, layer_idx, True, init_b)
                 x = jnp.concatenate([fwd, bwd], axis=-1)
-                states.append((s_f, s_b))
+                states.extend([s_f, s_b])
             else:
                 x = fwd
                 states.append(s_f)
             if layer_idx != self.num_layers - 1:
                 x = self._dropout(x, train)
-        return x, states
+        return x, self._stack_states(states)
+
+    @staticmethod
+    def _slice_hx(hx, i):
+        if isinstance(hx, tuple):
+            return tuple(part[i] for part in hx)
+        return hx[i]
+
+    @staticmethod
+    def _stack_states(states):
+        if isinstance(states[0], tuple):
+            return tuple(
+                jnp.stack([s[k] for s in states])
+                for k in range(len(states[0]))
+            )
+        return jnp.stack(states)
 
 
 class LSTM(_RecurrentBase):
@@ -92,15 +121,19 @@ class LSTM(_RecurrentBase):
             x = x.reshape(x.shape[0], x.shape[1], -1)
         H = self.hidden_size
 
-        def layer(inp, idx, backward):
+        def layer(inp, idx, backward, init=None):
             name = f"l{idx}{'_bwd' if backward else ''}"
             wx = nn.Dense(4 * H, name=f"{name}_wx", dtype=inp.dtype)(inp)
             u_kernel = self.param(
                 f"{name}_u", nn.initializers.orthogonal(), (H, 4 * H)
             ).astype(inp.dtype)
             B = inp.shape[0]
-            h0 = jnp.zeros((B, H), inp.dtype)
-            c0 = jnp.zeros((B, H), inp.dtype)
+            if init is None:
+                h0 = jnp.zeros((B, H), inp.dtype)
+                c0 = jnp.zeros((B, H), inp.dtype)
+            else:
+                h0 = init[0].astype(inp.dtype)
+                c0 = init[1].astype(inp.dtype)
 
             def step(carry, wxt):
                 h, c = carry
@@ -115,7 +148,7 @@ class LSTM(_RecurrentBase):
             )
             return jnp.swapaxes(ys, 0, 1), (hT, cT)
 
-        return self._run_layers(x, train, layer)
+        return self._run_layers(x, train, layer, hx=hx)
 
 
 class GRU(_RecurrentBase):
@@ -137,7 +170,7 @@ class GRU(_RecurrentBase):
             x = x.reshape(x.shape[0], x.shape[1], -1)
         H = self.hidden_size
 
-        def layer(inp, idx, backward):
+        def layer(inp, idx, backward, init=None):
             name = f"l{idx}{'_bwd' if backward else ''}"
             wx = nn.Dense(3 * H, name=f"{name}_wx", dtype=inp.dtype)(inp)
             u_kernel = self.param(
@@ -147,7 +180,11 @@ class GRU(_RecurrentBase):
                 f"{name}_u_bias", nn.initializers.zeros, (3 * H,)
             ).astype(inp.dtype)
             B = inp.shape[0]
-            h0 = jnp.zeros((B, H), inp.dtype)
+            h0 = (
+                jnp.zeros((B, H), inp.dtype)
+                if init is None
+                else init.astype(inp.dtype)
+            )
 
             def step(h, wxt):
                 uh = h @ u_kernel + u_bias
@@ -164,7 +201,7 @@ class GRU(_RecurrentBase):
             )
             return jnp.swapaxes(ys, 0, 1), hT
 
-        return self._run_layers(x, train, layer)
+        return self._run_layers(x, train, layer, hx=hx)
 
 
 class RNN(_RecurrentBase):
@@ -179,14 +216,18 @@ class RNN(_RecurrentBase):
         H = self.hidden_size
         act = jnp.tanh if self.nonlinearity == "tanh" else jax.nn.relu
 
-        def layer(inp, idx, backward):
+        def layer(inp, idx, backward, init=None):
             name = f"l{idx}{'_bwd' if backward else ''}"
             wx = nn.Dense(H, name=f"{name}_wx", dtype=inp.dtype)(inp)
             u_kernel = self.param(
                 f"{name}_u", nn.initializers.orthogonal(), (H, H)
             ).astype(inp.dtype)
             B = inp.shape[0]
-            h0 = jnp.zeros((B, H), inp.dtype)
+            h0 = (
+                jnp.zeros((B, H), inp.dtype)
+                if init is None
+                else init.astype(inp.dtype)
+            )
 
             def step(h, wxt):
                 h = act(wxt + h @ u_kernel)
@@ -197,7 +238,7 @@ class RNN(_RecurrentBase):
             )
             return jnp.swapaxes(ys, 0, 1), hT
 
-        return self._run_layers(x, train, layer)
+        return self._run_layers(x, train, layer, hx=hx)
 
 
 class LiGRU(_RecurrentBase):
@@ -239,7 +280,7 @@ class LiGRU(_RecurrentBase):
         else:
             act = jax.nn.relu
 
-        def layer(inp, idx, backward):
+        def layer(inp, idx, backward, init=None):
             name = f"l{idx}{'_bwd' if backward else ''}"
             B, T = inp.shape[0], inp.shape[1]
             wx = nn.Dense(2 * H, use_bias=False, name=f"{name}_wx", dtype=inp.dtype)(inp)
@@ -263,7 +304,11 @@ class LiGRU(_RecurrentBase):
                 ).astype(inp.dtype) / (1.0 - self.dropout)
             else:
                 drop_mask = jnp.ones((B, H), inp.dtype)
-            h0 = jnp.zeros((B, H), inp.dtype)
+            h0 = (
+                jnp.zeros((B, H), inp.dtype)
+                if init is None
+                else init.astype(inp.dtype)
+            )
 
             def step(h, wxt):
                 gates = wxt + h @ u_kernel
@@ -278,7 +323,7 @@ class LiGRU(_RecurrentBase):
             )
             return jnp.swapaxes(ys, 0, 1), hT
 
-        return self._run_layers(x, train, layer)
+        return self._run_layers(x, train, layer, hx=hx)
 
 
 class QuasiRNN(_RecurrentBase):
@@ -297,7 +342,7 @@ class QuasiRNN(_RecurrentBase):
             x = x.reshape(x.shape[0], x.shape[1], -1)
         H = self.hidden_size
 
-        def layer(inp, idx, backward):
+        def layer(inp, idx, backward, init=None):
             name = f"l{idx}{'_bwd' if backward else ''}"
             src = jnp.flip(inp, axis=1) if backward else inp
             if self.window == 2:
@@ -316,7 +361,11 @@ class QuasiRNN(_RecurrentBase):
                 c = ft * c + (1 - ft) * zt
                 return c, c
 
-            c0 = jnp.zeros((inp.shape[0], H), inp.dtype)
+            c0 = (
+                jnp.zeros((inp.shape[0], H), inp.dtype)
+                if init is None
+                else init.astype(inp.dtype)
+            )
             cT, cs = jax.lax.scan(
                 step,
                 c0,
@@ -328,7 +377,7 @@ class QuasiRNN(_RecurrentBase):
                 h = jnp.flip(h, axis=1)
             return h, cT
 
-        return self._run_layers(x, train, layer)
+        return self._run_layers(x, train, layer, hx=hx)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,114 @@
+"""Differentiable SRMR surrogate (speech-to-reverberation modulation
+energy ratio) for non-intrusive quality objectives.
+
+Parity role: the reference's MetricGAN-U recipes
+(``recipes/Voicebank/enhance/MetricGAN-U/train.py``,
+``recipes/Voicebank/dereverb/MetricGAN-U``) score enhanced speech with
+the external SRMR toolbox (Falk et al., 2010) as a clean-reference-free
+target.  This module provides a simplified, fully differentiable, jnp
+implementation of the same quantity so the metric can live INSIDE the
+jitted GAN step:
+
+- mel-band envelopes from an STFT (32 ms window, 8 ms hop -> 125 Hz
+  envelope rate);
+- per-band modulation spectrum via rFFT over frames;
+- energy pooled into 8 log-spaced modulation bands (centers 4..128 Hz,
+  standard SRMR filterbank) with soft gaussian windows (differentiable
+  band edges);
+- SRMR = energy(bands 1-4) / energy(bands 5-8).
+
+Speech has strong syllabic modulations (~2-16 Hz); reverberation smears
+envelopes and shifts modulation energy upward, lowering the ratio.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from speechbrain_tpu.processing.features import STFT
+
+__all__ = ["srmr", "srmr_loss"]
+
+_MOD_CENTERS = (4.0, 6.5, 10.7, 17.6, 28.9, 47.5, 78.1, 128.0)
+
+
+def _mel_fb(n_mels, n_fft, sr):
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    n_freqs = n_fft // 2 + 1
+    freqs = np.linspace(0, sr / 2, n_freqs)
+    pts = to_hz(np.linspace(to_mel(125.0), to_mel(sr / 2), n_mels + 2))
+    fb = np.zeros((n_mels, n_freqs), np.float32)
+    for i in range(n_mels):
+        lo, c, hi = pts[i], pts[i + 1], pts[i + 2]
+        up = (freqs - lo) / max(c - lo, 1e-6)
+        down = (hi - freqs) / max(hi - c, 1e-6)
+        fb[i] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+def srmr(wav, sample_rate=16000, n_mels=23, reduction="batch"):
+    """SRMR surrogate, higher = cleaner/less reverberant.
+
+    Arguments
+    ---------
+    wav : (B, T) waveforms.
+    reduction : "batch" -> (B,) scores; "mean" -> scalar.
+
+    Example
+    -------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> rng = np.random.default_rng(0)
+    >>> t = np.arange(16000) / 16000
+    >>> env = 0.5 * (1 + np.sign(np.sin(2 * np.pi * 4 * t)))  # 4 Hz bursts
+    >>> clean = (env * rng.normal(size=16000)).astype(np.float32)
+    >>> rir = (0.98 ** np.arange(2000)).astype(np.float32)
+    >>> rev = np.convolve(clean, rir)[:16000].astype(np.float32)
+    >>> s = srmr(jnp.stack([jnp.asarray(clean), jnp.asarray(rev)]))
+    >>> bool(s[0] > s[1])
+    True
+    """
+    wav = jnp.asarray(wav, jnp.float32)
+    win_ms, hop_ms, n_fft = 32, 8, 512
+    stft = STFT(
+        sample_rate=sample_rate, win_length=win_ms, hop_length=hop_ms,
+        n_fft=n_fft, window_type="hann",
+    )
+    spec = stft(wav)
+    mag2 = (spec ** 2).sum(-1)  # (B, frames, freq)
+    fb = jnp.asarray(_mel_fb(n_mels, n_fft, sample_rate))
+    env = jnp.sqrt(jnp.maximum(mag2 @ fb.T, 1e-10))  # (B, frames, mel)
+    env = env - env.mean(axis=1, keepdims=True)
+    n_frames = env.shape[1]
+    env_sr = 1000.0 / hop_ms
+    mod = jnp.abs(jnp.fft.rfft(env, axis=1)) ** 2  # (B, mod, mel)
+    mod_freqs = jnp.asarray(
+        np.fft.rfftfreq(n_frames, d=1.0 / env_sr), jnp.float32
+    )
+    band_e = []
+    for c in _MOD_CENTERS:
+        # soft gaussian window, ~1/3-octave wide
+        sigma = 0.35 * c
+        w = jnp.exp(-0.5 * ((mod_freqs - c) / sigma) ** 2)
+        band_e.append((mod * w[None, :, None]).sum(axis=(1, 2)))
+    band_e = jnp.stack(band_e, axis=1)  # (B, 8)
+    low = band_e[:, :4].sum(axis=1)
+    high = band_e[:, 4:].sum(axis=1)
+    score = low / jnp.maximum(high, 1e-10)
+    if reduction == "mean":
+        return score.mean()
+    return score
+
+
+def srmr_loss(y_pred_batch, y_true_batch=None, lens=None, reduction="mean"):
+    """Negative SRMR (lower = better for minimization).  The second
+    argument is accepted and ignored so the loss slots into
+    ``MetricStats(metric=...)`` alongside intrusive metrics."""
+    score = srmr(y_pred_batch, reduction="batch")
+    loss = -score
+    if reduction == "mean":
+        return loss.mean()
+    return loss

@@ -5,6 +5,7 @@ every variable declared in a recipe YAML is actually used by its train
 script (catching dead hyperparameters and typos).
 """
 
+import os
 import re
 
 __all__ = ["get_yaml_var", "detect_script_vars", "check_yaml_vs_script"]
@@ -43,6 +44,26 @@ def detect_script_vars(script_file, var_lst):
     return detected
 
 
+def _extra_scripts(script_file):
+    """Additional scripts a wrapper recipe delegates to, declared with
+    ``# yaml-check-extra-script: <repo-relative path>`` comments (used
+    by e.g. the Voicebank dereverb recipes that reuse the enhance
+    Brains)."""
+    import re
+
+    with open(script_file) as f:
+        text = f.read()
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = []
+    for rel in re.findall(r"#\s*yaml-check-extra-script:\s*(\S+)", text):
+        path = os.path.join(repo, rel)
+        if os.path.exists(path):
+            out.append(path)
+    return out
+
+
 def check_yaml_vs_script(hparam_file, script_file, ignore=()):
     """True if every YAML var is used by the script (or internally).
 
@@ -57,6 +78,8 @@ def check_yaml_vs_script(hparam_file, script_file, ignore=()):
         if f"<{var}>" in yaml_text or f"<{var}[" in yaml_text:
             internally_used.add(var)
     detected = set(detect_script_vars(script_file, var_lst))
+    for extra in _extra_scripts(script_file):
+        detected |= set(detect_script_vars(extra, var_lst))
     unused = [
         v
         for v in var_lst

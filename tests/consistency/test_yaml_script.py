@@ -25,11 +25,16 @@ IGNORE = (
 
 
 def _dynamic_keys(yaml_path, script_path):
-    """Vars reached via f-string keys like hparams[f"{split}_json"]."""
+    """Vars reached via f-string keys like hparams[f"{split}_json"]
+    (including in delegated extra scripts)."""
     import re as _re
 
-    with open(script_path) as f:
-        text = f.read()
+    from speechbrain_tpu.utils.check_yaml import _extra_scripts
+
+    text = ""
+    for path in [script_path] + _extra_scripts(script_path):
+        with open(path) as f:
+            text += f.read()
     suffixes = set(_re.findall(r'hparams\[f"\{\w+\}(\w+)"\]', text))
     if not suffixes:
         return set()

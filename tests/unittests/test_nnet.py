@@ -251,3 +251,34 @@ def test_qbatchnorm():
     merged = {"params": vars_["params"], **updates}
     y_eval = qbn.apply(merged, x, train=False)
     assert np.isfinite(np.asarray(y_eval)).all()
+
+
+def test_sequence_rnn_state_resume():
+    """Stepwise decode with carried hx == one full-sequence run
+    (transducer prediction networks rely on this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.nnet.RNN import GRU, LSTM
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 6, 4)), jnp.float32
+    )
+    for cls in (GRU, LSTM):
+        net = cls(hidden_size=8, num_layers=2)
+        p = net.init(jax.random.PRNGKey(1), x)
+        full, final = net.apply(p, x)
+        hx = None
+        outs = []
+        for t in range(x.shape[1]):
+            out, hx = net.apply(p, x[:, t : t + 1], hx=hx)
+            outs.append(out)
+        step = jnp.concatenate(outs, axis=1)
+        assert np.allclose(np.asarray(full), np.asarray(step), atol=1e-5)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            final,
+            hx,
+        )
