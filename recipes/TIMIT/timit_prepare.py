@@ -43,13 +43,16 @@ def _find_dir(base, name):
 
 
 def _read_phn(path):
-    phones = []
+    """(phones, end-frames) from a .PHN file; ends are 10 ms frame
+    indices (end_sample // 160), used by the Alignment recipe."""
+    phones, ends = [], []
     with open(path) as f:
         for line in f:
             parts = line.split()
             if len(parts) == 3:
                 phones.append(parts[2])
-    return phones
+                ends.append(int(parts[1]) // 160)
+    return phones, ends
 
 
 def _collect(split_dir, keep_spk=None, drop_spk=None):
@@ -112,15 +115,20 @@ def prepare_timit(
         manifest = {}
         for utt_id, wav, phn_path, spk in items:
             audio = read_audio(wav)
-            phones = _read_phn(phn_path)
+            phones, ends = _read_phn(phn_path)
             if fold is not None:
-                phones = [fold.get(p, p) for p in phones]
-                phones = [p for p in phones if p]  # folded-away (q)
+                folded = [
+                    (fold.get(p, p), e) for p, e in zip(phones, ends)
+                ]
+                folded = [(p, e) for p, e in folded if p]  # drop (q)
+                phones = [p for p, _ in folded]
+                ends = [e for _, e in folded]
             manifest[utt_id] = {
                 "wav": wav,
                 "duration": round(len(audio) / 16000.0, 3),
                 "spk_id": spk,
                 "phn": " ".join(phones),
+                "phn_ends": " ".join(str(e) for e in ends),
             }
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
         with open(save_path, "w") as f:

@@ -423,6 +423,16 @@ class HMMAligner:
 
     # -- alignment storage (flat-start training support) ----------------
 
+    def viterbi_targets(self, emission_pred, lens, phns, phn_lens):
+        """Per-frame Viterbi state targets as a TRACEABLE (B, T) int
+        array — usable inside jitted train steps (the list-returning
+        ``forward(dp="viterbi")`` backtrace is host-side).  Padded
+        frames repeat each row's final state; mask them with ``lens``
+        in the loss."""
+        return _viterbi_targets_impl(
+            emission_pred, lens, phns, phn_lens, self.neg_inf
+        )
+
     def store_alignments(self, ids, alignments):
         """Keep viterbi alignments for later batches (reference :1014)."""
         for utt_id, ali in zip(ids, alignments):
@@ -468,3 +478,54 @@ class HMMAligner:
                 if any(abs(b - e) <= 1 for b in boundaries):
                     correct += 1
         return correct / max(total, 1)
+
+
+def _viterbi_targets_impl(emission_pred, lens, phns, phn_lens, neg_inf):
+    """Traceable Viterbi per-frame targets (see
+    HMMAligner.viterbi_targets)."""
+    emission_pred = jnp.asarray(emission_pred)
+    B, T, _ = emission_pred.shape
+    phns = jnp.asarray(phns, jnp.int32)
+    U = phns.shape[1]
+    abs_T = jnp.round(jnp.asarray(lens) * T).astype(jnp.int32)
+    abs_U = jnp.round(jnp.asarray(phn_lens) * U).astype(jnp.int32)
+    emis = jnp.take_along_axis(
+        emission_pred, phns[:, None, :], axis=-1
+    )  # (B, T, U)
+    u_valid = jnp.arange(U)[None, :] < abs_U[:, None]
+    emis = jnp.where(u_valid[:, None, :], emis, neg_inf)
+
+    def vit_step(alpha, e_t):
+        stay = alpha
+        adv = jnp.pad(
+            alpha[:, :-1], ((0, 0), (1, 0)), constant_values=neg_inf
+        )
+        take_adv = adv > stay
+        alpha = jnp.where(take_adv, adv, stay) + e_t
+        return alpha, take_adv
+
+    alpha0 = jnp.full((B, U), neg_inf)
+    alpha0 = alpha0.at[:, 0].set(emis[:, 0, 0])
+    emis_t = jnp.swapaxes(emis, 0, 1)
+    _, moves = jax.lax.scan(vit_step, alpha0, emis_t[1:])
+    moves = jnp.concatenate([jnp.zeros((1, B, U), bool), moves], axis=0)
+    final_u = jnp.clip(abs_U - 1, 0, U - 1)
+    rows = jnp.arange(B)
+
+    def back_step(u, inputs):
+        moves_t, t = inputs
+        # Freeze the pointer on padded frames past each row's end.
+        active = t <= (abs_T - 1)
+        emit = phns[rows, u]
+        step_back = moves_t[rows, u] & active & (u > 0)
+        new_u = jnp.where(step_back, u - 1, u)
+        # Rows past their end re-anchor at their own final state.
+        new_u = jnp.where(active, new_u, final_u)
+        return new_u, emit
+
+    _, targets_rev = jax.lax.scan(
+        back_step,
+        final_u,
+        (jnp.flip(moves, axis=0), jnp.arange(T - 1, -1, -1)),
+    )
+    return jnp.flip(jnp.swapaxes(targets_rev, 0, 1), axis=1)  # (B, T)
