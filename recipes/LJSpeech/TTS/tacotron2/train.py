@@ -44,17 +44,47 @@ class Tacotron2Brain(sb.Brain):
 
     def compute_objectives(self, predictions, batch, stage):
         """Mel MSE (pre+post) + gate BCE over valid frames."""
-        mel_out, mel_post, gate, _ = predictions
+        mel_out, mel_post, gate, alignments = predictions
         T = mel_out.shape[1]
         out_lens = batch["mel_lens"] * T * batch["batch_mask"]
         losses = self.hparams.criterion(
             (mel_out, mel_post, gate), (batch["mel"], out_lens)
         )
+        if stage == Stage.VALID and getattr(
+            self.hparams, "progress_samples", False
+        ):
+            # Mirror the reference tacotron2 recipe: remember the last
+            # batch's spectrograms/alignments for the epoch sample dump.
+            logger = self.hparams.progress_sample_logger
+            logger.remember(
+                target=batch["mel"][0].T,
+                output=mel_post[0].T,
+                alignments=alignments[0].T,
+                raw_batch=logger.get_batch_sample(
+                    {
+                        "mel_target": batch["mel"],
+                        "mel_out": mel_out,
+                        "mel_out_postnet": mel_post,
+                        "alignments": alignments,
+                    }
+                ),
+            )
         return losses["loss"]
+
+    def on_stage_start(self, stage, epoch=None):
+        """Reset the progress-sample collection each valid pass."""
+        if stage == Stage.VALID and getattr(
+            self.hparams, "progress_samples", False
+        ):
+            self.hparams.progress_sample_logger.reset()
 
     def on_stage_end(self, stage, stage_loss, epoch=None):
         """Log + checkpoint on valid."""
         if stage == Stage.VALID:
+            if getattr(self.hparams, "progress_samples", False) and (
+                epoch % self.hparams.progress_samples_interval == 0
+            ):
+                self.hparams.progress_sample_logger.save(epoch)
             self.hparams.train_logger.log_stats(
                 {"epoch": epoch, "lr": self.lr},
                 train_stats={"loss": self.avg_train_loss},

@@ -19,6 +19,8 @@ __all__ = [
     "overlap_and_add",
     "dB_to_amplitude",
     "resynthesize",
+    "gabor_impulse_response",
+    "gabor_impulse_response_legacy_complex",
 ]
 
 
@@ -267,3 +269,38 @@ def resynthesize(enhanced_mag, noisy_inputs, stft, istft, normalize_wavs=True):
         )
         pred_wavs = pred_wavs / jnp.maximum(abs_max, 1.0)
     return pred_wavs
+
+
+def gabor_impulse_response(t, center, fwhm):
+    """Complex Gabor impulse responses for LEAF's ``GaborConv1d``
+    (reference ``processing/signal_processing.py:534``; Zeghidour et
+    al., ICLR 2021): ``(n_filters,) center/fwhm`` and ``(K,) t`` ->
+    ``(n_filters, K)`` complex64 filters.
+    """
+    t = jnp.asarray(t, jnp.float32)
+    center = jnp.asarray(center, jnp.float32)
+    fwhm = jnp.asarray(fwhm, jnp.float32)
+    denominator = 1.0 / (jnp.sqrt(2.0 * jnp.pi) * fwhm)
+    gaussian = jnp.exp(
+        -(t[None, :] ** 2) / (2.0 * fwhm[:, None] ** 2)
+    )
+    sinusoid = jnp.exp(1j * center[:, None].astype(jnp.complex64) * t[None, :])
+    return denominator[:, None].astype(jnp.complex64) * sinusoid * gaussian
+
+
+def gabor_impulse_response_legacy_complex(t, center, fwhm):
+    """Same filters as :func:`gabor_impulse_response` with the real and
+    imaginary parts stacked on a trailing axis (``(n_filters, K, 2)``)
+    instead of a complex dtype (reference :566 keeps this variant for
+    backends without complex support).
+    """
+    t = jnp.asarray(t, jnp.float32)
+    center = jnp.asarray(center, jnp.float32)
+    fwhm = jnp.asarray(fwhm, jnp.float32)
+    denominator = 1.0 / (jnp.sqrt(2.0 * jnp.pi) * fwhm)
+    gaussian = jnp.exp(-(t[None, :] ** 2) / (2.0 * fwhm[:, None] ** 2))
+    phase = center[:, None] * t[None, :]
+    envelope = denominator[:, None] * gaussian
+    return jnp.stack(
+        [envelope * jnp.cos(phase), envelope * jnp.sin(phase)], axis=-1
+    )

@@ -17,7 +17,16 @@ import time
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["profile", "schedule", "export", "report_time", "profile_optimiser"]
+__all__ = [
+    "profile",
+    "schedule",
+    "export",
+    "report_time",
+    "profile_optimiser",
+    "profile_analyst",
+    "profile_report",
+    "report_memory",
+]
 
 
 def schedule(wait=2, warmup=2, active=2, repeat=1):
@@ -100,3 +109,97 @@ def report_time(fn=None, n_warmup=1, n_steps=10):
     if fn is not None:
         return deco(fn)
     return deco
+
+
+profile_analyst = profile  # latency-analysis preset alias (reference :439)
+
+
+def report_memory(report=None):
+    """Peak device-memory bytes.
+
+    With no argument, queries the live device allocator
+    (``Device.memory_stats()``; 0 when the backend doesn't track, e.g.
+    CPU).  With a ``profile_report`` summary dict, returns its recorded
+    ``peak_bytes`` (reference ``utils/profiling.py:620`` reads the max
+    self-CUDA memory from kineto events).
+    """
+    if report is not None:
+        return report.get("peak_bytes", 0)
+    import jax
+
+    peak = 0
+    for dev in jax.local_devices():
+        stats = getattr(dev, "memory_stats", lambda: None)() or {}
+        peak = max(peak, stats.get("peak_bytes_in_use", 0))
+    return peak
+
+
+def profile_report(brain_or_fn=None, logdir=None):
+    """Aggregated per-batch timing + memory report (reference
+    ``utils/profiling.py:500``: the ``profile_report`` preset attaches
+    a profiler whose ``key_averages`` the recipe reads at the end).
+
+    Wraps a Brain's ``fit_batch``/``evaluate_batch`` with
+    device-synchronized timers; the summary lives at
+    ``brain.profiler_report`` (updated after every batch):
+    ``{"steps", "total_ms", "mean_ms", "p50_ms", "p90_ms",
+    "max_ms", "peak_bytes"}``.
+
+    Example
+    -------
+    >>> class T:
+    ...     def fit_batch(self, batch):
+    ...         return sum(batch)
+    ...     def evaluate_batch(self, batch, stage=None):
+    ...         return 0.0
+    >>> t = profile_report(T())
+    >>> _ = t.fit_batch([1, 2])
+    >>> t.profiler_report["steps"]
+    1
+    """
+
+    def attach(brain):
+        records = []
+
+        def timed(method):
+            @functools.wraps(method)
+            def wrapped(*args, **kwargs):
+                import jax
+
+                t0 = time.perf_counter()
+                out = method(*args, **kwargs)
+                try:
+                    jax.block_until_ready(out)
+                except Exception:
+                    pass
+                records.append((time.perf_counter() - t0) * 1000)
+                brain.profiler_report = summarize()
+                return out
+
+            return wrapped
+
+        def summarize():
+            if not records:
+                return {"steps": 0, "total_ms": 0.0, "peak_bytes": 0}
+            srt = sorted(records)
+            n = len(srt)
+            return {
+                "steps": n,
+                "total_ms": sum(srt),
+                "mean_ms": sum(srt) / n,
+                "p50_ms": srt[n // 2],
+                "p90_ms": srt[min(n - 1, int(0.9 * n))],
+                "max_ms": srt[-1],
+                "peak_bytes": report_memory(),
+            }
+
+        brain.profiler_report = summarize()
+        brain.fit_batch = timed(brain.fit_batch)
+        brain.evaluate_batch = timed(brain.evaluate_batch)
+        if logdir is not None:
+            return profile(brain, logdir=logdir)
+        return brain
+
+    if brain_or_fn is None:
+        return attach
+    return attach(brain_or_fn)

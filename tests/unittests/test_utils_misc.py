@@ -159,3 +159,86 @@ def test_hmm_aligner_lexicon():
     assert np.isclose(float(fwd[0]), tot, atol=1e-4)
     assert np.isclose(float(vit[0]), best, atol=1e-4)
     assert len(alis[0]) == T
+
+
+def test_progress_sample_logger(tmp_path):
+    from speechbrain_tpu.utils.train_logger import ProgressSampleLogger
+
+    psl = ProgressSampleLogger(
+        str(tmp_path),
+        formats={"wav": "audio", "raw_batch": "raw"},
+        batch_sample_size=2,
+    )
+    psl.remember(
+        mel=np.random.randn(3, 20, 10),
+        wav=np.random.randn(2, 800) * 0.1,
+        raw_batch={"a": np.ones((4, 3)), "b": {"c": np.zeros(2)}},
+    )
+    sample = psl.get_batch_sample({"x": np.zeros((5, 2)), "y": "meta"})
+    assert sample["x"].shape == (2, 2) and sample["y"] == "meta"
+    psl.save(epoch=3)
+    out = sorted(os.listdir(tmp_path / "3"))
+    assert out == ["mel.png", "raw_batch.npz", "wav.wav"]
+    loaded = np.load(tmp_path / "3" / "raw_batch.npz")
+    assert loaded["b/c"].shape == (2,)
+    psl.reset()
+    assert psl.progress_samples == {}
+
+
+def test_profile_report():
+    from speechbrain_tpu.utils.profiling import profile_report, report_memory
+
+    class T:
+        def fit_batch(self, batch):
+            return sum(batch)
+
+        def evaluate_batch(self, batch, stage=None):
+            return 0.0
+
+    t = profile_report(T())
+    for _ in range(4):
+        t.fit_batch([1, 2])
+    t.evaluate_batch([3])
+    rep = t.profiler_report
+    assert rep["steps"] == 5
+    assert rep["p50_ms"] <= rep["max_ms"]
+    assert report_memory(rep) == rep["peak_bytes"]
+    assert report_memory() >= 0
+
+
+def test_gabor_impulse_response():
+    from speechbrain_tpu.processing.signal_processing import (
+        gabor_impulse_response,
+        gabor_impulse_response_legacy_complex,
+    )
+
+    t = np.arange(-50, 51, dtype=np.float32)
+    center = np.array([0.1, 0.5])
+    fwhm = np.array([5.0, 12.0])
+    g = np.asarray(gabor_impulse_response(t, center, fwhm))
+    gl = np.asarray(gabor_impulse_response_legacy_complex(t, center, fwhm))
+    assert g.shape == (2, 101) and gl.shape == (2, 101, 2)
+    assert np.allclose(np.real(g), gl[..., 0], atol=1e-6)
+    assert np.allclose(np.imag(g), gl[..., 1], atol=1e-6)
+    # Envelope peaks at t=0 and integrates near 1 (unit-gain gaussian).
+    assert np.argmax(np.abs(g[0])) == 50
+
+
+def test_check_hf_repo(tmp_path):
+    from speechbrain_tpu.utils.check_hf_repo import (
+        check_repo,
+        extract_python_blocks,
+        run_hf_check,
+    )
+
+    bundle = tmp_path / "model"
+    bundle.mkdir()
+    (bundle / "README.md").write_text(
+        "# Model\n```python\nprint('hello')\n```\n"
+    )
+    (bundle / "hyperparams.yaml").write_text("foo: 1\nbar: !ref <foo>\n")
+    assert extract_python_blocks(bundle / "README.md") == ["print('hello')\n"]
+    assert check_repo(str(bundle))
+    assert run_hf_check(str(tmp_path))
+    (bundle / "README.md").write_text("```python\ndef broken(:\n```\n")
+    assert not check_repo(str(bundle))
