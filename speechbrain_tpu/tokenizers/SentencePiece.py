@@ -31,7 +31,7 @@ WORD_BOUNDARY = "▁"
 class BPEModel:
     """Byte-pair-encoding model: train / encode / decode / save / load."""
 
-    def __init__(self, vocab_size=1000, character_coverage=1.0, model_type="bpe", special_tokens=("<unk>",), unk_id=0):
+    def __init__(self, vocab_size=1000, character_coverage=1.0, model_type="bpe", special_tokens=("<unk>",), unk_id=0, use_native=True):
         self.vocab_size = vocab_size
         self.model_type = model_type
         self.special_tokens = list(special_tokens)
@@ -40,11 +40,77 @@ class BPEModel:
         self.piece2id = {}
         self.merges = []
         self.scores = {}
+        self.use_native = use_native
+        self._native_enc = None
+
+    # -- native (C++) fast paths --------------------------------------
+
+    def _from_native_blob(self, blob):
+        """Adopt a model trained by the native library."""
+        self.pieces, self.merges, self.scores = [], [], {}
+        specials = set(self.special_tokens)
+        for line in blob.splitlines():
+            parts = line.split(" ")
+            if parts[0] == "PIECE":
+                self.pieces.append(parts[1])
+                if self.model_type == "unigram" and parts[1] not in specials:
+                    self.scores[parts[1]] = float(parts[2])
+            elif parts[0] == "MERGE":
+                self.merges.append((parts[1], parts[2]))
+        self._rebuild_index()
+
+    def _to_native_blob(self):
+        """Serialize for the native encoder (inverse of the above)."""
+        lines = [f"TYPE {self.model_type}", f"UNK {self.unk_id}"]
+        for s in self.special_tokens:
+            lines.append(f"SPECIAL {s}")
+        for p in self.pieces:
+            lines.append(f"PIECE {p} {self.scores.get(p, 0.0)!r}")
+        for a, b in self.merges:
+            lines.append(f"MERGE {a} {b}")
+        return "\n".join(lines)
+
+    def _native_encoder(self):
+        """Lazily-built native encode handle (None = Python path)."""
+        if not self.use_native or self.model_type not in ("bpe", "unigram"):
+            return None
+        if self._native_enc is None:
+            try:
+                from speechbrain_tpu import native
+
+                if native.get_lib() is None:
+                    self.use_native = False
+                    return None
+                self._native_enc = native.NativeEncoder(
+                    self._to_native_blob()
+                )
+            except Exception as err:  # pragma: no cover
+                logger.warning("Native encoder unavailable: %s", err)
+                self.use_native = False
+                return None
+        return self._native_enc
 
     # -- training ----------------------------------------------------------
 
     def train(self, sentences):
         """Learn merges from an iterable of text lines."""
+        sentences = [line.strip() for line in sentences]
+        if self.use_native and self.model_type in ("bpe", "unigram"):
+            try:
+                from speechbrain_tpu import native
+
+                blob = native.tok_train(
+                    sentences,
+                    self.vocab_size,
+                    self.model_type,
+                    self.special_tokens,
+                )
+            except Exception as err:  # pragma: no cover
+                logger.warning("Native training failed (%s); Python path", err)
+                blob = None
+            if blob is not None:
+                self._from_native_blob(blob)
+                return self
         word_freq = collections.Counter()
         for line in sentences:
             for word in line.strip().split():
@@ -237,6 +303,10 @@ class BPEModel:
 
     def encode_as_pieces(self, text):
         """Text to list of subword pieces (BPE merges)."""
+        enc = self._native_encoder()
+        if enc is not None:
+            # Single segmentation source: the native ids.
+            return [self.pieces[i] for i in enc.encode(text.strip())]
         pieces = []
         for word in text.strip().split():
             if self.model_type == "word":
@@ -250,7 +320,10 @@ class BPEModel:
         return pieces
 
     def encode_as_ids(self, text):
-        """Text to list of piece ids."""
+        """Text to list of piece ids (native C++ hot path when built)."""
+        enc = self._native_encoder()
+        if enc is not None:
+            return enc.encode(text.strip())
         return [
             self.piece2id.get(p, self.unk_id)
             for p in self.encode_as_pieces(text)
