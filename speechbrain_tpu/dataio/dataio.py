@@ -274,6 +274,19 @@ def _load_audio_any(path, start=0, stop=None):
         audio = np.load(path).astype(np.float32)
         return audio[start:stop], 16000
     if ext == ".flac":
+        # Native C++ decoder first (no external deps; covers
+        # LibriSpeech); soundfile as fallback when available.
+        try:
+            from speechbrain_tpu import native
+
+            result = native.flac_decode(path)
+        except ValueError:
+            raise
+        except Exception:
+            result = None
+        if result is not None:
+            audio, sr = result
+            return audio[start:stop], sr
         try:
             import soundfile as sf
 
@@ -281,8 +294,8 @@ def _load_audio_any(path, start=0, stop=None):
             return audio, sr
         except ImportError:
             raise ImportError(
-                "FLAC decode needs the soundfile package (not available); "
-                "convert to WAV or install soundfile."
+                "FLAC decode needs the native toolchain (g++) or the "
+                "soundfile package; convert to WAV otherwise."
             )
     raise ValueError(f"Unsupported audio format: {ext}")
 

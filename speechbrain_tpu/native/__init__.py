@@ -93,6 +93,15 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int,
             ]
+            lib.sb_flac_decode.restype = ctypes.c_int
+            lib.sb_flac_decode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.sb_free_f32.argtypes = [ctypes.POINTER(ctypes.c_float)]
             _lib = lib
         except Exception as err:  # pragma: no cover
             logger.warning("Native library unavailable (%s); using Python", err)
@@ -152,3 +161,38 @@ class NativeEncoder:
             self.close()
         except Exception:
             pass
+
+
+def flac_decode(path):
+    """Decode a FLAC file natively.
+
+    Returns ``(audio, sample_rate)`` with float32 ``audio`` shaped
+    (frames,) for mono or (frames, channels); None when the native
+    library is unavailable.  Raises ValueError on malformed files.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+
+    out = ctypes.POINTER(ctypes.c_float)()
+    n_frames = ctypes.c_int64()
+    channels = ctypes.c_int()
+    rate = ctypes.c_int()
+    code = lib.sb_flac_decode(
+        os.fspath(path).encode(),
+        ctypes.byref(out),
+        ctypes.byref(n_frames),
+        ctypes.byref(channels),
+        ctypes.byref(rate),
+    )
+    if code != 0:
+        raise ValueError(f"FLAC decode failed ({code}): {path}")
+    try:
+        n = n_frames.value * channels.value
+        audio = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    finally:
+        lib.sb_free_f32(out)
+    if channels.value > 1:
+        audio = audio.reshape(n_frames.value, channels.value)
+    return audio, rate.value
