@@ -38,22 +38,27 @@ class ConvolutionModule(nn.Module):
         if mask is not None:
             # zero padded frames so they don't leak through the conv
             y = jnp.where(mask[..., None], 0.0, y)
-        if self.causal:
-            pad = (self.kernel_size - 1, 0)
-        else:
-            pad = (
-                (self.kernel_size - 1) // 2,
-                self.kernel_size - 1 - (self.kernel_size - 1) // 2,
-            )
-        y = jnp.pad(y, ((0, 0), pad, (0, 0)))
-        y = nn.Conv(
-            features=d,
-            kernel_size=(self.kernel_size,),
-            feature_group_count=d,
-            padding="VALID",
-            use_bias=self.bias,
-            dtype=x.dtype,
-        )(y)
+        from speechbrain_tpu.ops.pallas.depthwise_conv import (
+            depthwise_conv1d,
+        )
+
+        # Same init distribution as nn.Conv's depthwise kernel
+        # (lecun_normal over (K, 1, C): fan_in = K).
+        w = self.param(
+            "depthwise_kernel",
+            lambda key, shape: nn.initializers.lecun_normal()(
+                key, (shape[0], 1, shape[1])
+            )[:, 0, :],
+            (self.kernel_size, d),
+        )
+        conv_bias = (
+            self.param("depthwise_bias", nn.initializers.zeros, (d,))
+            if self.bias
+            else None
+        )
+        y = depthwise_conv1d(
+            y, w.astype(x.dtype), conv_bias, causal=self.causal
+        )
         y = nn.LayerNorm(dtype=x.dtype)(y)
         y = y * jax.nn.sigmoid(y)  # swish
         y = nn.Dense(d, use_bias=self.bias, dtype=x.dtype)(y)

@@ -114,7 +114,12 @@ class TransformerASR(nn.Module):
         src_key_padding_mask = None
         if wav_len is not None:
             src_key_padding_mask = get_key_padding_mask(wav_len, T)
-        x = self.custom_src_module(src)
+        # Keep the compute dtype of the incoming activations: flax
+        # Dense with default dtype promotes bf16 inputs to f32, which
+        # silently upcasts the WHOLE encoder (wall-neutral at
+        # conformer_small bench shapes, but doubles activation HBM
+        # traffic; matters at larger d_model).
+        x = self.custom_src_module(src).astype(src.dtype)
         if self.attention_type == "RelPosMHAXL":
             pos_embs = self.relpos_enc(x)
             if self.encoder_module == "transformer":
@@ -146,7 +151,7 @@ class TransformerASR(nn.Module):
             return enc_out, None
         tgt_key_padding_mask = jnp.asarray(tgt, jnp.int32) == pad_idx
         tgt_mask = get_lookahead_mask(tgt.shape[1])
-        tgt_emb = self.custom_tgt_module(tgt)
+        tgt_emb = self.custom_tgt_module(tgt).astype(enc_out.dtype)
         tgt_emb = tgt_emb + self.positional_encoding_mod(tgt_emb)
         dec_out, _, _ = self.decoder(
             tgt_emb,
