@@ -45,7 +45,7 @@ from speechbrain_tpu.dataio.dataloader import (
     make_dataloader,
 )
 from speechbrain_tpu.parallel.mesh import make_mesh
-from speechbrain_tpu.parallel.sharding import replicate_tree, shard_batch
+from speechbrain_tpu.parallel.sharding import place_state, shard_batch
 from speechbrain_tpu.utils.checkpoints import (
     Recoverable,
     mark_as_loader,
@@ -506,7 +506,7 @@ class Brain:
             "opt_state": opt_state,
             "extra": extra,
         }
-        self.train_state = replicate_tree(self.mesh, state)
+        self.train_state = place_state(self.mesh, state)
         n_params = sum(
             int(np.prod(x.shape))
             for x in jax.tree_util.tree_leaves(params)
@@ -991,4 +991,4 @@ class _TrainStateRecoverable(Recoverable):
     @value.setter
     def value(self, new):
         """Current recoverable value."""
-        self.brain.train_state = replicate_tree(self.brain.mesh, new)
+        self.brain.train_state = place_state(self.brain.mesh, new)

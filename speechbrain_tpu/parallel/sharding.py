@@ -18,6 +18,8 @@ __all__ = [
     "replicated",
     "shard_batch",
     "replicate_tree",
+    "tp_leaf_spec",
+    "place_state",
 ]
 
 
@@ -49,3 +51,53 @@ def replicate_tree(mesh, tree):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )
+
+
+def tp_leaf_spec(shape, mp):
+    """Tensor-parallel PartitionSpec for one parameter by shape.
+
+    The scaling-book recipe: annotate weight shardings, let GSPMD
+    propagate activation shardings and insert the collectives.  Matmul
+    kernels (ndim >= 2) shard their output dim over the ``model`` axis
+    when divisible (megatron column-parallel); otherwise the input dim
+    (row-parallel); 1-D / indivisible leaves replicate.
+
+    Example
+    -------
+    >>> tp_leaf_spec((64, 128), 2)
+    PartitionSpec(None, 'model')
+    >>> tp_leaf_spec((33, 7), 2)
+    PartitionSpec()
+    """
+    from speechbrain_tpu.parallel.mesh import MODEL_AXIS
+
+    if mp <= 1 or len(shape) < 2:
+        return P()
+    if shape[-1] % mp == 0:
+        return P(*([None] * (len(shape) - 1)), MODEL_AXIS)
+    if shape[-2] % mp == 0:
+        return P(*([None] * (len(shape) - 2)), MODEL_AXIS, None)
+    return P()
+
+
+def place_state(mesh, tree):
+    """device_put a train-state pytree onto the mesh.
+
+    Pure data parallelism (model axis = 1) replicates every leaf; with
+    tensor parallelism, weight matrices shard over the model axis by
+    :func:`tp_leaf_spec` (optimizer moments follow automatically —
+    same shapes, same rule).
+    """
+    from speechbrain_tpu.parallel.mesh import MODEL_AXIS
+
+    mp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+    if mp <= 1:
+        return replicate_tree(mesh, tree)
+
+    def put(x):
+        shape = getattr(x, "shape", ())
+        return jax.device_put(
+            x, NamedSharding(mesh, tp_leaf_spec(shape, mp))
+        )
+
+    return jax.tree_util.tree_map(put, tree)
