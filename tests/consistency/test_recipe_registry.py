@@ -57,3 +57,23 @@ def test_every_recipe_registered():
     }
     missing = on_disk - registered
     assert not missing, f"Unregistered recipe scripts: {sorted(missing)}"
+
+
+def test_every_corpus_has_readme():
+    """Mirrors the reference's recipe-README consistency check."""
+    import csv
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    with open(os.path.join(repo, "tests", "recipes.csv"), newline="") as f:
+        corpora = {row["Dataset"] for row in csv.DictReader(f)}
+    missing = [
+        c
+        for c in corpora
+        if not os.path.exists(
+            os.path.join(repo, "recipes", c, "README.md")
+        )
+    ]
+    assert not missing, f"corpora without README.md: {missing}"
