@@ -1,20 +1,30 @@
-"""Conformer encoder (macaron FFN + RelPosMHAXL + conv module).
+"""Conformer encoder/decoder (macaron FFN + RelPosMHAXL + conv module).
 
 Parity targets: reference ``lobes/models/transformer/Conformer.py:24``
 (ConvolutionModule), ``:118`` (ConformerEncoderLayer), ``:263``
-(ConformerEncoder).
+(ConformerEncoder), ``:386`` (ConformerDecoderLayer), ``:545``
+(ConformerDecoder).
 """
+
+import warnings
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from speechbrain_tpu.nnet.attention import (
+    MultiheadAttention,
     PositionalwiseFeedForward,
     RelPosMHAXL,
 )
 
-__all__ = ["ConvolutionModule", "ConformerEncoderLayer", "ConformerEncoder"]
+__all__ = [
+    "ConvolutionModule",
+    "ConformerEncoderLayer",
+    "ConformerEncoder",
+    "ConformerDecoderLayer",
+    "ConformerDecoder",
+]
 
 
 class ConvolutionModule(nn.Module):
@@ -167,3 +177,173 @@ class ConformerEncoder(nn.Module):
             )
             attns.append(attn)
         return output, attns
+
+
+class ConformerDecoderLayer(nn.Module):
+    """Conformer decoder layer (reference ``Conformer.py:386``).
+
+    Macaron half-FFN, then ONE attention block attending to the encoder
+    ``memory`` (the reference decoder layer has no separate self-attn),
+    then the (causal) convolution module, then the second half-FFN.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> layer = ConformerDecoderLayer(
+    ...     d_model=16, d_ffn=32, nhead=4, kernel_size=3,
+    ...     attention_type="regularMHA")
+    >>> tgt = jnp.ones((2, 5, 16))
+    >>> mem = jnp.ones((2, 7, 16))
+    >>> v = layer.init(jax.random.PRNGKey(0), tgt, mem, train=False)
+    >>> out, self_attn, attn = layer.apply(v, tgt, mem, train=False)
+    >>> out.shape
+    (2, 5, 16)
+    """
+
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 31
+    bias: bool = True
+    causal: bool = True
+    dropout: float = 0.0
+    activation: str = "swish"
+    attention_type: str = "RelPosMHAXL"
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt,
+        memory,
+        tgt_mask=None,
+        memory_mask=None,
+        tgt_key_padding_mask=None,
+        memory_key_padding_mask=None,
+        pos_embs_tgt=None,
+        pos_embs_src=None,
+        train=True,
+    ):
+        if not self.causal:
+            warnings.warn(
+                "Decoder is not causal; in most applications it should "
+                "be causal, you have been warned!"
+            )
+        drop = nn.Dropout(rate=self.dropout, deterministic=not train)
+        ff1 = PositionalwiseFeedForward(
+            d_ffn=self.d_ffn, dropout=self.dropout,
+            activation=self.activation, name="ffn1",
+        )
+        tgt = tgt + 0.5 * drop(
+            ff1(nn.LayerNorm(dtype=tgt.dtype)(tgt), train=train)
+        )
+        skip = tgt
+        x = nn.LayerNorm(dtype=tgt.dtype, name="norm1")(tgt)
+        if self.attention_type == "regularMHA":
+            x, attn = MultiheadAttention(
+                nhead=self.nhead, d_model=self.d_model,
+                dropout=self.dropout, name="mha",
+            )(
+                x, memory, memory,
+                key_padding_mask=memory_key_padding_mask,
+                attn_mask=memory_mask,
+                train=train,
+            )
+        else:
+            x, attn = RelPosMHAXL(
+                embed_dim=self.d_model, num_heads=self.nhead,
+                dropout=self.dropout, mask_pos_future=self.causal,
+                name="mha",
+            )(
+                x, memory, memory, pos_embs_src,
+                key_padding_mask=memory_key_padding_mask,
+                attn_mask=memory_mask,
+                train=train,
+            )
+        x = x + skip
+        x = x + ConvolutionModule(
+            input_size=self.d_model, kernel_size=self.kernel_size,
+            bias=self.bias, causal=self.causal, dropout=self.dropout,
+            name="conv",
+        )(x, train=train)
+        ff2 = PositionalwiseFeedForward(
+            d_ffn=self.d_ffn, dropout=self.dropout,
+            activation=self.activation, name="ffn2",
+        )
+        x = nn.LayerNorm(dtype=tgt.dtype, name="norm2")(
+            x + 0.5 * drop(ff2(nn.LayerNorm(dtype=x.dtype)(x), train=train))
+        )
+        return x, attn, attn
+
+
+class ConformerDecoder(nn.Module):
+    """Stack of conformer decoder layers + final LN (reference
+    ``Conformer.py:545``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> dec = ConformerDecoder(
+    ...     num_layers=2, d_model=16, d_ffn=32, nhead=4, kernel_size=3,
+    ...     attention_type="regularMHA")
+    >>> tgt = jnp.ones((2, 5, 16))
+    >>> mem = jnp.ones((2, 7, 16))
+    >>> v = dec.init(jax.random.PRNGKey(0), tgt, mem, train=False)
+    >>> out, self_attns, attns = dec.apply(v, tgt, mem, train=False)
+    >>> out.shape
+    (2, 5, 16)
+    >>> len(attns)
+    2
+    """
+
+    num_layers: int
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 31
+    bias: bool = True
+    causal: bool = True
+    dropout: float = 0.0
+    activation: str = "swish"
+    attention_type: str = "RelPosMHAXL"
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt,
+        memory,
+        tgt_mask=None,
+        memory_mask=None,
+        tgt_key_padding_mask=None,
+        memory_key_padding_mask=None,
+        pos_embs_tgt=None,
+        pos_embs_src=None,
+        train=True,
+    ):
+        output = tgt
+        self_attns, attns = [], []
+        for i in range(self.num_layers):
+            output, sa, a = ConformerDecoderLayer(
+                d_model=self.d_model,
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                kernel_size=self.kernel_size,
+                bias=self.bias,
+                causal=self.causal,
+                dropout=self.dropout,
+                activation=self.activation,
+                attention_type=self.attention_type,
+                name=f"layer_{i}",
+            )(
+                output, memory,
+                tgt_mask=tgt_mask,
+                memory_mask=memory_mask,
+                tgt_key_padding_mask=tgt_key_padding_mask,
+                memory_key_padding_mask=memory_key_padding_mask,
+                pos_embs_tgt=pos_embs_tgt,
+                pos_embs_src=pos_embs_src,
+                train=train,
+            )
+            self_attns.append(sa)
+            attns.append(a)
+        output = nn.LayerNorm(dtype=output.dtype, name="norm")(output)
+        return output, self_attns, attns
