@@ -529,3 +529,40 @@ def _viterbi_targets_impl(emission_pred, lens, phns, phn_lens, neg_inf):
         (jnp.flip(moves, axis=0), jnp.arange(T - 1, -1, -1)),
     )
     return jnp.flip(jnp.swapaxes(targets_rev, 0, 1), axis=1)  # (B, T)
+
+
+def map_inds_to_intersect(lists1, lists2, ind2labs):
+    """Map index sequences from two different phoneme sets into one
+    shared index space so equality comparison is meaningful (reference
+    ``alignment/aligner.py:1324``; label sets are sorted here for
+    deterministic index assignment).
+
+    Example
+    -------
+    >>> out1, out2 = map_inds_to_intersect(
+    ...     [[0, 1]], [[0, 1]], ({0: "a", 1: "b"}, {0: "a", 1: "c"}))
+    >>> out1, out2
+    ([[0, 1]], [[0, 2]])
+    """
+    ind2lab1, ind2lab2 = ind2labs
+    set1, set2 = set(ind2lab1.values()), set(ind2lab2.values())
+    intersect = sorted(set1.intersection(set2))
+    set1_only = sorted(set1.difference(set2))
+    set2_only = sorted(set2.difference(set1))
+    new_lab2ind = {lab: i for i, lab in enumerate(intersect)}
+    new_lab2ind.update(
+        {lab: len(intersect) + i for i, lab in enumerate(set1_only)}
+    )
+    new_lab2ind.update(
+        {
+            lab: len(intersect) + len(set1_only) + i
+            for i, lab in enumerate(set2_only)
+        }
+    )
+    lists1_new = [
+        [new_lab2ind[ind2lab1[ind]] for ind in utt] for utt in lists1
+    ]
+    lists2_new = [
+        [new_lab2ind[ind2lab2[ind]] for ind in utt] for utt in lists2
+    ]
+    return lists1_new, lists2_new

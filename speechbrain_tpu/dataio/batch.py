@@ -201,6 +201,11 @@ class PaddedBatch:
     def __len__(self):
         return self.__length
 
+    @property
+    def batchsize(self):
+        """Number of real (non-dummy) examples in the batch."""
+        return self.__length
+
     def __getattr__(self, key):
         if key in self._PaddedBatch__dict:
             return self._PaddedBatch__dict[key]
@@ -254,3 +259,70 @@ class PaddedBatch:
             mask[: self.__length] = 1.0
             out["batch_mask"] = mask
         return out
+
+
+class BatchsizeGuesser:
+    """Try to figure out the batch size of any batch object, but never
+    error out (fallback: 1).  Reference ``dataio/batch.py:244``.
+
+    Example
+    -------
+    >>> guesser = BatchsizeGuesser()
+    >>> guesser(np.zeros((2, 3)))
+    2
+    >>> guesser((np.zeros((2, 3)), np.zeros((2,))))
+    2
+    >>> guesser("even weird non-batches have a fallback")
+    1
+    """
+
+    def __init__(self):
+        self.method = None
+
+    def __call__(self, batch):
+        try:
+            return self.method(batch)
+        except Exception:
+            return self.find_suitable_method(batch)
+
+    def find_suitable_method(self, batch):
+        """Try the different methods and remember which worked."""
+        for method in (
+            self.attr_based,
+            self.array_bs,
+            self.dict_len,
+            self.len_of_first,
+            self.len_of_iter_first,
+        ):
+            try:
+                bs = method(batch)
+                self.method = method
+                return bs
+            except Exception:
+                continue
+        self.method = self.fallback
+        return self.fallback(batch)
+
+    def attr_based(self, batch):
+        """``batch.batchsize`` for PaddedBatch-like objects."""
+        return batch.batchsize
+
+    def array_bs(self, batch):
+        """Leading dim of an array."""
+        return batch.shape[0]
+
+    def dict_len(self, batch):
+        """Leading dim of the first dict value."""
+        return next(iter(batch.values())).shape[0]
+
+    def len_of_first(self, batch):
+        """Length of the first element of a sequence."""
+        return len(batch[0])
+
+    def len_of_iter_first(self, batch):
+        """Length of the first item yielded by an iterator."""
+        return len(next(iter(batch)))
+
+    def fallback(self, batch):
+        """Last-ditch: guess 1."""
+        return 1

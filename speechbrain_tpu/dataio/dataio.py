@@ -33,6 +33,15 @@ __all__ = [
     "merge_csvs",
     "split_word",
     "read_kaldi_lab",
+    "load_pickle",
+    "save_pkl",
+    "load_pkl",
+    "convert_index_to_lab",
+    "write_txt_file",
+    "write_stdout",
+    "get_md5",
+    "save_md5",
+    "IterativeCSVWriter",
 ]
 
 
@@ -502,3 +511,204 @@ def _read_via_ffmpeg(path, start=0, stop=None, target_sr=None):
     if stop is None:
         stop = len(audio)
     return audio[int(start):int(stop)], target_sr or 0
+
+
+# ---------------------------------------------------------------------------
+# Small file utilities (reference ``dataio/dataio.py`` tail)
+# ---------------------------------------------------------------------------
+
+
+def load_pickle(pickle_path):
+    """Load a .pkl file (reference ``dataio/dataio.py:117``)."""
+    import pickle
+
+    with open(pickle_path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_pkl(obj, file):
+    """Save an object in pkl format (reference ``dataio/dataio.py:552``).
+
+    Example
+    -------
+    >>> tmpfile = getfixture('tmpdir') / "example.pkl"
+    >>> save_pkl([1, 2, 3, 4, 5], tmpfile)
+    >>> load_pkl(tmpfile)
+    [1, 2, 3, 4, 5]
+    """
+    import pickle
+
+    with open(file, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def load_pkl(file):
+    """Load a pkl file, waiting on a sibling ``.lock`` file if another
+    process is writing (reference ``dataio/dataio.py:575``)."""
+    import pickle
+    import time
+
+    count = 100
+    while count > 0:
+        if os.path.isfile(str(file) + ".lock"):
+            time.sleep(1)
+            count -= 1
+        else:
+            break
+    try:
+        open(str(file) + ".lock", "w").close()
+        with open(file, "rb") as f:
+            return pickle.load(f)
+    finally:
+        if os.path.isfile(str(file) + ".lock"):
+            os.remove(str(file) + ".lock")
+
+
+def convert_index_to_lab(batch, ind2lab):
+    """Convert a batch of integer IDs to string labels (reference
+    ``dataio/dataio.py:612``).
+
+    Example
+    -------
+    >>> ind2lab = {1: "h", 2: "e", 3: "l", 4: "o"}
+    >>> out = convert_index_to_lab([[4, 1], [1, 2, 3, 3, 4]], ind2lab)
+    >>> ["".join(seq) for seq in out]
+    ['oh', 'hello']
+    """
+    return [[ind2lab[int(index)] for index in seq] for seq in batch]
+
+
+def write_txt_file(data, filename, sampling_rate=None):
+    """Write data (str / list / array) one line per item (reference
+    ``dataio/dataio.py:993``)."""
+    del sampling_rate  # interface compatibility
+    parent = os.path.dirname(str(filename))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    with open(filename, "w") as fout:
+        if hasattr(data, "tolist"):
+            data = data.tolist()
+        if isinstance(data, list):
+            for line in data:
+                print(line, file=fout)
+        if isinstance(data, str):
+            print(data, file=fout)
+
+
+def write_stdout(data, filename=None, sampling_rate=None):
+    """Print data to standard output (reference
+    ``dataio/dataio.py:1030``)."""
+    del filename, sampling_rate
+    if hasattr(data, "tolist"):
+        data = data.tolist()
+    if isinstance(data, list):
+        for line in data:
+            print(line)
+    if isinstance(data, str):
+        print(data)
+
+
+def get_md5(file):
+    """md5 checksum of a file, read in 64 kB chunks (reference
+    ``dataio/dataio.py:1064``)."""
+    import hashlib
+
+    BUF_SIZE = 65536
+    md5 = hashlib.md5()
+    with open(file, "rb") as f:
+        while True:
+            data = f.read(BUF_SIZE)
+            if not data:
+                break
+            md5.update(data)
+    return md5.hexdigest()
+
+
+def save_md5(files, out_file):
+    """Pickle a {path: md5} dict for a list of files (reference
+    ``dataio/dataio.py:1092``)."""
+    md5_dict = {file: get_md5(file) for file in files}
+    save_pkl(md5_dict, out_file)
+
+
+class IterativeCSVWriter:
+    """Write SpeechBrain-format CSV files a line at a time (reference
+    ``dataio/dataio.py:655``): each data field expands to
+    ``key, key_format, key_opts`` columns.
+
+    Example
+    -------
+    >>> import io
+    >>> f = io.StringIO()
+    >>> writer = IterativeCSVWriter(f, ["phn"])
+    >>> print(f.getvalue())
+    ID,duration,phn,phn_format,phn_opts
+    >>> writer.write("UTT1", 2.5, "sil hh ee ll oo sil", "string", "")
+    >>> writer.write(ID="UTT2", phn="sil ww oo rr ld sil", phn_format="string")
+    >>> writer.set_default("phn_format", "string")
+    >>> writer.write_batch(ID=["UTT3", "UTT4"], phn=["ff oo", "bb aa"])
+    >>> print(f.getvalue())
+    ID,duration,phn,phn_format,phn_opts
+    UTT1,2.5,sil hh ee ll oo sil,string,
+    UTT2,,sil ww oo rr ld sil,string,
+    UTT3,,ff oo,string,
+    UTT4,,bb aa,string,
+    """
+
+    def __init__(self, outstream, data_fields, defaults={}):
+        self._outstream = outstream
+        self.fields = ["ID", "duration"] + self._expand_data_fields(
+            data_fields
+        )
+        self.defaults = dict(defaults)
+        self._outstream.write(",".join(self.fields))
+
+    def set_default(self, field, value):
+        """Set a default value for the given CSV field."""
+        if field not in self.fields:
+            raise ValueError(f"{field} is not a field in this CSV!")
+        self.defaults[field] = value
+
+    def write(self, *args, **kwargs):
+        """Write one data line, positionally or by keyword."""
+        if args and kwargs:
+            raise ValueError(
+                "Use either positional fields or named fields, not both."
+            )
+        if args:
+            if len(args) != len(self.fields):
+                raise ValueError("Need consistent fields")
+            to_write = [str(arg) for arg in args]
+        else:
+            full_vals = dict(self.defaults)
+            full_vals.update(kwargs)
+            to_write = [
+                str(full_vals.get(field, "")) for field in self.fields
+            ]
+        self._outstream.write("\n")
+        self._outstream.write(",".join(to_write))
+
+    def write_batch(self, *args, **kwargs):
+        """Write a batch of lines (lists of equal length)."""
+        if args and kwargs:
+            raise ValueError(
+                "Use either positional fields or named fields, not both."
+            )
+        if args:
+            if len(args) != len(self.fields):
+                raise ValueError("Need consistent fields")
+            for arg_row in zip(*args):
+                self.write(*[str(arg) for arg in arg_row])
+        else:
+            keys = kwargs.keys()
+            for value_row in zip(*kwargs.values()):
+                self.write(**dict(zip(keys, value_row)))
+
+    @staticmethod
+    def _expand_data_fields(data_fields):
+        expanded = []
+        for data_field in data_fields:
+            expanded.append(data_field)
+            expanded.append(data_field + "_format")
+            expanded.append(data_field + "_opts")
+        return expanded

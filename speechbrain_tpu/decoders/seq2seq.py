@@ -779,3 +779,77 @@ class S2SWhisperBeamSearch(_WhisperTokenMixin, S2SBeamSearcher):
             logits[:, -1] / self.temperature_lm, axis=-1
         )
         return log_probs, {"prefix": prefix}
+
+
+class S2SRNNBeamSearchTransformerLM(S2SRNNBeamSearchLM):
+    """RNN beam search + Transformer-LM shallow fusion (reference
+    ``decoders/seq2seq.py:1168``).
+
+    Identical machinery to :class:`S2SRNNBeamSearchLM`; the supplied
+    ``lm_step_fn`` is expected to keep the growing token prefix in its
+    memory and rescore it with a transformer LM each step (see
+    ``S2STransformerBeamSearch`` for the prefix-memory convention).
+    """
+
+
+def inflate_tensor(tensor, times, dim):
+    """Repeat-interleave along ``dim`` (reference
+    ``decoders/seq2seq.py:1255``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> inflate_tensor(jnp.array([[1., 2.], [3., 4.]]), 2, dim=0).tolist()
+    [[1.0, 2.0], [1.0, 2.0], [3.0, 4.0], [3.0, 4.0]]
+    """
+    return jnp.repeat(tensor, times, axis=dim)
+
+
+def mask_by_condition(tensor, cond, fill_value):
+    """Keep values where ``cond`` is True, else ``fill_value``
+    (reference ``decoders/seq2seq.py:1285``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> mask_by_condition(
+    ...     jnp.array([[1., 2.], [3., 4.]]),
+    ...     jnp.array([[True, False], [True, True]]), 0).tolist()
+    [[1.0, 0.0], [3.0, 4.0]]
+    """
+    return jnp.where(cond, tensor, fill_value)
+
+
+def filter_seq2seq_output(string_pred, eos_id=-1):
+    """Filter a predicted sequence up to the first eos (exclusive)
+    (reference ``decoders/seq2seq.py:1217``).
+
+    Example
+    -------
+    >>> filter_seq2seq_output(['a', 'b', 'c', 'eos', 'e'], eos_id='eos')
+    ['a', 'b', 'c']
+    """
+    if not isinstance(string_pred, list):
+        raise ValueError("The input must be a list.")
+    try:
+        eos_index = next(
+            i for i, v in enumerate(string_pred) if v == eos_id
+        )
+    except StopIteration:
+        eos_index = len(string_pred)
+    return string_pred[:eos_index]
+
+
+def batch_filter_seq2seq_output(prediction, eos_id=-1):
+    """Apply :func:`filter_seq2seq_output` to each sequence in a batch
+    (reference ``decoders/seq2seq.py:1191``).
+
+    Example
+    -------
+    >>> batch_filter_seq2seq_output([[1, 2, 3, -1], [4, -1, 5]])
+    [[1, 2, 3], [4]]
+    """
+    return [
+        filter_seq2seq_output(list(seq), eos_id=eos_id)
+        for seq in prediction
+    ]

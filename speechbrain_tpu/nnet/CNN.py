@@ -22,6 +22,10 @@ __all__ = [
     "DepthwiseSeparableConv1d",
     "SincConv",
     "GaborConv1d",
+    "Conv2dWithConstraint",
+    "DepthwiseSeparableConv2d",
+    "get_padding_elem",
+    "get_padding_elem_transposed",
 ]
 
 
@@ -115,6 +119,7 @@ class Conv2d(nn.Module):
     dilation: tuple = (1, 1)
     padding: str = "same"
     bias: bool = True
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -148,6 +153,7 @@ class Conv2d(nn.Module):
             kernel_dilation=(dh, dw),
             padding=pad,
             use_bias=self.bias,
+            feature_group_count=self.groups,
             dtype=x.dtype,
         )(x)
         return y
@@ -417,3 +423,148 @@ class GaborConv1d(nn.Module):
             padding="VALID",
             dimension_numbers=("NHC", "HIO", "NHC"),
         )
+
+
+def get_padding_elem(L_in, stride, kernel_size, dilation):
+    """Number of elements to add for zero-padding (reference
+    ``nnet/CNN.py:1459``).
+
+    Example
+    -------
+    >>> get_padding_elem(100, 1, 3, 1)
+    [1, 1]
+    """
+    if stride > 1:
+        return [kernel_size // 2, kernel_size // 2]
+    L_out = (L_in - dilation * (kernel_size - 1) - 1) // stride + 1
+    return [(L_in - L_out) // 2, (L_in - L_out) // 2]
+
+
+def get_padding_elem_transposed(
+    L_out, L_in, stride, kernel_size, dilation, output_padding
+):
+    """Required padding for a transposed convolution to reach ``L_out``
+    (reference ``nnet/CNN.py:1483``).
+
+    Example
+    -------
+    >>> get_padding_elem_transposed(100, 50, 2, 4, 1, 0)
+    1
+    """
+    padding = -0.5 * (
+        L_out
+        - (L_in - 1) * stride
+        - dilation * (kernel_size - 1)
+        - output_padding
+        - 1
+    )
+    return int(padding)
+
+
+def _max_norm(kernel, max_norm, axes):
+    """Project a kernel onto the L2 max-norm ball along ``axes`` (the
+    functional analogue of torch's ``renorm`` applied each forward)."""
+    norm = jnp.sqrt(jnp.sum(kernel**2, axis=axes, keepdims=True))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return kernel * scale
+
+
+class Conv2dWithConstraint(nn.Module):
+    """2d convolution whose kernel is max-norm constrained per output
+    channel (EEG models; reference ``nnet/CNN.py:723``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> conv = Conv2dWithConstraint(out_channels=5, kernel_size=(7, 3),
+    ...                             max_norm=1.0)
+    >>> x = jnp.ones((10, 40, 16, 8))
+    >>> p = conv.init(jax.random.PRNGKey(0), x)
+    >>> conv.apply(p, x).shape
+    (10, 40, 16, 5)
+    """
+
+    out_channels: int
+    kernel_size: tuple = (3, 3)
+    stride: tuple = (1, 1)
+    dilation: tuple = (1, 1)
+    padding: str = "same"
+    bias: bool = True
+    max_norm: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, in_ch, self.out_channels),
+        )
+        kernel = _max_norm(kernel, self.max_norm, axes=(0, 1, 2))
+        sh, sw = self.stride
+        dh, dw = self.dilation
+        if self.padding == "same":
+            y = _pad2d_same(x, kh, kw, sh, sw, dh, dw)
+            pad = "VALID"
+        elif self.padding == "valid":
+            y, pad = x, "VALID"
+        else:
+            raise ValueError(f"Unsupported padding {self.padding}")
+        y = jax.lax.conv_general_dilated(
+            y,
+            kernel.astype(x.dtype),
+            window_strides=(sh, sw),
+            padding=pad,
+            rhs_dilation=(dh, dw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.out_channels,)
+            )
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class DepthwiseSeparableConv2d(nn.Module):
+    """Depthwise 2d conv then pointwise 1x1 (reference
+    ``nnet/CNN.py:1082``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> conv = DepthwiseSeparableConv2d(out_channels=8, kernel_size=(3, 3))
+    >>> x = jnp.ones((2, 10, 12, 4))
+    >>> p = conv.init(jax.random.PRNGKey(0), x)
+    >>> conv.apply(p, x).shape
+    (2, 10, 12, 8)
+    """
+
+    out_channels: int
+    kernel_size: tuple = (3, 3)
+    stride: tuple = (1, 1)
+    dilation: tuple = (1, 1)
+    padding: str = "same"
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        y = Conv2d(
+            out_channels=in_ch,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            padding=self.padding,
+            groups=in_ch,
+            bias=self.bias,
+            name="depthwise",
+        )(x)
+        y = Conv2d(
+            out_channels=self.out_channels,
+            kernel_size=(1, 1),
+            bias=self.bias,
+            name="pointwise",
+        )(y)
+        return y

@@ -562,3 +562,97 @@ class ContrastiveLoss:
         # Positive is index 0.
         log_p = jax.nn.log_softmax(logits, axis=0)
         return -log_p[0].mean()
+
+
+def truncate(predictions, targets, allowed_len_diff=3):
+    """Trim predictions/targets to a common time length, raising if the
+    difference exceeds ``allowed_len_diff`` (reference
+    ``nnet/losses.py:597``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> p, t = truncate(jnp.ones((2, 10)), jnp.ones((2, 8)))
+    >>> p.shape, t.shape
+    ((2, 8), (2, 8))
+    """
+    len_diff = predictions.shape[1] - targets.shape[1]
+    if len_diff == 0:
+        return predictions, targets
+    if abs(len_diff) > allowed_len_diff:
+        raise ValueError(
+            "Predictions and targets should be same length, but got "
+            f"{predictions.shape[1]} and {targets.shape[1]} respectively."
+        )
+    if len_diff < 0:
+        return predictions, targets[:, : predictions.shape[1]]
+    return predictions[:, : targets.shape[1]], targets
+
+
+def get_mask(source, source_lengths):
+    """Binary mask over the leading (time) axis (reference
+    ``nnet/losses.py:850``): source (T, B, C) or (T, E, B, C),
+    lengths (B,) absolute → mask with a trailing singleton channel.
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> get_mask(jnp.ones((4, 3, 2)), jnp.array([2, 1, 4]))[:, :, 0].T.tolist()
+    [[1.0, 1.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]]
+    """
+    T = source.shape[0]
+    B = source.shape[-2]
+    t_range = jnp.arange(T)
+    mask_tb = (t_range[:, None] < source_lengths[None, :B]).astype(
+        source.dtype
+    )  # (T, B)
+    shape = [T] + [1] * (source.ndim - 3) + [B, 1]
+    return mask_tb.reshape(T, B)[
+        (slice(None),) + (None,) * (source.ndim - 3) + (slice(None), None)
+    ] * jnp.ones(shape, source.dtype)
+
+
+def cal_snr(source, estimate_source):
+    """Negative per-(batch, source) SNR for binaural separation,
+    PitWrapper-compatible layout (T, E, B, C) (reference
+    ``nnet/losses.py:803``)."""
+    EPS = 1e-8
+    T = estimate_source.shape[0]
+    B = estimate_source.shape[-2]
+    source_lengths = jnp.full((B,), T)
+    mask = get_mask(source, source_lengths)
+    estimate_source = estimate_source * mask
+    num_samples = source_lengths.reshape(1, -1, 1).astype(source.dtype)
+    mean_target = jnp.sum(source, axis=0, keepdims=True) / num_samples
+    mean_estimate = (
+        jnp.sum(estimate_source, axis=0, keepdims=True) / num_samples
+    )
+    zero_mean_target = (source - mean_target) * mask
+    zero_mean_estimate = (estimate_source - mean_estimate) * mask
+    snr_beforelog = jnp.sum(zero_mean_target**2, axis=0) / (
+        jnp.sum((zero_mean_estimate - zero_mean_target) ** 2, axis=0) + EPS
+    )
+    snr = 10 * jnp.log10(snr_beforelog + EPS)  # (E, B, C) or (B, C)
+    return -snr[None]
+
+
+def get_snr_with_pitwrapper(source, estimate_source):
+    """SNR with permutation-invariant training over the source axis;
+    inputs (B, T, E, C) (reference ``nnet/losses.py:718``)."""
+    pit_snr = PitWrapper(cal_snr)
+    loss, perms = pit_snr(source, estimate_source)
+    return loss
+
+
+def ce_kd(inp, target):
+    """Distillation cross-entropy between student log-probs and teacher
+    probs, flattened rows (reference ``nnet/losses.py:1130``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> float(ce_kd(jnp.log(jnp.array([[0.5, 0.5]])),
+    ...             jnp.array([[1.0, 0.0]]))[0]) > 0
+    True
+    """
+    return (-target * inp).sum(1)

@@ -18,6 +18,7 @@ __all__ = [
     "BatchNorm2d",
     "LayerNorm",
     "InstanceNorm1d",
+    "InstanceNorm2d",
     "GroupNorm",
     "ExponentialMovingAverage",
     "PCEN",
@@ -193,3 +194,35 @@ class PCEN(nn.Module):
             x / (self.floor + ema_smoother) ** alpha + delta
         ) ** one_over_root - delta ** one_over_root
         return out
+
+
+class InstanceNorm2d(nn.Module):
+    """Per-example normalization of (batch, time, ch1, ch2) over the
+    (time, ch1) axes, per ch2 channel (reference
+    ``nnet/normalization.py:297``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> norm = InstanceNorm2d()
+    >>> x = jnp.ones((10, 20, 4, 2))
+    >>> v = norm.init(jax.random.PRNGKey(0), x)
+    >>> norm.apply(v, x).shape
+    (10, 20, 4, 2)
+    """
+
+    eps: float = 1e-5
+    affine: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            scale = self.param(
+                "scale", nn.initializers.ones, (x.shape[-1],)
+            )
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+            y = y * scale + bias
+        return y

@@ -22,6 +22,7 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "Pretrained",
+    "EncodeDecodePipelineMixin",
     "EncoderDecoderASR",
     "EncoderASR",
     "EncoderClassifier",
@@ -751,3 +752,134 @@ class SpectralMaskEnhancement(Pretrained):
                 output_path, np.asarray(enhanced[0]), self.sample_rate
             )
         return enhanced[0]
+
+
+class EncodeDecodePipelineMixin:
+    """Mixin for pretrained models that declare their pre/post
+    processing as hparams-defined encode/decode ``DataPipeline``s
+    (reference ``pretrained/interfaces.py:2249``).
+
+    The hparams file provides ``encode_pipeline`` / ``decode_pipeline``
+    dicts with ``steps`` (dynamic items), ``output_keys``, optional
+    ``init`` steps and ``batch``/``use_padded_data`` flags, plus
+    ``model_output_keys``.
+    """
+
+    INPUT_STATIC_KEYS = ()
+    OUTPUT_KEYS = ()
+
+    def create_pipelines(self):
+        """Initializes the encode and decode pipelines from hparams."""
+        from speechbrain_tpu.utils.data_pipeline import DataPipeline
+
+        self._run_init_steps(self.hparams.encode_pipeline)
+        self._run_init_steps(self.hparams.decode_pipeline)
+        self.encode_pipeline = DataPipeline(
+            static_data_keys=self.INPUT_STATIC_KEYS,
+            dynamic_items=self.hparams.encode_pipeline["steps"],
+            output_keys=self.hparams.encode_pipeline["output_keys"],
+        )
+        self.decode_pipeline = DataPipeline(
+            static_data_keys=self.hparams.model_output_keys,
+            dynamic_items=self.hparams.decode_pipeline["steps"],
+            output_keys=self.OUTPUT_KEYS,
+        )
+
+    def _run_init_steps(self, pipeline_definition):
+        """Run optional pipeline ``init`` steps (e.g. filling text
+        encoders with tokens)."""
+        for step in pipeline_definition.get("init", []):
+            step_func = step.get("func")
+            if not step_func or not callable(step_func):
+                raise ValueError("Invalid pipeline init definition")
+            step_func()
+
+    def _run_pipeline(self, pipeline, input, batch):
+        if batch:
+            return pipeline(input)
+        return [pipeline(item) for item in input]
+
+    def _get_encode_pipeline_input(self, input):
+        return input if self.batch_inputs else self._itemize(input)
+
+    def _get_decode_pipeline_input(self, model_output):
+        model_output_keys = getattr(self.hparams, "model_output_keys", None)
+        pipeline_input = model_output
+        if model_output_keys and len(model_output_keys) == 1:
+            pipeline_input = (pipeline_input,)
+        if model_output_keys:
+            pipeline_input = dict(zip(model_output_keys, pipeline_input))
+        if not self.batch_outputs:
+            pipeline_input = self._itemize(pipeline_input)
+        return pipeline_input
+
+    def _itemize(self, pipeline_input):
+        first_item = next(iter(pipeline_input.values()))
+        keys, values = pipeline_input.keys(), pipeline_input.values()
+        batch_length = len(first_item)
+        return [
+            dict(zip(keys, [value[idx] for value in values]))
+            for idx in range(batch_length)
+        ]
+
+    def to_dict(self, data):
+        """Convert a PaddedBatch to a plain dict (leaves other types)."""
+        from speechbrain_tpu.dataio.batch import PaddedBatch
+
+        if isinstance(data, PaddedBatch):
+            data = {
+                key: self._get_value(data, key)
+                for key in self.hparams.encode_pipeline["output_keys"]
+            }
+        return data
+
+    def _get_value(self, data, key):
+        from speechbrain_tpu.dataio.batch import PaddedData
+
+        value = getattr(data, key)
+        if not self.input_use_padded_data and isinstance(value, PaddedData):
+            value = value.data
+        return value
+
+    @property
+    def batch_inputs(self):
+        """True when the encode pipeline operates on whole batches."""
+        return self.hparams.encode_pipeline.get("batch", True)
+
+    @property
+    def input_use_padded_data(self):
+        """True to hand raw PaddedData (with lengths) to the model."""
+        return self.hparams.encode_pipeline.get("use_padded_data", False)
+
+    @property
+    def batch_outputs(self):
+        """True when the decode pipeline operates on whole batches."""
+        return self.hparams.decode_pipeline.get("batch", True)
+
+    def _collate(self, data):
+        from speechbrain_tpu.dataio.batch import PaddedBatch
+
+        if not self.batch_inputs:
+            collate_fn = getattr(self.hparams, "collate_fn", PaddedBatch)
+            data = collate_fn(data)
+        return data
+
+    def encode_input(self, input):
+        """Run the encode pipeline over raw inputs → model inputs."""
+        pipeline_input = self._get_encode_pipeline_input(input)
+        model_input = self._run_pipeline(
+            pipeline=self.encode_pipeline,
+            input=pipeline_input,
+            batch=self.batch_inputs,
+        )
+        model_input = self._collate(model_input)
+        return self.to_dict(model_input)
+
+    def decode_output(self, output):
+        """Run the decode pipeline over raw model outputs."""
+        pipeline_input = self._get_decode_pipeline_input(output)
+        return self._run_pipeline(
+            pipeline=self.decode_pipeline,
+            input=pipeline_input,
+            batch=self.batch_outputs,
+        )

@@ -25,7 +25,134 @@ __all__ = [
     "undo_padding",
     "download_file",
     "ceil_to_bucket",
+    "get_all_files",
+    "get_list_from_csv",
+    "split_list",
+    "recursive_items",
+    "split_by_whitespace",
+    "scalarize",
 ]
+
+
+def get_all_files(
+    dirName, match_and=None, match_or=None, exclude_and=None, exclude_or=None
+):
+    """Recursively list files under a folder, filtered by substring
+    patterns (reference ``utils/data_utils.py:40``): keep a file iff it
+    contains ALL of ``match_and``, ANY of ``match_or``, NONE-violating
+    ``exclude_and`` (i.e. drop only if it contains all), and none of
+    ``exclude_or``.
+
+    Example
+    -------
+    >>> import os, tempfile
+    >>> d = tempfile.mkdtemp()
+    >>> _ = open(os.path.join(d, "a.wav"), "w")
+    >>> _ = open(os.path.join(d, "b.txt"), "w")
+    >>> [os.path.basename(f) for f in get_all_files(d, match_and=[".wav"])]
+    ['a.wav']
+    """
+    allFiles = []
+    for entry in sorted(os.listdir(dirName)):
+        fullPath = os.path.join(dirName, entry)
+        if os.path.isdir(fullPath):
+            allFiles += get_all_files(
+                fullPath,
+                match_and=match_and,
+                match_or=match_or,
+                exclude_and=exclude_and,
+                exclude_or=exclude_or,
+            )
+            continue
+        if match_and and not all(p in fullPath for p in match_and):
+            continue
+        if match_or and not any(p in fullPath for p in match_or):
+            continue
+        if exclude_and and all(p in fullPath for p in exclude_and):
+            continue
+        if exclude_or and any(p in fullPath for p in exclude_or):
+            continue
+        allFiles.append(fullPath)
+    return allFiles
+
+
+def get_list_from_csv(csvfile, field, delimiter=",", skipinitialspace=True):
+    """Extract one column of a CSV file as a list (reference
+    ``utils/data_utils.py:103``)."""
+    import csv
+
+    lst = []
+    with open(csvfile, newline="") as csvf:
+        reader = csv.DictReader(
+            csvf, delimiter=delimiter, skipinitialspace=skipinitialspace
+        )
+        for row in reader:
+            lst.append(row[field])
+    return lst
+
+
+def split_list(seq, num):
+    """Split a sequence into ``num`` nearly-equal chunks (reference
+    ``utils/data_utils.py:128``).
+
+    Example
+    -------
+    >>> split_list([1, 2, 3, 4, 5, 6, 7, 8, 9], 4)
+    [[1, 2], [3, 4], [5, 6], [7, 8, 9]]
+    """
+    avg = len(seq) / float(num)
+    out = []
+    last = 0.0
+    while last < len(seq):
+        out.append(seq[int(last) : int(last + avg)])
+        last += avg
+    return out
+
+
+def recursive_items(dictionary):
+    """Yield each leaf (key, value) of a nested dictionary (reference
+    ``utils/data_utils.py:156``).
+
+    Example
+    -------
+    >>> list(recursive_items({'lev1': {'lev2': {'lev3': 'v'}}}))
+    [('lev3', 'v')]
+    """
+    for key, value in dictionary.items():
+        if type(value) is dict:
+            yield from recursive_items(value)
+        else:
+            yield (key, value)
+
+
+def split_by_whitespace(text):
+    """Functional ``str.split`` (reference ``utils/data_utils.py:353``).
+
+    Example
+    -------
+    >>> split_by_whitespace("a  b c")
+    ['a', 'b', 'c']
+    """
+    return text.split()
+
+
+def scalarize(value):
+    """Convert a dict/namedtuple of 0-d arrays to Python scalars
+    (reference ``utils/data_utils.py:438``).
+
+    Example
+    -------
+    >>> scalarize({"loss": np.float32(2.0)})
+    {'loss': 2.0}
+    """
+    if hasattr(value, "_asdict"):
+        value_dict = value._asdict()
+    else:
+        value_dict = value
+    return {
+        key: np.asarray(item_value).item()
+        for key, item_value in value_dict.items()
+    }
 
 
 def pad_right_to(array, target_shape, mode="constant", value=0.0):

@@ -413,3 +413,38 @@ class ClassificationStats(MetricStats):
         filestream.write(f"Overall accuracy: {self.summary['accuracy']:.2%}\n")
         for c, acc in self.summary["by_category"].items():
             filestream.write(f"  {c}: {acc:.2%}\n")
+
+
+def multiprocess_evaluation(metric, predict, target, lengths=None, n_jobs=8):
+    """Evaluate ``metric(p, t)`` per utterance in a process/thread pool
+    (reference ``utils/metric_stats.py:155``; joblib → stdlib
+    concurrent.futures)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if lengths is not None:
+        lengths = np.round(
+            np.asarray(lengths) * np.asarray(predict).shape[1]
+        ).astype(int)
+        predict = [np.asarray(p)[:l] for p, l in zip(predict, lengths)]
+        target = [np.asarray(t)[:l] for t, l in zip(target, lengths)]
+    with ThreadPoolExecutor(max_workers=n_jobs) as ex:
+        return list(ex.map(metric, predict, target))
+
+
+def sequence_evaluation(metric, predict, target, lengths=None):
+    """Evaluate ``metric(p, t)`` per utterance sequentially (reference
+    ``utils/metric_stats.py:175``).
+
+    Example
+    -------
+    >>> sequence_evaluation(lambda p, t: float(abs(p - t).sum()),
+    ...                     [np.ones(2)], [np.zeros(2)])
+    [2.0]
+    """
+    if lengths is not None:
+        lengths = np.round(
+            np.asarray(lengths) * np.asarray(predict).shape[1]
+        ).astype(int)
+        predict = [np.asarray(p)[:l] for p, l in zip(predict, lengths)]
+        target = [np.asarray(t)[:l] for t, l in zip(target, lengths)]
+    return [metric(p, t) for p, t in zip(predict, target)]
