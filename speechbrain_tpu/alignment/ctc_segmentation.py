@@ -8,9 +8,15 @@ cost 0 from the "unstarted" state), yielding per-segment timings and
 confidence scores.
 """
 
+from types import SimpleNamespace
+
 import numpy as np
 
-__all__ = ["CTCSegmentation", "ctc_segmentation_align"]
+__all__ = [
+    "CTCSegmentation",
+    "CTCSegmentationTask",
+    "ctc_segmentation_align",
+]
 
 NEG_INF = -1e20
 
@@ -79,6 +85,59 @@ def ctc_segmentation_align(
     return segments
 
 
+class CTCSegmentationTask(SimpleNamespace):
+    """Container for CTC segmentation results (reference
+    ``alignment/ctc_segmentation.py:41``); ``str(task)`` renders a
+    kaldi-style ``segments`` file.
+
+    Example
+    -------
+    >>> task = CTCSegmentationTask()
+    >>> task.set(segments=[(0.0, 1.5, 0.97)], text=["hello"],
+    ...          name="rec1")
+    >>> print(str(task), end="")
+    rec1_0000 rec1 0.00 1.50 0.9700 hello
+    """
+
+    text = None
+    ground_truth_mat = None
+    utt_begin_indices = None
+    timings = None
+    char_probs = None
+    state_list = None
+    segments = None
+    config = None
+    done = False
+    name = "utt"
+    utt_ids = None
+    lpz = None
+    print_confidence_score = True
+    print_utterance_text = True
+
+    def set(self, **kwargs):
+        """Update object attributes."""
+        self.__dict__.update(kwargs)
+
+    def __str__(self):
+        """Kaldi-style ``segments`` file rendering."""
+        output = ""
+        num_utts = len(self.segments)
+        if self.utt_ids is None:
+            utt_names = [f"{self.name}_{i:04}" for i in range(num_utts)]
+        else:
+            assert num_utts == len(self.utt_ids)
+            utt_names = self.utt_ids
+        for i, boundary in enumerate(self.segments):
+            utt_entry = f"{utt_names[i]} {self.name} "
+            utt_entry += f"{boundary[0]:.2f} {boundary[1]:.2f}"
+            if self.print_confidence_score:
+                utt_entry += f" {boundary[2]:3.4f}"
+            if self.print_utterance_text:
+                utt_entry += f" {self.text[i]}"
+            output += utt_entry + "\n"
+        return output
+
+
 class CTCSegmentation:
     """Text-to-audio alignment over a CTC ASR interface.
 
@@ -118,10 +177,12 @@ class CTCSegmentation:
         )
         return np.asarray(lp)[0]
 
-    def __call__(self, wav, text):
+    def __call__(self, wav, text, name="utt"):
         """Align ``text`` (list of utterance strings) to ``wav``.
 
-        Returns list of dicts: {"start", "end", "conf", "text"}.
+        Returns a :class:`CTCSegmentationTask`; ``task.segments`` holds
+        (start, end, confidence) triples and ``task.segments_dicts``
+        the older dict form.
         """
         log_probs = self.get_log_probs(wav)
         segments_out = []
@@ -154,4 +215,14 @@ class CTCSegmentation:
                         "text": utt,
                     }
                 )
-        return segments_out
+        task = CTCSegmentationTask()
+        task.set(
+            segments=[
+                (d["start"], d["end"], d["conf"]) for d in segments_out
+            ],
+            segments_dicts=segments_out,
+            text=[d["text"] for d in segments_out],
+            name=name,
+            done=True,
+        )
+        return task

@@ -6,8 +6,17 @@ for infinite/webdataset-style streams.
 """
 
 import random
+from dataclasses import dataclass, field
+from typing import Any
 
-__all__ = ["dynamic_bucketed_batch"]
+__all__ = [
+    "dynamic_bucketed_batch",
+    "indices_around_random_pivot",
+    "LengthItem",
+    "RatioIndex",
+    "total_length_with_padding",
+    "padding_ratio",
+]
 
 
 def indices_around_random_pivot(
@@ -95,3 +104,45 @@ def dynamic_bucketed_batch(
         indices = indices_around_random_pivot(databuffer, **kwargs)
         batch = [databuffer.pop(i)["example"] for i in indices]
         yield collate_fn(batch)
+
+
+@dataclass(order=True)
+class LengthItem:
+    """(length, data) pair ordered by length (reference
+    ``dataio/iterators.py:14``)."""
+
+    length: int
+    data: Any = field(compare=False)
+
+
+def total_length_with_padding(lengths):
+    """Padded batch size in elements (reference
+    ``dataio/iterators.py:22``).
+
+    Example
+    -------
+    >>> total_length_with_padding([3, 5])
+    10
+    """
+    return len(lengths) * max(lengths)
+
+
+def padding_ratio(lengths):
+    """Fraction of a padded batch that is padding (reference
+    ``dataio/iterators.py:27``).
+
+    Example
+    -------
+    >>> padding_ratio([5, 5])
+    0.0
+    """
+    return 1.0 - sum(lengths) / total_length_with_padding(lengths)
+
+
+@dataclass(order=True)
+class RatioIndex:
+    """(padding ratio, index) pair (reference
+    ``dataio/iterators.py:32``)."""
+
+    ratio: float
+    index: int

@@ -265,3 +265,52 @@ class Classifier(nn.Module):
             jnp.linalg.norm(w, axis=0, keepdims=True), 1e-8
         )
         return (x_norm @ w_norm)[:, None, :]
+
+
+class SERes2NetBlock(nn.Module):
+    """TDNN → Res2Net → TDNN → SE with residual shortcut (reference
+    ``lobes/models/ECAPA_TDNN.py:285``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> blk = SERes2NetBlock(out_channels=64, res2net_scale=4)
+    >>> x = jnp.ones((8, 120, 64))
+    >>> v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    >>> blk.apply(v, x, train=False).shape
+    (8, 120, 64)
+    """
+
+    out_channels: int
+    res2net_scale: int = 8
+    se_channels: int = 128
+    kernel_size: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, lengths=None, train=True):
+        residual = x
+        if x.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                features=self.out_channels, kernel_size=(1,),
+                dtype=x.dtype, name="shortcut",
+            )(x)
+        y = TDNNBlock(
+            out_channels=self.out_channels, kernel_size=1, dilation=1,
+            name="tdnn1",
+        )(x, train=train)
+        y = Res2NetBlock(
+            out_channels=self.out_channels, scale=self.res2net_scale,
+            kernel_size=self.kernel_size, dilation=self.dilation,
+            name="res2net",
+        )(y, train=train)
+        y = TDNNBlock(
+            out_channels=self.out_channels, kernel_size=1, dilation=1,
+            name="tdnn2",
+        )(y, train=train)
+        y = SEBlock(
+            se_channels=self.se_channels,
+            out_channels=self.out_channels,
+            name="se",
+        )(y, lengths=lengths)
+        return y + residual

@@ -92,3 +92,35 @@ class EnhanceResnet(nn.Module):
         out = jnp.repeat(out, reps, axis=1)[:, : x.shape[1]]
         mask = jax.nn.sigmoid(nn.Dense(n_freq, dtype=out.dtype)(out))
         return self.mask_weight * mask * x + (1 - self.mask_weight) * x
+
+
+class ConvBlock(nn.Module):
+    """Conv + norm + gated activation block (reference
+    ``lobes/models/EnhanceResnet.py`` ConvBlock).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> blk = ConvBlock(channels=8)
+    >>> x = jnp.ones((2, 20, 16, 4))
+    >>> v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    >>> blk.apply(v, x, train=False).shape
+    (2, 20, 8, 8)
+    """
+
+    channels: int
+    kernel_size: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        y = nn.Conv(
+            features=self.channels,
+            kernel_size=self.kernel_size,
+            strides=(1, 2),
+            padding="SAME",
+            dtype=x.dtype,
+        )(x)
+        y = nn.LayerNorm(dtype=y.dtype)(y)
+        y = jax.nn.leaky_relu(y, 0.2)
+        y = ResBlock(channels=self.channels, name="res")(y, train=train)
+        return y

@@ -86,3 +86,31 @@ class MetricDiscriminator(nn.Module):
         x = nn.Dense(10, dtype=x.dtype)(x)
         x = jax.nn.leaky_relu(x, 0.3)
         return nn.Dense(1, dtype=x.dtype)(x)
+
+
+def shifted_sigmoid(x):
+    """Shifted sigmoid used by MetricGAN score heads (reference
+    ``lobes/models/MetricGAN.py:30``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> round(float(shifted_sigmoid(jnp.zeros(()))), 2)
+    0.6
+    """
+    return 1.2 / (1 + jnp.exp(-(1 / 1.6) * x))
+
+
+def xavier_init_layer(key, in_size, out_size=None, **kwargs):
+    """Xavier-uniform (kernel, zero-bias) parameter pair — the
+    functional analogue of the reference's layer factory (reference
+    ``lobes/models/MetricGAN.py:12``; spectral norm is applied by the
+    discriminator module itself here)."""
+    import jax
+
+    if out_size is None:
+        out_size = in_size
+    kernel = jax.nn.initializers.xavier_uniform()(
+        key, (in_size, out_size)
+    )
+    return {"kernel": kernel, "bias": jnp.zeros((out_size,))}

@@ -368,3 +368,119 @@ class Loss:
             "mel_loss": mel_loss,
             "gate_loss": gate_loss,
         }
+
+
+def get_mask_from_lengths(lengths, max_len=None):
+    """Boolean mask (True inside the sequence) from absolute lengths
+    (reference ``lobes/models/Tacotron2.py``, helper used by the
+    decoder masking).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> get_mask_from_lengths(jnp.array([2, 3])).tolist()
+    [[True, True, False], [True, True, True]]
+    """
+    if max_len is None:
+        max_len = int(jnp.max(lengths))
+    ids = jnp.arange(max_len)
+    return ids[None, :] < lengths[:, None]
+
+
+def dynamic_range_compression(x, C=1, clip_val=1e-5):
+    """log-compression used on mel targets (reference
+    ``lobes/models/Tacotron2.py:44``-style helper)."""
+    return jnp.log(jnp.maximum(x, clip_val) * C)
+
+
+def mel_spectogram(
+    sample_rate,
+    hop_length,
+    win_length,
+    n_fft,
+    n_mels,
+    f_min,
+    f_max,
+    power,
+    normalized,
+    norm,
+    mel_scale,
+    compression,
+    audio,
+):
+    """Mel spectrogram for TTS targets; same semantics as the HiFiGAN
+    module's helper (single shared implementation)."""
+    from speechbrain_tpu.lobes.models.HifiGAN import (
+        mel_spectogram as _mel,
+    )
+
+    return _mel(
+        sample_rate, hop_length, win_length, n_fft, n_mels, f_min,
+        f_max, power, normalized, norm, mel_scale, compression, audio,
+    )
+
+
+class LinearNorm(nn.Module):
+    """Xavier-initialized Dense layer (reference Tacotron2
+    ``LinearNorm``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> lin = LinearNorm(out_dim=4)
+    >>> v = lin.init(jax.random.PRNGKey(0), jnp.ones((2, 3)))
+    >>> lin.apply(v, jnp.ones((2, 3))).shape
+    (2, 4)
+    """
+
+    out_dim: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.out_dim,
+            use_bias=self.bias,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=x.dtype,
+        )(x)
+
+
+class ConvNorm(nn.Module):
+    """Xavier-initialized 1-d convolution, channels-last (reference
+    Tacotron2 ``ConvNorm``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> conv = ConvNorm(out_channels=4, kernel_size=5)
+    >>> v = conv.init(jax.random.PRNGKey(0), jnp.ones((2, 10, 3)))
+    >>> conv.apply(v, jnp.ones((2, 10, 3))).shape
+    (2, 10, 4)
+    """
+
+    out_channels: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.out_channels,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            padding="SAME",
+            use_bias=self.bias,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=x.dtype,
+        )(x)
+
+
+# Reference-name aliases: the reference's ``Attention`` is the
+# location-sensitive attention; ``LocationLayer`` is its conv+linear
+# feature extractor (folded into LocationSensitiveAttention here).
+Attention = LocationSensitiveAttention
+LocationLayer = LocationSensitiveAttention

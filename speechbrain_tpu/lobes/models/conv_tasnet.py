@@ -157,3 +157,163 @@ class ConvTasNet(nn.Module):
                 y = jnp.pad(y, ((0, 0), (0, T_orig - y.shape[1])))
             outs.append(y)
         return jnp.stack(outs, axis=-1)
+
+
+class ChannelwiseLayerNorm(nn.Module):
+    """Channel-wise layer norm (cLN): normalize over the channel axis
+    per time step (reference ``lobes/models/conv_tasnet.py:514``;
+    channels-last here).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> norm = ChannelwiseLayerNorm()
+    >>> x = jnp.ones((2, 20, 8))
+    >>> v = norm.init(jax.random.PRNGKey(0), x)
+    >>> norm.apply(v, x).shape
+    (2, 20, 8)
+    """
+
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):
+        mean = x.mean(axis=-1, keepdims=True)
+        var = x.var(axis=-1, keepdims=True)
+        gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
+        beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
+        return (
+            gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
+        )
+
+
+class GlobalLayerNorm(nn.Module):
+    """Global layer norm (gLN): normalize over time AND channels
+    (reference ``lobes/models/conv_tasnet.py:555``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> norm = GlobalLayerNorm()
+    >>> x = jnp.ones((2, 20, 8))
+    >>> v = norm.init(jax.random.PRNGKey(0), x)
+    >>> norm.apply(v, x).shape
+    (2, 20, 8)
+    """
+
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = ((x - mean) ** 2).mean(axis=(1, 2), keepdims=True)
+        gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
+        beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
+        return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
+
+
+def choose_norm(norm_type, channel_size=None):
+    """Return the normalization module for ``norm_type`` ∈
+    {"gLN", "cLN", "ln"} (reference
+    ``lobes/models/conv_tasnet.py:490``)."""
+    if norm_type == "gLN":
+        return GlobalLayerNorm()
+    if norm_type == "cLN":
+        return ChannelwiseLayerNorm()
+    return nn.LayerNorm()
+
+
+class Chomp1d(nn.Module):
+    """Remove trailing frames added by causal padding (reference
+    ``lobes/models/conv_tasnet.py``, channels-last).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> Chomp1d(chomp_size=3)(jnp.ones((2, 23, 8))).shape
+    (2, 20, 8)
+    """
+
+    chomp_size: int
+
+    def __call__(self, x):
+        return x[:, : x.shape[1] - self.chomp_size]
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise + pointwise conv with norm and PReLU-style activation
+    (reference ``lobes/models/conv_tasnet.py``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> conv = DepthwiseSeparableConv(out_channels=8, kernel_size=3)
+    >>> x = jnp.ones((2, 20, 16))
+    >>> v = conv.init(jax.random.PRNGKey(0), x)
+    >>> conv.apply(v, x).shape
+    (2, 20, 8)
+    """
+
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    causal: bool = False
+    norm_type: str = "gLN"
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        y = Conv1d(
+            out_channels=in_ch,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            padding="causal" if self.causal else "same",
+            groups=in_ch,
+            name="depthwise",
+        )(x)
+        y = jax.nn.leaky_relu(y, 0.01)
+        y = choose_norm(self.norm_type)(y)
+        y = Conv1d(
+            out_channels=self.out_channels, kernel_size=1,
+            name="pointwise",
+        )(y)
+        return y
+
+
+class TemporalBlocksSequential(nn.Module):
+    """Stack of dilated TemporalBlocks: R repeats × X layers with
+    exponentially growing dilation (reference
+    ``lobes/models/conv_tasnet.py``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> seq = TemporalBlocksSequential(H=16, P=3, R=1, X=2)
+    >>> x = jnp.ones((2, 40, 8))
+    >>> v = seq.init(jax.random.PRNGKey(0), x, train=False)
+    >>> seq.apply(v, x, train=False).shape
+    (2, 40, 8)
+    """
+
+    H: int
+    P: int
+    R: int
+    X: int
+    norm_type: str = "gLN"
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        del train  # interface compatibility
+        for r in range(self.R):
+            for i in range(self.X):
+                x = TemporalBlock(
+                    out_channels=x.shape[-1],
+                    hid_channels=self.H,
+                    kernel_size=self.P,
+                    dilation=2**i,
+                    name=f"block_{r}_{i}",
+                )(x)
+        return x

@@ -280,3 +280,78 @@ class SepformerWrapper(nn.Module):
                 y = jnp.pad(y, ((0, 0), (0, T_orig - y.shape[1])))
             outs.append(y)
         return jnp.stack(outs, axis=-1)
+
+
+class GlobalLayerNorm(nn.Module):
+    """Global layer norm over (time, channels) with learnable per-
+    channel affine (reference ``lobes/models/dual_path.py:28``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> norm = GlobalLayerNorm()
+    >>> x = jnp.ones((2, 20, 8))
+    >>> v = norm.init(jax.random.PRNGKey(0), x)
+    >>> norm.apply(v, x).shape
+    (2, 20, 8)
+    """
+
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):
+        mean = x.mean(axis=tuple(range(1, x.ndim)), keepdims=True)
+        var = ((x - mean) ** 2).mean(
+            axis=tuple(range(1, x.ndim)), keepdims=True
+        )
+        gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
+        beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
+        return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
+
+
+class CumulativeLayerNorm(nn.Module):
+    """Cumulative (streaming-friendly) layer norm: at each step,
+    normalize by the statistics of everything seen so far (reference
+    ``lobes/models/dual_path.py:102``; implemented with cumulative
+    sums, channels-last).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> norm = CumulativeLayerNorm()
+    >>> x = jnp.ones((2, 20, 8))
+    >>> v = norm.init(jax.random.PRNGKey(0), x)
+    >>> norm.apply(v, x).shape
+    (2, 20, 8)
+    """
+
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, C = x.shape[0], x.shape[1], x.shape[-1]
+        flat = x.reshape(B, T, -1)
+        n = flat.shape[-1]
+        step_sum = flat.sum(axis=-1)  # (B, T)
+        step_sq = (flat**2).sum(axis=-1)
+        cum_sum = jnp.cumsum(step_sum, axis=1)
+        cum_sq = jnp.cumsum(step_sq, axis=1)
+        counts = jnp.arange(1, T + 1, dtype=x.dtype)[None, :] * n
+        cum_mean = cum_sum / counts
+        cum_var = cum_sq / counts - cum_mean**2
+        cum_mean = cum_mean[..., None]
+        cum_std = jnp.sqrt(jnp.maximum(cum_var, self.eps))[..., None]
+        y = (flat - cum_mean) / cum_std
+        gamma = self.param("gamma", nn.initializers.ones, (C,))
+        beta = self.param("beta", nn.initializers.zeros, (C,))
+        return y.reshape(x.shape) * gamma + beta
+
+
+def select_norm(norm, dim=None, shape=None, eps=1e-8):
+    """Normalization factory: "gln" | "cln" | anything-else → groupnorm-
+    style layer norm (reference ``lobes/models/dual_path.py:149``)."""
+    if norm == "gln":
+        return GlobalLayerNorm(eps=eps)
+    if norm == "cln":
+        return CumulativeLayerNorm(eps=eps)
+    return nn.LayerNorm(epsilon=eps)

@@ -17,7 +17,14 @@ from speechbrain_tpu.lobes.models.dual_path import (
 )
 from speechbrain_tpu.nnet.CNN import Conv1d
 
-__all__ = ["RESepformer"]
+__all__ = [
+    "RESepformer",
+    "SBTransformerBlock_wnormandskip",
+    "SegLSTM",
+    "MemLSTM",
+    "ResourceEfficientSeparationPipeline",
+    "ResourceEfficientSeparator",
+]
 
 
 class RESepformer(nn.Module):
@@ -102,3 +109,293 @@ class RESepformer(nn.Module):
                 y = jnp.pad(y, ((0, 0), (0, T_orig - y.shape[1])))
             outs.append(y)
         return jnp.stack(outs, axis=-1)
+
+
+class SBTransformerBlock_wnormandskip(nn.Module):
+    """Transformer block with pre/post use of norm and a skip
+    connection (reference ``lobes/models/resepformer.py:325``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> blk = SBTransformerBlock_wnormandskip(
+    ...     num_layers=1, d_model=16, nhead=4)
+    >>> x = jnp.ones((2, 10, 16))
+    >>> v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    >>> blk.apply(v, x, train=False).shape
+    (2, 10, 16)
+    """
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    d_ffn: int = 2048
+    dropout: float = 0.0
+    use_norm: bool = True
+    use_skip: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        y = SBTransformerBlock(
+            num_layers=self.num_layers,
+            d_model=self.d_model,
+            nhead=self.nhead,
+            d_ffn=self.d_ffn,
+            dropout=self.dropout,
+            name="block",
+        )(x, train=train)
+        if self.use_norm:
+            y = nn.LayerNorm(dtype=y.dtype, name="norm")(y)
+        if self.use_skip:
+            y = y + x
+        return y
+
+
+class SegLSTM(nn.Module):
+    """Segment-level LSTM of SkiM: LSTM over each chunk, projected and
+    normalized with a residual (reference
+    ``lobes/models/resepformer.py:161``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> seg = SegLSTM(input_size=16, hidden_size=16)
+    >>> x = jnp.ones((3, 20, 16))
+    >>> v = seg.init(jax.random.PRNGKey(0), x, None, train=False)
+    >>> y, hc = seg.apply(v, x, None, train=False)
+    >>> y.shape
+    (3, 20, 16)
+    """
+
+    input_size: int
+    hidden_size: int
+    dropout: float = 0.0
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x, hc=None, train=True):
+        from speechbrain_tpu.nnet.RNN import LSTM
+
+        d = 2 if self.bidirectional else 1
+        out, (h, c) = LSTM(
+            hidden_size=self.hidden_size,
+            num_layers=1,
+            bidirectional=self.bidirectional,
+            name="lstm",
+        )(x, hx=hc, train=train)
+        out = nn.Dropout(
+            rate=self.dropout, deterministic=not train
+        )(out)
+        out = nn.Dense(self.input_size, dtype=out.dtype, name="proj")(out)
+        out = nn.LayerNorm(dtype=out.dtype, name="norm")(out)
+        return x + out, (h, c)
+
+
+class MemLSTM(nn.Module):
+    """Memory LSTM of SkiM: carries SegLSTM (h, c) states across
+    chunks (reference ``lobes/models/resepformer.py:22``).
+
+    mem_type: 'hc' | 'h' | 'c' | 'id' — which states run through the
+    memory RNN ('id' passes both through unchanged).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> mem = MemLSTM(hidden_size=16)
+    >>> h = jnp.ones((1, 5, 16)); c = jnp.ones((1, 5, 16))
+    >>> v = mem.init(jax.random.PRNGKey(0), (h, c), 5, train=False)
+    >>> h2, c2 = mem.apply(v, (h, c), 5, train=False)
+    >>> h2.shape
+    (1, 5, 16)
+    """
+
+    hidden_size: int
+    dropout: float = 0.0
+    bidirectional: bool = False
+    mem_type: str = "hc"
+
+    @nn.compact
+    def __call__(self, hc, S, train=True):
+        from speechbrain_tpu.nnet.RNN import LSTM
+
+        if self.mem_type not in ("hc", "h", "c", "id"):
+            raise ValueError(f"unsupported mem_type {self.mem_type}")
+        if self.mem_type == "id":
+            return hc
+        h, c = hc  # (d, B*S, H)
+        d, BS, H = h.shape
+        B = BS // S
+        # (d, B*S, H) -> (B, S, d*H): sequence over chunks
+        def to_seq(x):
+            return jnp.transpose(
+                x.reshape(d, B, S, H), (1, 2, 0, 3)
+            ).reshape(B, S, d * H)
+
+        def from_seq(x):
+            return jnp.transpose(
+                x.reshape(B, S, d, H), (2, 0, 1, 3)
+            ).reshape(d, BS, H)
+
+        if self.mem_type in ("hc", "h"):
+            hs = to_seq(h)
+            hy, _ = LSTM(
+                hidden_size=self.hidden_size,
+                num_layers=1,
+                bidirectional=self.bidirectional,
+                name="h_net",
+            )(hs, train=train)
+            hy = nn.Dense(d * H, dtype=hy.dtype, name="h_proj")(hy)
+            hy = nn.LayerNorm(dtype=hy.dtype, name="h_norm")(hy)
+            h = h + from_seq(hy)
+        if self.mem_type in ("hc", "c"):
+            cs = to_seq(c)
+            cy, _ = LSTM(
+                hidden_size=self.hidden_size,
+                num_layers=1,
+                bidirectional=self.bidirectional,
+                name="c_net",
+            )(cs, train=train)
+            cy = nn.Dense(d * H, dtype=cy.dtype, name="c_proj")(cy)
+            cy = nn.LayerNorm(dtype=cy.dtype, name="c_norm")(cy)
+            c = c + from_seq(cy)
+        # causal shift: memory for chunk s comes from chunks < s
+        def shift(x):
+            xs = x.reshape(d, B, S, H)
+            xs = jnp.concatenate(
+                [jnp.zeros_like(xs[:, :, :1]), xs[:, :, :-1]], axis=2
+            )
+            return xs.reshape(d, BS, H)
+
+        return shift(h), shift(c)
+
+
+class ResourceEfficientSeparationPipeline(nn.Module):
+    """Chunked separation pipeline shared by RE-SepFormer and SkiM
+    (reference ``lobes/models/resepformer.py:448``): split the input
+    into segments, process each segment with ``seg_model``, and carry
+    information across segments with ``mem_model`` (mem_type 'av':
+    average-token memory; 'hc'/'h'/'c': SegLSTM states through a
+    MemLSTM).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> pipe = ResourceEfficientSeparationPipeline(
+    ...     input_size=16, hidden_size=16, output_size=32,
+    ...     num_blocks=2, segment_size=10)
+    >>> x = jnp.ones((2, 100, 16))
+    >>> v = pipe.init(jax.random.PRNGKey(0), x, train=False)
+    >>> pipe.apply(v, x, train=False).shape
+    (2, 100, 32)
+    """
+
+    input_size: int
+    hidden_size: int
+    output_size: int
+    dropout: float = 0.0
+    num_blocks: int = 2
+    segment_size: int = 20
+    bidirectional: bool = True
+    mem_type: str = "av"
+    nhead: int = 8
+    d_ffn: int = 256
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        if self.mem_type not in ("hc", "h", "c", "id", "av", None):
+            raise ValueError(f"unsupported mem_type {self.mem_type}")
+        B, T, D = x.shape
+        K = self.segment_size
+        pad = (K - T % K) % K
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        S = x.shape[1] // K
+        if self.mem_type in ("hc", "h", "c", "id"):
+            # SkiM mode: SegLSTM + MemLSTM
+            hc = None
+            seg_out = x.reshape(B * S, K, D)
+            for i in range(self.num_blocks):
+                seg_out, hc = SegLSTM(
+                    input_size=D,
+                    hidden_size=self.hidden_size,
+                    dropout=self.dropout,
+                    bidirectional=self.bidirectional,
+                    name=f"seg_{i}",
+                )(seg_out, hc, train=train)
+                if i != self.num_blocks - 1:
+                    hc = MemLSTM(
+                        hidden_size=self.hidden_size,
+                        dropout=self.dropout,
+                        bidirectional=self.bidirectional,
+                        mem_type=self.mem_type,
+                        name=f"mem_{i}",
+                    )(hc, S, train=train)
+            y = seg_out.reshape(B, S * K, D)
+        else:
+            # RE-SepFormer 'av' mode: transformer segments + mean-token
+            # memory mixing
+            xs = x.reshape(B, S, K, D)
+            for i in range(self.num_blocks):
+                seg = SBTransformerBlock_wnormandskip(
+                    num_layers=1, d_model=D, nhead=self.nhead,
+                    d_ffn=self.d_ffn, dropout=self.dropout,
+                    name=f"seg_{i}",
+                )(xs.reshape(B * S, K, D), train=train).reshape(
+                    B, S, K, D
+                )
+                xs = seg
+                if i != self.num_blocks - 1:
+                    mem = SBTransformerBlock_wnormandskip(
+                        num_layers=1, d_model=D, nhead=self.nhead,
+                        d_ffn=self.d_ffn, dropout=self.dropout,
+                        name=f"mem_{i}",
+                    )(xs.mean(axis=2), train=train)  # (B, S, D)
+                    xs = xs + mem[:, :, None, :]
+            y = xs.reshape(B, S * K, D)
+        y = jax.nn.leaky_relu(y, 0.01)
+        y = nn.Dense(self.output_size, dtype=y.dtype, name="output_fc")(y)
+        return y[:, :T]
+
+
+class ResourceEfficientSeparator(nn.Module):
+    """Mask-estimation separator built on the resource-efficient
+    pipeline (reference ``lobes/models/resepformer.py:609``): estimates
+    ``num_spk`` masks over encoder features.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> sep = ResourceEfficientSeparator(
+    ...     input_dim=16, num_spk=2, unit=16, segment_size=10)
+    >>> x = jnp.ones((2, 100, 16))
+    >>> v = sep.init(jax.random.PRNGKey(0), x, train=False)
+    >>> masks = sep.apply(v, x, train=False)
+    >>> len(masks), masks[0].shape
+    (2, (2, 100, 16))
+    """
+
+    input_dim: int
+    num_spk: int = 2
+    causal: bool = True
+    unit: int = 512
+    segment_size: int = 20
+    layer: int = 3
+    mem_type: str = "hc"
+    seg_overlap: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        D = self.input_dim
+        y = ResourceEfficientSeparationPipeline(
+            input_size=D,
+            hidden_size=self.unit,
+            output_size=D * self.num_spk,
+            num_blocks=self.layer,
+            segment_size=self.segment_size,
+            bidirectional=not self.causal,
+            mem_type=self.mem_type,
+            name="pipeline",
+        )(x, train=train)
+        masks = jax.nn.relu(y).reshape(
+            x.shape[0], x.shape[1], self.num_spk, D
+        )
+        return [masks[:, :, i] for i in range(self.num_spk)]

@@ -97,3 +97,67 @@ def g_loss(d_fake, enhanced, clean, l1_weight=100.0):
 def d_loss(d_real, d_fake):
     """LSGAN discriminator objective."""
     return ((1.0 - d_real) ** 2).mean() + (d_fake ** 2).mean()
+
+
+def d1_loss(d_outputs, reduction="mean"):
+    """Discriminator loss on clean inputs: push scores → 1 (reference
+    ``lobes/models/segan_model.py:195``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> float(d1_loss(jnp.ones((2, 4))))
+    0.0
+    """
+    output = 0.5 * ((d_outputs - 1) ** 2)
+    if reduction == "mean":
+        return output.mean()
+    if reduction == "batch":
+        return output.reshape(output.shape[0], -1).mean(axis=1)
+    raise ValueError(f"Unknown reduction {reduction}")
+
+
+def d2_loss(d_outputs, reduction="mean"):
+    """Discriminator loss on enhanced inputs: push scores → 0
+    (reference ``lobes/models/segan_model.py:204``)."""
+    output = 0.5 * (d_outputs**2)
+    if reduction == "mean":
+        return output.mean()
+    if reduction == "batch":
+        return output.reshape(output.shape[0], -1).mean(axis=1)
+    raise ValueError(f"Unknown reduction {reduction}")
+
+
+def g3_loss(
+    d_outputs,
+    predictions,
+    targets,
+    length=None,
+    l1LossCoeff=100.0,
+    klLossCoeff=0.0,
+    z_mean=None,
+    z_logvar=None,
+    reduction="mean",
+):
+    """Generator loss: LSGAN term + weighted L1 + optional VAE KL
+    (reference ``lobes/models/segan_model.py:213``)."""
+    discrimloss = 0.5 * ((d_outputs - 1) ** 2)
+    l1norm = jnp.abs(predictions - targets)
+    if z_mean is not None:
+        # KL(N(mu, sigma) || N(0, 1)) in closed form
+        var = jnp.exp(z_logvar)
+        kl = 0.5 * (var + z_mean**2 - 1.0 - z_logvar)
+        kl = kl.sum(axis=1).sum(axis=1).mean()
+    else:
+        kl = 0.0
+    if reduction == "mean":
+        return (
+            discrimloss.mean()
+            + l1LossCoeff * l1norm.mean()
+            + klLossCoeff * kl
+        )
+    if reduction == "batch":
+        dloss = discrimloss.reshape(discrimloss.shape[0], -1).mean(axis=1)
+        lloss = l1norm.reshape(l1norm.shape[0], -1).mean(axis=1)
+        return dloss + l1LossCoeff * lloss + klLossCoeff * kl
+    raise ValueError(f"Unknown reduction {reduction}")

@@ -156,3 +156,40 @@ def sample_negatives(y, num_neg, key):
     idx = (base + offsets) % T
     batch_idx = jnp.arange(B)[None, :, None]
     return y[batch_idx, idx]
+
+
+def w2v_mask_collate_fn(
+    samples_lst, get_out_len_fn, mask_prob, mask_length, seed=0
+):
+    """Collate raw waveforms for wav2vec2 pretraining: right-pad,
+    compute latent lengths with ``get_out_len_fn``, and sample the
+    contrastive mask per batch (reference
+    ``lobes/models/wav2vec.py`` w2v_mask_collate_fn).
+
+    Returns ((wavs, wav_lens, mask), ()) matching the reference's
+    (inputs, dummy-targets) convention.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> out = w2v_mask_collate_fn(
+    ...     [{"sig": np.ones(320)}, {"sig": np.ones(480)}],
+    ...     get_out_len_fn=lambda n: n // 320,
+    ...     mask_prob=0.5, mask_length=1)
+    >>> (wavs, wav_lens, mask), _ = out
+    >>> wavs.shape
+    (2, 480)
+    """
+    wav_lens = [len(s["sig"]) for s in samples_lst]
+    max_len = max(wav_lens)
+    wavs = np.zeros((len(samples_lst), max_len), dtype=np.float32)
+    for i, s in enumerate(samples_lst):
+        wavs[i, : wav_lens[i]] = np.asarray(s["sig"], dtype=np.float32)
+    out_lens = np.asarray([int(get_out_len_fn(n)) for n in wav_lens])
+    T_out = int(out_lens.max())
+    mask = compute_mask(
+        (len(samples_lst), T_out), out_lens,
+        mask_prob=mask_prob, mask_length=mask_length, seed=seed,
+    )
+    rel_lens = np.asarray(wav_lens, dtype=np.float32) / max_len
+    return (wavs, rel_lens, np.asarray(mask)), ()

@@ -588,3 +588,47 @@ class AttentionalRNNDecoder(nn.Module):
             self, (hs0, c0, attn_state0), inp_tensor
         )
         return outputs, attn_weights
+
+
+def rnn_init(params):
+    """Orthogonally re-initialize recurrent kernels in an RNN params
+    pytree (reference ``nnet/RNN.py:1592``: the functional analogue of
+    iterating ``named_parameters`` for ``weight_hh``/``.u.`` weights).
+
+    Any leaf whose path contains ``recurrent_kernel`` or ``u_kernel``
+    and is a square-ish 2-d matrix is replaced with an orthogonal
+    matrix of the same shape; all other leaves pass through.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> net = RNN(hidden_size=5)
+    >>> x = jnp.ones((4, 10, 20))
+    >>> v = net.init(jax.random.PRNGKey(0), x)
+    >>> v2 = rnn_init(v)
+    >>> jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(v)
+    True
+    """
+    import numpy as _np
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    out = {}
+    rng = _np.random.RandomState(0)
+    for path, leaf in flat.items():
+        name = "/".join(str(p) for p in path)
+        if (
+            ("recurrent_kernel" in name or "u_kernel" in name or
+             name.endswith("hh"))
+            and hasattr(leaf, "ndim") and leaf.ndim == 2
+        ):
+            a = rng.randn(*leaf.shape)
+            q, r = _np.linalg.qr(a if a.shape[0] >= a.shape[1] else a.T)
+            q = q * _np.sign(_np.diag(r))[None, :]
+            if a.shape[0] < a.shape[1]:
+                q = q.T
+            out[path] = jnp.asarray(q[: leaf.shape[0], : leaf.shape[1]],
+                                    dtype=leaf.dtype)
+        else:
+            out[path] = leaf
+    return unflatten_dict(out)

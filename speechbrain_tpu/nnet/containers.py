@@ -92,3 +92,37 @@ class ConnectBlocks(nn.Module):
         if self.shortcut_type == "skip":
             return jnp.concatenate(outputs, axis=-1)
         return current
+
+
+class ModuleList(nn.Module):
+    """Sequentially apply a tuple of modules (reference
+    ``nnet/containers.py`` ModuleList: a thin wrapper used to replace
+    a Sequential while keeping parameter-name structure).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> from speechbrain_tpu.nnet.linear import Linear
+    >>> ml = ModuleList(layers=(Linear(n_neurons=4), Linear(n_neurons=2)))
+    >>> x = jnp.ones((2, 8))
+    >>> v = ml.init(jax.random.PRNGKey(0), x)
+    >>> ml.apply(v, x).shape
+    (2, 2)
+    """
+
+    layers: tuple
+
+    @nn.compact
+    def __call__(self, x, lengths=None, train=True):
+        for layer in self.layers:
+            x = _call_layer(layer, x, lengths, train)
+            if isinstance(x, tuple):
+                x = x[0]
+        return x
+
+    def append(self, module):
+        """Immutable flax modules can't append; raise with guidance."""
+        raise TypeError(
+            "ModuleList is immutable once constructed; build it with "
+            "the full tuple of layers instead."
+        )

@@ -9,6 +9,7 @@ Parity targets: reference ``nnet/schedulers.py:58`` (NewBob), ``:153,
 ``:562`` (ReduceLROnPlateau), ``:675`` (CyclicLR), ``:847,953,997``.
 """
 
+import logging
 import math
 
 from speechbrain_tpu.utils.checkpoints import (
@@ -484,3 +485,34 @@ class WarmCoolDecayScheduler:
     @mark_as_loader
     def _load(self, path, end_of_epoch=True):
         _load_attrs(self, path, ["n_steps", "current_lr"])
+
+
+logger = logging.getLogger(__name__)
+
+
+def update_learning_rate(optimizer, new_lr, param_group=None):
+    """Change the learning rate on a Brain-like object or a dict-style
+    optimizer state (reference ``nnet/schedulers.py:19``; optax
+    schedules are pure, so the mutable lr lives on the Brain).
+
+    Example
+    -------
+    >>> class FakeBrain: lr = 0.1
+    >>> b = FakeBrain()
+    >>> update_learning_rate(b, 0.2)
+    >>> b.lr
+    0.2
+    """
+    del param_group  # single param group in this framework
+    if hasattr(optimizer, "lr"):
+        old_lr = optimizer.lr
+        if new_lr != old_lr:
+            optimizer.lr = new_lr
+            logger.info("Changing lr from %.2g to %.2g", old_lr, new_lr)
+    elif isinstance(optimizer, dict) and "lr" in optimizer:
+        optimizer["lr"] = new_lr
+    else:
+        raise TypeError(
+            "update_learning_rate expects a Brain-like object with an "
+            "``lr`` attribute or a dict with an 'lr' key"
+        )

@@ -48,3 +48,40 @@ def NMF_separate_spectra(Whats, Xmix, n_iter=100, eps=1e-20):
         X1s.append(V1.T)
         X2s.append(V2.T)
     return np.stack(X1s), np.stack(X2s)
+
+
+def reconstruct_results(
+    X1hat, X2hat, X_stft, sample_rate, win_length, hop_length
+):
+    """Reconstruct separated spectra into waveforms via Wiener-style
+    masking of the mixture STFT + ISTFT (reference
+    ``processing/NMF.py:102``).
+
+    ``X1hat``/``X2hat``: (BS, n_fft/2+1, T) magnitude estimates;
+    ``X_stft``: (BS, n_fft/2+1, T, 2) mixture real/imag parts.
+    Returns two lists of waveforms.
+    """
+    from speechbrain_tpu.processing.features import ISTFT
+
+    istft = ISTFT(
+        sample_rate=sample_rate,
+        win_length=win_length,
+        hop_length=hop_length,
+    )
+    phase_mix = jnp.arctan2(X_stft[..., 1], X_stft[..., 0])
+    mag_mix = jnp.sqrt(X_stft[..., 0] ** 2 + X_stft[..., 1] ** 2)
+    x1hats, x2hats = [], []
+    eps = 1e-25
+    for i in range(X1hat.shape[0]):
+        X1 = X1hat[i]
+        X2 = X2hat[i]
+        total = X1 + X2 + eps
+        X1_m = (X1 / total) * mag_mix[i]
+        X2_m = (X2 / total) * mag_mix[i]
+        for Xm, out in ((X1_m, x1hats), (X2_m, x2hats)):
+            # (F, T) -> (1, T, F, 2) reference STFT layout
+            re = (Xm * jnp.cos(phase_mix[i])).T[None, ..., None]
+            im = (Xm * jnp.sin(phase_mix[i])).T[None, ..., None]
+            shat = istft(jnp.concatenate([re, im], axis=-1))
+            out.append(shat[0])
+    return x1hats, x2hats

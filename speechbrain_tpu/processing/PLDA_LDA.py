@@ -311,3 +311,29 @@ def fast_PLDA_scoring(
             scoremat[mi, si] = (ll_same - ll_diff) * scaling_factor
     scores.scoremat = scoremat
     return scores
+
+
+def diff(list1, list2):
+    """Sorted difference between lists (reference
+    ``processing/PLDA_LDA.py:389``).
+
+    Example
+    -------
+    >>> diff(["b", "a", "c"], ["c"])
+    ['a', 'b']
+    """
+    c = [item for item in list1 if item not in list2]
+    c.sort()
+    return c
+
+
+def ismember(list1, list2):
+    """Elementwise membership of list1 in list2 (reference
+    ``processing/PLDA_LDA.py:396``).
+
+    Example
+    -------
+    >>> ismember(["a", "z"], ["a", "b"])
+    [True, False]
+    """
+    return [item in list2 for item in list1]

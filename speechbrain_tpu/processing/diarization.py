@@ -254,3 +254,51 @@ def _labels_to_rttm(diary_obj, labels, rec_id, out_rttm_file):
     lol = merge_ssegs_same_speaker(lol, rec_id)
     lol = distribute_overlap(lol)
     write_rttm(lol, out_rttm_file)
+
+
+def is_overlapped(end1, start2):
+    """True if segment 2 starts before segment 1 ends (reference
+    ``processing/diarization.py:139``).
+
+    Example
+    -------
+    >>> is_overlapped(5.5, 3.4)
+    True
+    >>> is_overlapped(5.5, 6.4)
+    False
+    """
+    return start2 <= end1
+
+
+def write_ders_file(ref_rttm, DER, out_der_file):
+    """Write per-recording DERs + OVERALL line (reference
+    ``processing/diarization.py:76``)."""
+    rttm = read_rttm(ref_rttm)
+    spkr_info = [r for r in rttm if r.startswith("SPKR-INFO")]
+    rec_id_list = []
+    count = 0
+    with open(out_der_file, "w") as f:
+        for row in spkr_info:
+            rec_id = row.split(" ")[1]
+            if rec_id not in rec_id_list:
+                rec_id_list.append(rec_id)
+                f.write(f"{rec_id} {round(DER[count], 2)}\n")
+                count += 1
+        f.write(f"OVERALL  {round(DER[count], 2)}\n")
+
+
+def prepare_subset_csv(full_diary_csv, rec_id, out_csv_file):
+    """Write the rows of ``full_diary_csv`` belonging to one recording
+    (reference ``processing/diarization.py:110``)."""
+    import csv as _csv
+
+    out_csv = [full_diary_csv[0]] + [
+        row for row in full_diary_csv if row[0].startswith(rec_id)
+    ]
+    with open(out_csv_file, mode="w") as csv_file:
+        writer = _csv.writer(
+            csv_file, delimiter=",", quotechar='"',
+            quoting=_csv.QUOTE_MINIMAL,
+        )
+        for r in out_csv:
+            writer.writerow(r)

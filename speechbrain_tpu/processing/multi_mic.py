@@ -293,3 +293,19 @@ class Music:
         power = 1.0 / jnp.maximum(denom, 1e-10)
         best = jnp.argmax(power, axis=-1)
         return jnp.asarray(self.doas)[best]
+
+
+def tdoas2taus(tdoas):
+    """Select the per-channel delays from a TDOA tensor:
+    (..., n_mics + n_pairs) → (..., n_mics) (reference
+    ``processing/multi_mic.py:1272``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> tdoas2taus(jnp.zeros((2, 5, 6))).shape
+    (2, 5, 3)
+    """
+    n_pairs = tdoas.shape[-1]
+    n_channels = int(((1 + 8 * n_pairs) ** 0.5 - 1) / 2)
+    return tdoas[..., :n_channels]

@@ -90,3 +90,18 @@ def DER(
     conf_pct = 100.0 * confusion / denom
     der = miss_pct + fa_pct + conf_pct
     return miss_pct, fa_pct, conf_pct, der
+
+
+def rectify(arr):
+    """Correct corner cases and convert scores to percentages
+    (reference ``utils/DER.py:24``): NaN (0/0) → 0, inf (x/0) → 1.
+
+    Example
+    -------
+    >>> rectify(np.array([0.5, np.nan, np.inf])).tolist()
+    [50.0, 0.0, 100.0]
+    """
+    arr = np.asarray(arr, dtype=float)
+    arr[np.isnan(arr)] = 0
+    arr[np.isinf(arr)] = 1
+    return arr * 100.0

@@ -196,3 +196,31 @@ def get_trial_id():
     if _current_context is not None and _current_context.reporter:
         return _current_context.reporter.trial_id
     return "hpopt"
+
+
+DEFAULT_REPORTER = "generic"
+
+
+def get_reporter(mode, *args, **kwargs):
+    """Instantiate the reporter registered for ``mode``, reverting to
+    the generic reporter when unavailable (reference
+    ``utils/hpopt.py:247``).
+
+    Example
+    -------
+    >>> reporter = get_reporter("generic", objective_key="error")
+    >>> reporter.report_objective({"error": 3.4})
+    {"error": 3.4, "objective": 3.4}
+    """
+    reporter_cls = _hpopt_modes.get(mode)
+    if reporter_cls is None:
+        logger.warning(
+            "hpopt_mode %s is not supported, reverting to generic", mode
+        )
+        reporter_cls = _hpopt_modes[DEFAULT_REPORTER]
+    reporter = reporter_cls(*args, **kwargs)
+    if not reporter.is_available:
+        logger.warning("Reverting to a generic reporter")
+        reporter_cls = _hpopt_modes[DEFAULT_REPORTER]
+        reporter = reporter_cls(*args, **kwargs)
+    return reporter

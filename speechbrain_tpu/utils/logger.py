@@ -95,3 +95,23 @@ def get_environment_description():
     lines.append(f"platform: {platform.platform()}")
     lines.append(f"XLA_FLAGS: {os.environ.get('XLA_FLAGS', '')}")
     return "\n".join(lines) + "\n"
+
+
+class TqdmCompatibleStreamHandler(logging.StreamHandler):
+    """StreamHandler that plays nicely with tqdm progress bars
+    (reference ``utils/logger.py``): writes through ``tqdm.write`` when
+    tqdm is active so log lines don't break the bar."""
+
+    def emit(self, record):
+        try:
+            from tqdm import tqdm
+
+            msg = self.format(record)
+            tqdm.write(msg, file=self.stream)
+            self.flush()
+        except ImportError:
+            super().emit(record)
+        except RecursionError:
+            raise
+        except Exception:
+            self.handleError(record)

@@ -77,3 +77,11 @@ class TransformerWordEmbeddings:
             out[i, : e.shape[0]] = e
             lens[i] = e.shape[0] / W
         return jnp.asarray(out), jnp.asarray(lens)
+
+
+class MissingTransformersError(Exception):
+    """Raised when the optional ``transformers`` dependency is needed
+    but not installed (reference ``wordemb/transformer.py``)."""
+
+    def __init__(self):
+        super().__init__("This module requires HuggingFace transformers")
