@@ -82,3 +82,16 @@ def load_sb_extended_csv(csv_path, replacements={}):
                     parsed["_formats"][key] = fmt
             result[data_id] = parsed
     return result
+
+
+def read_pkl(file, data_options={}, start=None, stop=None):
+    """Load a pickled list/array with optional slicing (reference
+    ``dataio/legacy.py`` read_pkl)."""
+    from speechbrain_tpu.dataio.dataio import load_pkl
+
+    data = load_pkl(str(file))
+    if isinstance(data, list):
+        data = np.asarray(data)
+    if start is not None or stop is not None:
+        data = data[start:stop]
+    return data

@@ -355,3 +355,270 @@ def select_norm(norm, dim=None, shape=None, eps=1e-8):
     if norm == "cln":
         return CumulativeLayerNorm(eps=eps)
     return nn.LayerNorm(epsilon=eps)
+
+
+class IdentityBlock:
+    """Identity intra/inter model (reference
+    ``lobes/models/dual_path.py`` IdentityBlock).
+
+    Example
+    -------
+    >>> IdentityBlock()([1, 2, 3])
+    [1, 2, 3]
+    """
+
+    def __init__(self, **kwargs):
+        del kwargs
+
+    def __call__(self, x, *args, **kwargs):
+        return x
+
+
+class PyTorchPositionalEncoding(nn.Module):
+    """Sinusoidal positional encoding added with dropout — the
+    "torch tutorial" variant used by PytorchTransformerBlock
+    (reference ``lobes/models/dual_path.py``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> pe = PyTorchPositionalEncoding(d_model=16)
+    >>> x = jnp.ones((2, 10, 16))
+    >>> v = pe.init(jax.random.PRNGKey(0), x, train=False)
+    >>> pe.apply(v, x, train=False).shape
+    (2, 10, 16)
+    """
+
+    d_model: int
+    dropout: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        import math as _math
+
+        T = x.shape[1]
+        pos = jnp.arange(T, dtype=jnp.float32)[:, None]
+        div = jnp.exp(
+            jnp.arange(0, self.d_model, 2, dtype=jnp.float32)
+            * (-_math.log(10000.0) / self.d_model)
+        )
+        pe = jnp.zeros((T, self.d_model))
+        pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+        pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+        y = x + pe[None].astype(x.dtype)
+        return nn.Dropout(
+            rate=self.dropout, deterministic=not train
+        )(y)
+
+
+class PytorchTransformerBlock(nn.Module):
+    """Vanilla (norm-after) transformer encoder stack as a dual-path
+    intra/inter model (reference ``lobes/models/dual_path.py``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> blk = PytorchTransformerBlock(out_channels=16, num_layers=1,
+    ...                               nhead=4, d_ffn=32)
+    >>> x = jnp.ones((2, 10, 16))
+    >>> v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    >>> blk.apply(v, x, train=False).shape
+    (2, 10, 16)
+    """
+
+    out_channels: int
+    num_layers: int = 6
+    nhead: int = 8
+    d_ffn: int = 2048
+    dropout: float = 0.1
+    use_positional_encoding: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        from speechbrain_tpu.lobes.models.transformer.Transformer import (
+            TransformerEncoder,
+        )
+
+        if self.use_positional_encoding:
+            x = PyTorchPositionalEncoding(
+                d_model=self.out_channels, dropout=self.dropout,
+                name="pos",
+            )(x, train=train)
+        out, _ = TransformerEncoder(
+            num_layers=self.num_layers,
+            nhead=self.nhead,
+            d_ffn=self.d_ffn,
+            d_model=self.out_channels,
+            dropout=self.dropout,
+            normalize_before=False,
+            name="encoder",
+        )(x, train=train)
+        return out
+
+
+class DPTNetBlock(nn.Module):
+    """DPTNet layer: self-attention + an RNN-based (GRU) feed-forward
+    instead of the positionwise MLP (reference
+    ``lobes/models/dual_path.py`` DPTNetBlock).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> blk = DPTNetBlock(d_model=16, nhead=4)
+    >>> x = jnp.ones((2, 10, 16))
+    >>> v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    >>> blk.apply(v, x, train=False).shape
+    (2, 10, 16)
+    """
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 256
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        from speechbrain_tpu.nnet.attention import MultiheadAttention
+        from speechbrain_tpu.nnet.RNN import GRU
+
+        attn_out = MultiheadAttention(
+            nhead=self.nhead, d_model=self.d_model,
+            dropout=self.dropout, name="mha",
+        )(x, x, x, train=train, return_attn_weights=False)
+        x = nn.LayerNorm(dtype=x.dtype, name="norm1")(
+            x + nn.Dropout(
+                rate=self.dropout, deterministic=not train
+            )(attn_out)
+        )
+        rnn_out, _ = GRU(
+            hidden_size=self.dim_feedforward // 2,
+            bidirectional=True,
+            name="rnn_ffn",
+        )(x, train=train)
+        y = nn.Dense(self.d_model, dtype=x.dtype, name="ffn_out")(
+            jax.nn.relu(rnn_out)
+        )
+        return nn.LayerNorm(dtype=x.dtype, name="norm2")(
+            x + nn.Dropout(
+                rate=self.dropout, deterministic=not train
+            )(y)
+        )
+
+
+class SBConformerEncoderBlock(nn.Module):
+    """Conformer encoder as a dual-path intra/inter model (reference
+    ``lobes/models/dual_path.py`` SBConformerEncoderBlock).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> blk = SBConformerEncoderBlock(num_layers=1, d_model=16, nhead=4,
+    ...                               d_ffn=32, kernel_size=3)
+    >>> x = jnp.ones((2, 10, 16))
+    >>> v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    >>> blk.apply(v, x, train=False).shape
+    (2, 10, 16)
+    """
+
+    num_layers: int
+    d_model: int
+    nhead: int
+    d_ffn: int = 1024
+    kernel_size: int = 31
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        from speechbrain_tpu.lobes.models.transformer.Conformer import (
+            ConformerEncoder,
+        )
+        from speechbrain_tpu.nnet.attention import RelPosEncXL
+
+        pos = RelPosEncXL(emb_dim=self.d_model)(x)
+        out, _ = ConformerEncoder(
+            num_layers=self.num_layers,
+            d_model=self.d_model,
+            d_ffn=self.d_ffn,
+            nhead=self.nhead,
+            kernel_size=self.kernel_size,
+            dropout=self.dropout,
+            name="encoder",
+        )(x, pos_embs=pos, train=train)
+        return out
+
+
+class FastTransformerBlock:
+    """Reference-compat stub: the reference's FastTransformerBlock
+    wraps the optional ``fast_transformers`` package (linear
+    attention).  Not available in a torch-free build — use
+    ``SBTransformerBlock`` or ``PytorchTransformerBlock`` instead."""
+
+    def __init__(self, *args, **kwargs):
+        raise ImportError(
+            "FastTransformerBlock requires the fast_transformers "
+            "package (optional in the reference); use "
+            "SBTransformerBlock instead."
+        )
+
+
+class Dual_Computation_Block(nn.Module):
+    """One dual-path computation block: intra-chunk model + inter-chunk
+    model with optional norm and skip connections (reference
+    ``lobes/models/dual_path.py`` Dual_Computation_Block).  Operates on
+    (B, S, K, N) chunked input.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> blk = Dual_Computation_Block(out_channels=16, nhead=4, d_ffn=32)
+    >>> x = jnp.ones((2, 5, 10, 16))
+    >>> v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    >>> blk.apply(v, x, train=False).shape
+    (2, 5, 10, 16)
+    """
+
+    out_channels: int
+    nhead: int = 8
+    d_ffn: int = 1024
+    intra_numlayers: int = 1
+    inter_numlayers: int = 1
+    norm: str = "ln"
+    skip_around_intra: bool = True
+    linear_layer_after_inter_intra: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        B, S, K, N = x.shape
+        intra = SBTransformerBlock(
+            num_layers=self.intra_numlayers,
+            d_model=N,
+            nhead=self.nhead,
+            d_ffn=self.d_ffn,
+            name="intra_mdl",
+        )(x.reshape(B * S, K, N), train=train)
+        if self.linear_layer_after_inter_intra:
+            intra = nn.Dense(N, dtype=intra.dtype, name="intra_lin")(intra)
+        intra = intra.reshape(B, S, K, N)
+        if self.norm is not None:
+            intra = nn.LayerNorm(dtype=intra.dtype, name="intra_norm")(
+                intra
+            )
+        if self.skip_around_intra:
+            intra = intra + x
+        inter_in = jnp.swapaxes(intra, 1, 2).reshape(B * K, S, N)
+        inter = SBTransformerBlock(
+            num_layers=self.inter_numlayers,
+            d_model=N,
+            nhead=self.nhead,
+            d_ffn=self.d_ffn,
+            name="inter_mdl",
+        )(inter_in, train=train)
+        if self.linear_layer_after_inter_intra:
+            inter = nn.Dense(N, dtype=inter.dtype, name="inter_lin")(inter)
+        inter = jnp.swapaxes(inter.reshape(B, K, S, N), 1, 2)
+        if self.norm is not None:
+            inter = nn.LayerNorm(dtype=inter.dtype, name="inter_norm")(
+                inter
+            )
+        return inter + intra

@@ -130,3 +130,62 @@ class TransformerG2P(nn.Module):
         )
         logits = self.out(dec)
         return jax.nn.log_softmax(logits, axis=-1)
+
+
+class WordEmbeddingEncoder(nn.Module):
+    """Normalizes + projects word embeddings to a smaller dimension
+    with tanh (reference ``lobes/models/g2p/model.py:145``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> enc = WordEmbeddingEncoder(word_emb_enc_dim=8)
+    >>> x = jnp.ones((2, 5, 16))
+    >>> v = enc.init(jax.random.PRNGKey(0), x)
+    >>> enc.apply(v, x).shape
+    (2, 5, 8)
+    """
+
+    word_emb_enc_dim: int
+    norm_type: str = "layer"
+
+    @nn.compact
+    def __call__(self, emb):
+        x = emb
+        if self.norm_type == "layer":
+            x = nn.LayerNorm(dtype=x.dtype)(x)
+        elif self.norm_type == "batch":
+            from speechbrain_tpu.nnet.normalization import BatchNorm1d
+
+            x = BatchNorm1d()(x, train=False)
+        elif self.norm_type == "instance":
+            from speechbrain_tpu.nnet.normalization import InstanceNorm1d
+
+            x = InstanceNorm1d()(x)
+        x = nn.Dense(self.word_emb_enc_dim, dtype=x.dtype)(x)
+        return jnp.tanh(x)
+
+
+def input_dim(use_word_emb, embedding_dim, word_emb_enc_dim):
+    """Model input dimension with/without word embeddings; for hparams
+    files (reference ``lobes/models/g2p/model.py:531``).
+
+    Example
+    -------
+    >>> input_dim(True, 128, 32)
+    160
+    """
+    return embedding_dim + use_word_emb * word_emb_enc_dim
+
+
+def get_dummy_phonemes(batch_size, device=None):
+    """A (batch, 1) all-zeros phoneme sequence to seed decoding
+    (reference ``lobes/models/g2p/model.py:580``).
+
+    Example
+    -------
+    >>> get_dummy_phonemes(2).tolist()
+    [[0], [0]]
+    """
+    del device
+    return jnp.zeros((batch_size, 1), jnp.int32)

@@ -29,6 +29,7 @@ __all__ = [
     "NormalizedEmbedding",
     "get_key_padding_mask",
     "get_lookahead_mask",
+    "TransformerInterface",
 ]
 
 
@@ -305,3 +306,101 @@ class TransformerDecoder(nn.Module):
         if self.normalize_before:
             output = nn.LayerNorm(dtype=output.dtype, name="norm_out")(output)
         return output, self_attns, cross_attns
+
+
+class TransformerInterface(nn.Module):
+    """Configurable transformer base (reference
+    ``lobes/models/transformer/Transformer.py:20``): builds the
+    encoder (vanilla transformer or conformer), optional decoder, and
+    the positional-encoding machinery from one hyperparameter surface.
+    Subclasses (TransformerASR/LM/SE/ST) override ``__call__``; the
+    built submodules are ``self.encoder``, ``self.decoder``,
+    ``self.positional_encoding_mod`` and (for RelPosMHAXL)
+    ``self.relpos_enc``.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> class Tiny(TransformerInterface):
+    ...     def __call__(self, x, train=False):
+    ...         out, _ = self.encoder(x, train=train)
+    ...         return out
+    >>> net = Tiny(d_model=16, nhead=4, num_encoder_layers=1,
+    ...            num_decoder_layers=0, d_ffn=32)
+    >>> x = jnp.ones((2, 8, 16))
+    >>> v = net.init(jax.random.PRNGKey(0), x)
+    >>> net.apply(v, x).shape
+    (2, 8, 16)
+    """
+
+    d_model: int = 512
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    d_ffn: int = 2048
+    dropout: float = 0.1
+    activation: str = "relu"
+    positional_encoding: str = "fixed_abs_sine"
+    normalize_before: bool = True
+    kernel_size: int = 31
+    causal: bool = False
+    encoder_module: str = "transformer"
+    conformer_activation: str = "swish"
+    attention_type: str = "regularMHA"
+    max_length: int = 2500
+
+    def setup(self):
+        from speechbrain_tpu.nnet.attention import RelPosEncXL
+
+        if self.positional_encoding == "fixed_abs_sine":
+            self.positional_encoding_mod = PositionalEncoding(
+                input_size=self.d_model, max_len=self.max_length
+            )
+        if self.attention_type == "RelPosMHAXL":
+            self.relpos_enc = RelPosEncXL(emb_dim=self.d_model)
+        if self.num_encoder_layers > 0:
+            if self.encoder_module == "conformer":
+                from speechbrain_tpu.lobes.models.transformer.Conformer import (  # noqa: E501
+                    ConformerEncoder,
+                )
+
+                if self.attention_type != "RelPosMHAXL":
+                    raise ValueError(
+                        "Conformer encoder requires RelPosMHAXL attention"
+                    )
+                self.encoder = ConformerEncoder(
+                    num_layers=self.num_encoder_layers,
+                    d_model=self.d_model,
+                    d_ffn=self.d_ffn,
+                    nhead=self.nhead,
+                    kernel_size=self.kernel_size,
+                    causal=self.causal,
+                    dropout=self.dropout,
+                    activation=self.conformer_activation,
+                )
+            else:
+                self.encoder = TransformerEncoder(
+                    num_layers=self.num_encoder_layers,
+                    nhead=self.nhead,
+                    d_ffn=self.d_ffn,
+                    d_model=self.d_model,
+                    dropout=self.dropout,
+                    activation=self.activation,
+                    normalize_before=self.normalize_before,
+                    attention_type=self.attention_type,
+                )
+        if self.num_decoder_layers > 0:
+            self.decoder = TransformerDecoder(
+                num_layers=self.num_decoder_layers,
+                nhead=self.nhead,
+                d_ffn=self.d_ffn,
+                d_model=self.d_model,
+                dropout=self.dropout,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+            )
+
+    def __call__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "Subclasses of TransformerInterface must implement __call__"
+        )

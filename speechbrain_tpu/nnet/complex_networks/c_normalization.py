@@ -86,3 +86,24 @@ class CLayerNorm(CBatchNorm):
 
         yr, yi = jax.vmap(lambda a, b: _whiten(a, b, self.eps))(xr, xi)
         return jnp.concatenate([yr, yi], axis=-1)
+
+
+def c_norm(x, eps=1e-5):
+    """Whitening-based complex normalization of split real/imag input
+    (reference ``nnet/complex_networks/c_normalization.py:c_norm``).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> c_norm(jnp.ones((2, 4, 8))).shape
+    (2, 4, 8)
+    """
+    C = x.shape[-1] // 2
+    xr, xi = x[..., :C], x[..., C:]
+    xr, xi = _whiten(xr, xi, eps)
+    return jnp.concatenate([xr, xi], axis=-1)
+
+
+def c_standardization(x, eps=1e-5):
+    """Alias of :func:`c_norm` (reference name)."""
+    return c_norm(x, eps)

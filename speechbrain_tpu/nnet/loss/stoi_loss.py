@@ -84,3 +84,59 @@ def stoi_loss(y_pred_batch, y_true_batch, lens=None, reduction="mean"):
     if reduction == "mean":
         return loss.mean()
     return loss
+
+
+def thirdoct(fs, nfft, num_bands, min_freq):
+    """Public one-third-octave band matrix (reference
+    ``nnet/loss/stoi_loss.py:14``): returns (obm, center_freqs).
+
+    Example
+    -------
+    >>> obm, cf = thirdoct(10000, 512, 15, 150)
+    >>> obm.shape
+    (15, 257)
+    """
+    obm = _thirdoct(fs, nfft, num_bands, min_freq)
+    k = np.arange(num_bands)
+    cf = 2.0 ** (k / 3.0) * min_freq
+    return obm, cf
+
+
+def removeSilentFrames(x, y, dyn_range=40, N=256, K=128):
+    """Drop frames whose clean-signal energy is more than ``dyn_range``
+    dB below the loudest frame, then overlap-add back (reference
+    ``nnet/loss/stoi_loss.py:30``).  Host-side numpy (data prep).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> x = np.concatenate([np.zeros(512), np.ones(512)])
+    >>> xs, ys = removeSilentFrames(x, x.copy())
+    >>> len(xs) < len(x)
+    True
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    w = np.hanning(N + 2)[1:-1]
+    n_frames = (len(x) - N) // K + 1
+    frames = np.stack(
+        [x[i * K : i * K + N] * w for i in range(max(n_frames, 0))]
+    )
+    energies = 20 * np.log10(
+        np.linalg.norm(frames, axis=1) / np.sqrt(N) + 1e-20
+    )
+    keep = energies > (energies.max() - dyn_range)
+    xs = np.zeros_like(x)
+    ys = np.zeros_like(y)
+    norm = np.zeros_like(x)
+    pos = 0
+    for i in range(len(keep)):
+        if not keep[i]:
+            continue
+        xs[pos : pos + N] += x[i * K : i * K + N] * w
+        ys[pos : pos + N] += y[i * K : i * K + N] * w
+        norm[pos : pos + N] += w**2
+        pos += K
+    end = pos + N - K
+    norm = np.maximum(norm, 1e-10)
+    return (xs / norm)[:end], (ys / norm)[:end]

@@ -516,3 +516,7 @@ def update_learning_rate(optimizer, new_lr, param_group=None):
             "update_learning_rate expects a Brain-like object with an "
             "``lr`` attribute or a dict with an 'lr' key"
         )
+
+
+# Reference-name alias (reference ``nnet/schedulers.py:997``).
+WarmCoolDecayLRSchedule = WarmCoolDecayScheduler

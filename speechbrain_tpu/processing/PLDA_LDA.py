@@ -337,3 +337,34 @@ def ismember(list1, list2):
     [True, False]
     """
     return [item in list2 for item in list1]
+
+
+def fa_model_loop(
+    batch_start, mini_batch_indices, factor_analyser, stat0, stat1,
+    e_h, e_hh,
+):
+    """E-step accumulation loop for PLDA factor analysis (reference
+    ``processing/PLDA_LDA.py:597``): for each session, computes the
+    posterior mean ``e_h`` and second moment ``e_hh`` of the latent
+    factor.  Accumulators are filled in place (numpy, host-side)."""
+    F = factor_analyser.F
+    Sigma = factor_analyser.Sigma
+    rank = F.shape[1]
+    if Sigma.ndim == 2:
+        A = F.T.dot(F)
+        inv_lambda_unique = {}
+        for sess in np.unique(stat0[:, 0]):
+            inv_lambda_unique[sess] = np.linalg.inv(
+                sess * A + np.eye(A.shape[0])
+            )
+    for idx in mini_batch_indices:
+        if Sigma.ndim == 1:
+            inv_lambda = np.linalg.inv(
+                np.eye(rank)
+                + (F.T * stat0[idx + batch_start, :]).dot(F)
+            )
+        else:
+            inv_lambda = inv_lambda_unique[stat0[idx + batch_start, 0]]
+        aux = F.T.dot(stat1[idx + batch_start, :])
+        e_h[idx] = aux.dot(inv_lambda)
+        e_hh[idx] = inv_lambda + np.outer(e_h[idx], e_h[idx])

@@ -302,3 +302,42 @@ def prepare_subset_csv(full_diary_csv, rec_id, out_csv_file):
         )
         for r in out_csv:
             writer.writerow(r)
+
+
+class Spec_Cluster:
+    """k-nearest-neighbour-affinity spectral clustering over embeddings
+    (reference ``processing/diarization.py:675``, sklearn-backed there;
+    here the affinity graph and clustering are native numpy).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> rng = np.random.RandomState(0)
+    >>> X = np.concatenate([rng.randn(10, 4), 10 + rng.randn(10, 4)])
+    >>> sc = Spec_Cluster(n_clusters=2)
+    >>> _ = sc.perform_sc(X, n_neighbors=5)
+    >>> len(set(sc.labels_[:10])), len(set(sc.labels_[10:]))
+    (1, 1)
+    """
+
+    def __init__(self, n_clusters=4):
+        self.n_clusters = n_clusters
+        self.affinity_matrix_ = None
+        self.labels_ = None
+
+    def perform_sc(self, X, n_neighbors=10):
+        """Build a symmetric kNN connectivity graph and spectrally
+        cluster it."""
+        X = np.asarray(X)
+        n = X.shape[0]
+        d2 = ((X[:, None] - X[None, :]) ** 2).sum(-1)
+        n_neighbors = min(n_neighbors, n)
+        conn = np.zeros((n, n))
+        order = np.argsort(d2, axis=1)
+        for i in range(n):
+            conn[i, order[i, :n_neighbors]] = 1.0
+        self.affinity_matrix_ = 0.5 * (conn + conn.T)
+        self.labels_ = spectral_clustering_sb(
+            self.affinity_matrix_, n_clusters=self.n_clusters
+        )
+        return self

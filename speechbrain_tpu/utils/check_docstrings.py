@@ -89,3 +89,27 @@ def check_docstrings(
     for path, lineno, qual in missing:
         logger.error(f"Missing docstring: {path}:{lineno} ({qual})")
     return not missing
+
+
+def extractName(s, search_decorators=False):
+    """Extract the function/class name from a definition line
+    (reference ``utils/check_docstrings.py``).
+
+    Example
+    -------
+    >>> extractName("def my_fn(x):")
+    'my_fn'
+    >>> extractName("class MyClass(Base):")
+    'MyClass'
+    """
+    del search_decorators
+    s = s.strip()
+    for prefix in ("def ", "class "):
+        if s.startswith(prefix):
+            rest = s[len(prefix):]
+            for sep in "(:":
+                idx = rest.find(sep)
+                if idx != -1:
+                    rest = rest[:idx]
+            return rest.strip()
+    return ""

@@ -89,3 +89,11 @@ def run_hf_check(root="."):
         if not check_repo(repo_dir):
             ok = False
     return ok
+
+
+def run_HF_check(recipe_csvfile="tests/recipes.csv", field="HF_repo"):
+    """Reference-named entry point for the repo-bundle check
+    (reference ``utils/check_HF_repo.py:run_HF_check``); offline
+    analogue of loading every published model card."""
+    del recipe_csvfile, field
+    return run_hf_check()

@@ -82,3 +82,13 @@ def check_links(
             logger.error(f"Unreachable URL {url} (in {paths})")
             broken[url] = paths
     return broken
+
+
+def check_url(path):
+    """Check the reachability of every URL in one file; returns the
+    list of broken URLs (reference ``utils/check_url.py``)."""
+    bad = []
+    for url in get_url(path):
+        if not _probe(url):
+            bad.append(url)
+    return bad

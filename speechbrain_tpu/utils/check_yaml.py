@@ -5,8 +5,11 @@ every variable declared in a recipe YAML is actually used by its train
 script (catching dead hyperparameters and typos).
 """
 
+import logging
 import os
 import re
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["get_yaml_var", "detect_script_vars", "check_yaml_vs_script"]
 
@@ -94,3 +97,72 @@ def check_yaml_vs_script(hparam_file, script_file, ignore=()):
         )
         return False
     return True
+
+
+def extract_patterns(lines, start_pattern, end_pattern):
+    """Extract variable names appearing between ``start_pattern`` and
+    any character of ``end_pattern`` (reference
+    ``utils/check_yaml.py:196``).
+
+    Example
+    -------
+    >>> extract_patterns(['x = hparams["lr"]'], 'hparams["', '"')
+    ['lr']
+    """
+    var_lst = []
+    for line in lines:
+        start_indexes = [
+            index
+            for index in range(len(line))
+            if line.startswith(start_pattern, index)
+        ]
+        for index in start_indexes:
+            line_src = line[index + len(start_pattern):]
+            var_name = ""
+            for char in line_src:
+                if char in end_pattern:
+                    break
+                var_name += char
+            var_lst.append(var_name)
+    return var_lst
+
+
+def check_module_vars(
+    hparam_file, script_file, module_key="modules:",
+    module_var="self.modules.",
+):
+    """Check that every ``self.modules.<var>`` used in the script is
+    declared under ``modules:`` in the yaml (reference
+    ``utils/check_yaml.py:233``).  Returns True when consistent."""
+    stop_char = [
+        " ", ",", "(", ")", "[", "]", "{", "}", ".", ":", "\n",
+    ]
+    end_block = [" ", "\t"]
+    avoid_lst = ["parameters", "keys", "eval", "train", "items", "values"]
+
+    module_vars_hparams = []
+    module_block = False
+    with open(hparam_file) as f:
+        for line in f:
+            if module_key in line:
+                module_block = True
+                continue
+            if line and line[0] not in end_block:
+                module_block = False
+            if module_block and line.strip():
+                module_vars_hparams.append(line.strip().split(":")[0])
+
+    with open(script_file) as f:
+        used = extract_patterns(f.readlines(), module_var, stop_char)
+    used = [u for u in used if u and u not in avoid_lst]
+
+    ok = True
+    for var in used:
+        if var not in module_vars_hparams:
+            logger.error(
+                "Variable self.modules.%s used in %s but not declared "
+                "under %s in %s",
+                var, script_file, module_key, hparam_file,
+            )
+            ok = False
+    return ok

@@ -324,3 +324,11 @@ def ceil_to_bucket(n, buckets):
 def round_up(x, multiple):
     """Round x up to the nearest multiple (TPU lane/sublane alignment)."""
     return int(math.ceil(x / multiple) * multiple)
+
+
+def recursive_to(data, *args, **kwargs):
+    """Reference-compat name: move a nested structure "to a device" —
+    in this framework, normalize leaves to numpy (device placement
+    happens at jit boundaries) (reference ``utils/data_utils.py:240``)."""
+    del args, kwargs
+    return recursive_to_numpy(data)

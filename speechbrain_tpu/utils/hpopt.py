@@ -224,3 +224,7 @@ def get_reporter(mode, *args, **kwargs):
         reporter_cls = _hpopt_modes[DEFAULT_REPORTER]
         reporter = reporter_cls(*args, **kwargs)
     return reporter
+
+
+# Reference-name base alias (reference ``utils/hpopt.py:39``).
+HyperparameterOptimizationReporter = GenericHyperparameterOptimizationReporter

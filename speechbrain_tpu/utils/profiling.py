@@ -203,3 +203,41 @@ def profile_report(brain_or_fn=None, logdir=None):
     if brain_or_fn is None:
         return attach
     return attach(brain_or_fn)
+
+
+def set_profiler_attr(obj, set_attr, profiler):
+    """Attach a profiler object to a Brain attribute (reference
+    ``utils/profiling.py:270``-family helper)."""
+    setattr(obj, set_attr, profiler)
+    return obj
+
+
+def hook_brain_methods(brain, profiler=None, methods=("fit", "evaluate")):
+    """Wrap the given Brain methods with a jax.profiler trace
+    (reference ``utils/profiling.py:270``)."""
+    import functools as _functools
+
+    import jax
+
+    logdir = getattr(profiler, "logdir", "./profiler_logs")
+
+    for name in methods:
+        fn = getattr(brain, name, None)
+        if fn is None:
+            continue
+
+        @_functools.wraps(fn)
+        def wrapped(*args, __fn=fn, **kwargs):
+            os.makedirs(logdir, exist_ok=True)
+            with jax.profiler.trace(logdir):
+                return __fn(*args, **kwargs)
+
+        setattr(brain, name, wrapped)
+    return brain
+
+
+def prepare_profiler_for_brain(brain, logdir="./profiler_logs"):
+    """Hook fit/evaluate with tracing and record the logdir on the
+    Brain (reference ``utils/profiling.py:100``-family)."""
+    brain.profiler_logdir = logdir
+    return hook_brain_methods(brain)

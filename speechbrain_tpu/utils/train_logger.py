@@ -338,3 +338,27 @@ def plot_spectrogram(spectrogram, ap=None, fig_size=(16, 10), output_fig=False):
     if not output_fig:
         plt.close(fig)
     return fig
+
+
+def detach(data):
+    """Detach a (possibly nested) structure of arrays from the autodiff
+    graph (reference ``utils/train_logger.py``): in JAX, concretize to
+    host numpy values.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> detach({"a": np.float32(1.0)})["a"]
+    1.0
+    """
+    import numpy as np
+
+    if isinstance(data, dict):
+        return {k: detach(v) for k, v in data.items()}
+    if isinstance(data, (list, tuple)):
+        return type(data)(detach(v) for v in data)
+    if hasattr(data, "item") and getattr(data, "ndim", 1) == 0:
+        return data.item()
+    if hasattr(data, "__array__"):
+        return np.asarray(data)
+    return data
