@@ -69,6 +69,7 @@ class SubsequenceLoss:
 
     @word_separator.setter
     def word_separator(self, value):
+        """Sets the word separator token index."""
         self._subsequence_extractor.word_separator = value
 
     @property
@@ -78,6 +79,7 @@ class SubsequenceLoss:
 
     @word_separator_base.setter
     def word_separator_base(self, value):
+        """Sets the base (unprocessed-target) word separator index."""
         self._subsequence_extractor.word_separator_base = value
 
     def __call__(

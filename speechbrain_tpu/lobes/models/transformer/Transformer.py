@@ -350,6 +350,7 @@ class TransformerInterface(nn.Module):
     max_length: int = 2500
 
     def setup(self):
+        """Builds positional encoding + encoder/decoder submodules."""
         from speechbrain_tpu.nnet.attention import RelPosEncXL
 
         if self.positional_encoding == "fixed_abs_sine":

@@ -216,6 +216,7 @@ class QuaternionLinearCustomBackward:
 
     @staticmethod
     def apply(x, r_w, i_w, j_w, k_w, bias=None):
+        """Rematerialized quaternion linear op (memory-saving backward)."""
         import jax
 
         return jax.checkpoint(

@@ -103,6 +103,7 @@ class TqdmCompatibleStreamHandler(logging.StreamHandler):
     tqdm is active so log lines don't break the bar."""
 
     def emit(self, record):
+        """Emits a log record through ``tqdm.write`` when available."""
         try:
             from tqdm import tqdm
 
