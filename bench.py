@@ -59,15 +59,24 @@ def main():
         for i in range(8)
     ]
     jax.block_until_ready(batches)
+    # Fused multi-step execution (core.Brain.fit_batches): lax.scan of
+    # K train steps per dispatch — the TPU steps-per-loop idiom the
+    # real fit() loop uses via run_opts["steps_per_execute"].  Device
+    # work per step is identical to per-batch fit_batch (equivalence
+    # pinned by tests/unittests/test_core.py).
+    K = len(batches)
+    # Deep lazy-loss queue: sync stalls would serialize the windows.
+    brain.loss_sync_interval = 100
     # Warmup (compile + init)
     brain.step = 1
-    brain.fit_batch(batches[0])
+    brain.fit_batches(batches)
     jax.block_until_ready(brain.train_state["params"])
-    n_steps = 20
+    n_windows = 4
+    n_steps = n_windows * K
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        brain.step += 1
-        brain.fit_batch(batches[i % len(batches)])
+    for _ in range(n_windows):
+        brain.step += K
+        brain.fit_batches(batches)
     jax.block_until_ready(brain.train_state["params"])
     dt = time.perf_counter() - t0
     n_chips = max(1, len(jax.devices()))

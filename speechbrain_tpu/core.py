@@ -228,6 +228,8 @@ def parse_arguments(arg_list=None):
     parser.add_argument("--nonfinite_patience", type=int)
     parser.add_argument("--ckpt_interval_minutes", type=float)
     parser.add_argument("--model_parallel", type=int)
+    parser.add_argument("--loss_sync_interval", type=int)
+    parser.add_argument("--steps_per_execute", type=int)
     parser.add_argument("--coordinator_address", type=str)
     parser.add_argument("--num_processes", type=int)
     parser.add_argument("--process_id", type=int)
@@ -332,6 +334,11 @@ class Brain:
             # the dispatch queue full — essential when the device sits
             # behind a high-latency link, and generally free throughput.
             "loss_sync_interval": 10,
+            # Fused multi-step execution: scan this many same-shape
+            # batches inside ONE jitted call (the classic TPU
+            # steps-per-loop idiom).  Amortizes per-dispatch host
+            # latency; 1 = reference behaviour (one program per batch).
+            "steps_per_execute": 1,
         }
         for arg, default in run_opt_defaults.items():
             if arg in run_opts:
@@ -603,6 +610,28 @@ class Brain:
         }
         return new_state, loss
 
+    def _train_steps(self, state, batch_list, rng, lrs):
+        """K fused train steps: ``lax.scan`` of ``_train_step`` over a
+        same-shape batch window.  One dispatch per K steps.
+
+        Window stacking and per-step key derivation happen INSIDE the
+        jitted program: on a high-latency dispatch link every extra
+        host-side device op (a stack per leaf, a key split per step)
+        costs a full round trip, which is exactly what this path exists
+        to amortize.
+        """
+        window = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batch_list
+        )
+        rngs = jax.random.split(rng, len(batch_list))
+        lrs = jnp.asarray(lrs, dtype=jnp.float32)
+
+        def body(state, xs):
+            batch, step_rng, lr = xs
+            return self._train_step(state, batch, step_rng, lr)
+
+        return jax.lax.scan(body, state, (window, rngs, lrs))
+
     def _grad_step(self, state, batch, rng):
         """Gradient-only step (for accumulation)."""
         rngs = self._make_step_rngs(rng)
@@ -643,6 +672,10 @@ class Brain:
             if kind == "train":
                 self._jit_cache[kind] = jax.jit(
                     self._train_step, donate_argnums=(0,)
+                )
+            elif kind == "train_scan":
+                self._jit_cache[kind] = jax.jit(
+                    self._train_steps, donate_argnums=(0,)
                 )
             elif kind == "grad":
                 self._jit_cache[kind] = jax.jit(self._grad_step)
@@ -756,12 +789,71 @@ class Brain:
         self.on_fit_batch_end(batch, None, loss, should_step)
         return loss
 
+    def fit_batches(self, batches):
+        """K same-shape training batches fused into ONE jitted dispatch.
+
+        The classic TPU *steps-per-loop* idiom: the window is stacked on
+        a leading scan axis and ``lax.scan`` runs ``_train_step`` K
+        times on-device, so per-call host dispatch latency (arg/result
+        handle marshaling — ~10 ms/call through a remote-dispatch
+        link, ~100 us locally) is paid once per window instead of once
+        per batch.  Device work is identical to K ``fit_batch`` calls.
+
+        Semantics vs per-step fit_batch: the learning rate is sampled
+        once at window start (per-batch ``on_fit_batch_end`` scheduler
+        updates apply between windows), per-step PRNG keys are
+        ``split(window_key, K)`` instead of the sequential split chain
+        (a different but equally independent stream), and losses join
+        the lazy sync queue as a (K,) device vector.  Requires
+        ``grad_accumulation_factor == 1``.
+
+        Arguments
+        ---------
+        batches : list
+            K batches with identical array shapes (one bucket), host or
+            already-prepared.
+
+        Returns
+        -------
+        The (K,) device loss vector for the window.
+        """
+        if self.grad_accumulation_factor != 1:
+            raise ValueError(
+                "fit_batches requires grad_accumulation_factor == 1; "
+                "use fit_batch for accumulation."
+            )
+        device_batches = [self.prepare_batch(b) for b in batches]
+        self._ensure_initialized(device_batches[0])
+        K = len(device_batches)
+        lrs = np.full((K,), self.lr, dtype=np.float32)
+        self.train_state, losses = self._get_jitted("train_scan")(
+            self.train_state, device_batches, self._next_rng(), lrs
+        )
+        self.optimizer_step += K
+        self._pending_losses.append(losses)
+        sync_every = max(1, int(self.loss_sync_interval))
+        last = losses  # device vector between sync points (stay async)
+        pending_steps = sum(
+            int(np.prod(l.shape)) if getattr(l, "shape", ()) else 1
+            for l in self._pending_losses
+        )
+        if pending_steps >= sync_every:
+            last = self._sync_losses()
+        self.on_fit_batch_end(batches[-1], None, last, True)
+        return losses
+
     def _sync_losses(self):
         """Fetch pending device losses; update averages + nonfinite
-        patience.  Returns the last loss as float (or None if empty)."""
+        patience.  Returns the last loss as float (or None if empty).
+        Entries may be scalars (fit_batch) or (K,) windows
+        (fit_batches)."""
         if not self._pending_losses:
             return None
-        vals = [float(v) for v in jax.device_get(self._pending_losses)]
+        vals = [
+            float(v)
+            for arr in jax.device_get(self._pending_losses)
+            for v in np.ravel(arr)
+        ]
         self._pending_losses = []
         last = vals[-1]
         for v in vals:
@@ -886,11 +978,44 @@ class Brain:
             iterator = tqdm(
                 train_set, dynamic_ncols=True, disable=not if_main_process()
             )
+        spe = max(1, int(getattr(self, "steps_per_execute", 1) or 1))
+        fused = (
+            spe > 1
+            and self.grad_accumulation_factor == 1
+            and type(self).fit_batch is Brain.fit_batch
+        )
+        window, window_key = [], None
+
+        def _flush_window():
+            nonlocal window, window_key
+            if window:
+                self.step += len(window)
+                self.fit_batches(window)
+                window, window_key = [], None
+
         for batch in iterator:
-            self.step += 1
-            loss = self.fit_batch(batch)
-            if progressbar and isinstance(loss, float):
-                iterator.set_postfix(train_loss=self.avg_train_loss)
+            if fused:
+                prepared = self.prepare_batch(batch)
+                key = tuple(
+                    sorted(
+                        (k, v.shape, str(v.dtype))
+                        for k, v in prepared.items()
+                    )
+                )
+                if window and key != window_key:
+                    _flush_window()  # bucket shape changed mid-window
+                window.append(prepared)
+                window_key = key
+                if len(window) < spe and not (
+                    self.debug and self.step + len(window) >= self.debug_batches
+                ):
+                    continue
+                _flush_window()
+            else:
+                self.step += 1
+                loss = self.fit_batch(batch)
+                if progressbar and isinstance(loss, float):
+                    iterator.set_postfix(train_loss=self.avg_train_loss)
             if (
                 self.checkpointer is not None
                 and self.ckpt_interval_minutes > 0
@@ -900,6 +1025,7 @@ class Brain:
                 self._save_intra_epoch_ckpt()
             if self.debug and self.step >= self.debug_batches:
                 break
+        _flush_window()
         self._sync_losses()  # drain the tail of the pipeline
         self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
         self.train_loss = self.avg_train_loss

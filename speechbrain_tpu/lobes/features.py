@@ -49,6 +49,7 @@ class Fbank:
         hop_length=10,
         left_frames=5,
         right_frames=5,
+        mxu_dtype=None,
     ):
         self.deltas = deltas
         self.context = context
@@ -59,6 +60,7 @@ class Fbank:
             n_fft=n_fft,
             win_length=win_length,
             hop_length=hop_length,
+            mxu_dtype=mxu_dtype,
         )
         self.compute_fbanks = Filterbank(
             sample_rate=sample_rate,

@@ -40,9 +40,16 @@ def shard_batch(mesh, batch):
     batch policy guarantees this via pad_batch_to).
     """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+
+    def _put(x):
+        # Already-placed leaves skip device_put entirely: even a no-op
+        # put costs a host round trip on high-latency dispatch links.
+        if isinstance(x, jax.Array) and getattr(x, "sharding", None) is not None:
+            if x.sharding.is_equivalent_to(sharding, x.ndim):
+                return x
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(_put, batch)
 
 
 def replicate_tree(mesh, tree):

@@ -79,6 +79,7 @@ class STFT:
         pad_mode="constant",
         onesided=True,
         backend="auto",
+        mxu_dtype=None,
     ):
         self.sample_rate = sample_rate
         self.win_length = _ms_to_samples(sample_rate, win_length)
@@ -88,6 +89,13 @@ class STFT:
         self.center = center
         self.pad_mode = pad_mode
         self.onesided = onesided
+        # Optional reduced-precision MXU path for the fused-conv DFT:
+        # "bfloat16" runs the conv multiplies in bf16 with f32
+        # accumulation (preferred_element_type) — ~4x MXU rate for a
+        # ~2^-9 relative input rounding, invisible after log-mel
+        # compression + input normalization.  None keeps the input
+        # dtype end-to-end (bit-stable CPU tests / parity baselines).
+        self.mxu_dtype = jnp.dtype(mxu_dtype) if mxu_dtype else None
         # "matmul" computes the DFT as a (n_fft, 2*(n_fft/2+1)) matmul:
         # for speech-sized n_fft this runs on the MXU and beats the FFT
         # op several-fold; "fft" keeps jnp.fft; "auto" picks matmul for
@@ -139,13 +147,15 @@ class STFT:
                 ],
                 axis=1,
             )[:, None, :]  # (n_fft, 1, 2F) HIO
+            conv_dtype = self.mxu_dtype or x.dtype
             spec2 = jax.lax.conv_general_dilated(
-                x[:, :, None],
-                kern.astype(x.dtype),
+                x[:, :, None].astype(conv_dtype),
+                kern.astype(conv_dtype),
                 window_strides=(self.hop_length,),
                 padding="VALID",
                 dimension_numbers=("NHC", "HIO", "NHC"),
-            )  # (B, frames, 2F)
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)  # (B, frames, 2F)
             real, imag = spec2[..., :F], spec2[..., F:]
             if self.normalized_stft:
                 scale = 1.0 / math.sqrt(self.n_fft)

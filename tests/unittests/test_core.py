@@ -79,6 +79,47 @@ def test_grad_accumulation_matches_big_batch():
     assert np.allclose(p1, p2, atol=1e-5)
 
 
+def test_fit_batches_matches_sequential():
+    # K fused scan steps == K per-batch dispatches (params + losses).
+    batches = [_batch(seed=i) for i in range(4)]
+    b1 = _make_brain()
+    seq_losses = []
+    for i, bt in enumerate(batches):
+        b1.step = i + 1
+        seq_losses.append(float(b1.fit_batch(bt)))
+    b2 = _make_brain()
+    fused_losses = np.asarray(b2.fit_batches(batches))
+    np.testing.assert_allclose(fused_losses, seq_losses, rtol=2e-5)
+    p1 = np.asarray(jax.tree_util.tree_leaves(b1.train_state["params"])[0])
+    p2 = np.asarray(jax.tree_util.tree_leaves(b2.train_state["params"])[0])
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+    assert b2.optimizer_step == 4
+
+
+def test_fit_with_steps_per_execute():
+    # The fused window path in fit() trains and counts steps correctly.
+    from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+    from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+    from speechbrain_tpu.utils.epoch_loop import EpochCounter
+
+    rng = np.random.default_rng(0)
+    data = {
+        f"u{i}": {
+            "x": rng.normal(size=(4, 8)).astype(np.float32),
+            "y": rng.normal(size=(4, 2)).astype(np.float32),
+        }
+        for i in range(16)
+    }
+    ds = DynamicItemDataset(data)
+    ds.set_output_keys(["id", "x", "y"])
+    brain = _make_brain(steps_per_execute=3)
+    loader = SaveableDataLoader(ds, batch_size=4)
+    brain.fit(EpochCounter(1), loader)
+    # 16 examples / batch 4 = 4 batches -> windows of 3 + 1
+    assert brain.optimizer_step == 4
+    assert brain.avg_train_loss > 0
+
+
 def test_nonfinite_patience_raises():
     class NanBrain(TinyBrain):
         def compute_objectives(self, predictions, batch, stage):

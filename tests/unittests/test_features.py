@@ -44,6 +44,17 @@ def test_stft_peak_bin(sine_wav):
     assert abs(peak_bin - 11) <= 1
 
 
+def test_stft_mxu_bf16_close_to_f32(sine_wav):
+    # bf16-multiply/f32-accumulate DFT stays within input-rounding
+    # error of the f32 path (the TPU fast path's precision contract).
+    wav, sr = sine_wav
+    f32 = STFT(sample_rate=sr)(wav)
+    bf16 = STFT(sample_rate=sr, mxu_dtype="bfloat16")(wav)
+    mag = np.abs(np.asarray(f32))
+    err = np.abs(np.asarray(f32) - np.asarray(bf16))
+    assert float(err.max()) <= 1e-2 * float(mag.max()) + 1e-3
+
+
 def test_istft_reconstruction(sine_wav):
     wav, sr = sine_wav
     stft = STFT(sample_rate=sr)
