@@ -36,6 +36,22 @@ def test_tp_matches_dp_loss():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_fit_batches_on_dp_tp_mesh():
+    # The fused scan path compiles + runs under a dp x tp mesh and the
+    # losses stay finite (GSPMD shardings propagate through lax.scan).
+    import __graft_entry__ as ge
+
+    brain, _ = _brain_and_batch(2)
+    batches = [
+        ge._synthetic_batch(B=8, seconds=0.5, U=6, seed=i) for i in range(3)
+    ]
+    brain.step = len(batches)
+    losses = np.asarray(brain.fit_batches(batches))
+    assert losses.shape == (3,)
+    assert np.all(np.isfinite(losses)), losses
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
 def test_tp_params_actually_sharded():
     brain, batch = _brain_and_batch(2)
     brain._ensure_initialized(brain.prepare_batch(batch))
