@@ -64,19 +64,20 @@ def main():
     # real fit() loop uses via run_opts["steps_per_execute"].  Device
     # work per step is identical to per-batch fit_batch (equivalence
     # pinned by tests/unittests/test_core.py).
-    K = len(batches)
+    window = batches + batches  # K=16 over the 8 staged buffers
+    K = len(window)
     # Deep lazy-loss queue: sync stalls would serialize the windows.
-    brain.loss_sync_interval = 100
+    brain.loss_sync_interval = 200
     # Warmup (compile + init)
     brain.step = 1
-    brain.fit_batches(batches)
+    brain.fit_batches(window)
     jax.block_until_ready(brain.train_state["params"])
-    n_windows = 4
+    n_windows = 3
     n_steps = n_windows * K
     t0 = time.perf_counter()
     for _ in range(n_windows):
         brain.step += K
-        brain.fit_batches(batches)
+        brain.fit_batches(window)
     jax.block_until_ready(brain.train_state["params"])
     dt = time.perf_counter() - t0
     n_chips = max(1, len(jax.devices()))

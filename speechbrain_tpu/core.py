@@ -610,19 +610,21 @@ class Brain:
         }
         return new_state, loss
 
-    def _train_steps(self, state, batch_list, rng, lrs):
+    def _train_steps(self, state, batch_list, window_seed, lrs):
         """K fused train steps: ``lax.scan`` of ``_train_step`` over a
         same-shape batch window.  One dispatch per K steps.
 
-        Window stacking and per-step key derivation happen INSIDE the
-        jitted program: on a high-latency dispatch link every extra
-        host-side device op (a stack per leaf, a key split per step)
-        costs a full round trip, which is exactly what this path exists
-        to amortize.
+        Window stacking and ALL key derivation happen INSIDE the jitted
+        program (the window key is ``fold_in(base, window_counter)``
+        from a host integer): on a high-latency dispatch link every
+        extra host-side device op (a stack per leaf, a key split) costs
+        a full round trip, which is exactly what this path exists to
+        amortize.
         """
         window = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *batch_list
         )
+        rng = jax.random.fold_in(make_prng_key(self.seed), window_seed)
         rngs = jax.random.split(rng, len(batch_list))
         lrs = jnp.asarray(lrs, dtype=jnp.float32)
 
@@ -826,8 +828,12 @@ class Brain:
         self._ensure_initialized(device_batches[0])
         K = len(device_batches)
         lrs = np.full((K,), self.lr, dtype=np.float32)
+        self._window_counter = getattr(self, "_window_counter", 0) + 1
         self.train_state, losses = self._get_jitted("train_scan")(
-            self.train_state, device_batches, self._next_rng(), lrs
+            self.train_state,
+            device_batches,
+            np.uint32(self._window_counter),
+            lrs,
         )
         self.optimizer_step += K
         self._pending_losses.append(losses)
