@@ -203,9 +203,15 @@ class DynamicBatchSampler:
         Maps a manifest row dict to a length (default: x["duration"]).
     shuffle : bool
         Shuffle examples (and batches) per epoch, seeded.
-    batch_ordering : "random" | "ascending" | "descending"
+    batch_ordering : "random" | "ascending" | "descending" | "random_runs"
+        "random_runs" shuffles like "random" but keeps same-bucket
+        batches together in runs of up to ``run_length`` — feeding the
+        fused steps-per-loop path (``steps_per_execute``) windows of
+        identical compiled shape while remaining epoch-shuffled.
     max_batch_ex : int, optional
         Cap on examples per batch.
+    run_length : int
+        Run size for "random_runs" (match ``steps_per_execute``).
     bucket_boundaries : list, optional
         Explicit boundaries, overrides num_buckets.
     lengths_list : list, optional
@@ -228,7 +234,9 @@ class DynamicBatchSampler:
         epoch=0,
         drop_last=False,
         verbose=False,
+        run_length=8,
     ):
+        self._run_length = max(1, int(run_length))
         self._dataset = dataset
         self._ex_lengths = {}
         ex_ids = self._dataset.data_ids
@@ -317,6 +325,27 @@ class DynamicBatchSampler:
             rng = np.random.default_rng(self._seed + self._epoch)
             perm = rng.permutation(len(self._batches))
             self._batches = [self._batches[i] for i in perm]
+        elif self._batch_ordering == "random_runs":
+            # Shuffle, but emit same-shaped batches in runs of up to
+            # run_length so fused multi-step windows stay full.
+            rng = np.random.default_rng(self._seed + self._epoch)
+            by_sig = {}
+            for i, b in enumerate(self._batches):
+                maxlen = max(self._ex_lengths[str(x)] for x in b)
+                sig = (
+                    len(b),
+                    int(np.searchsorted(self._bucket_boundaries, maxlen)),
+                )
+                by_sig.setdefault(sig, []).append(i)
+            runs = []
+            for idxs in by_sig.values():
+                rng.shuffle(idxs)
+                for j in range(0, len(idxs), self._run_length):
+                    runs.append(idxs[j : j + self._run_length])
+            rng.shuffle(runs)
+            self._batches = [
+                self._batches[i] for run in runs for i in run
+            ]
         elif self._batch_ordering in ("ascending", "descending"):
             reverse = self._batch_ordering == "descending"
             self._batches = sorted(
@@ -365,7 +394,7 @@ class DynamicBatchSampler:
             yield batch
         if self._shuffle_ex:
             self._generate_batches()
-        if self._batch_ordering == "random":
+        if self._batch_ordering in ("random", "random_runs"):
             self._permute_batches()
 
     def set_epoch(self, epoch):

@@ -63,6 +63,51 @@ def test_dynamic_batch_sampler_epoch_reshuffle():
     assert flat0 == flat1
 
 
+def test_dynamic_batch_sampler_random_runs():
+    ds = _toy_dataset(60)
+    sampler = DynamicBatchSampler(
+        ds,
+        max_batch_length=20,
+        num_buckets=4,
+        shuffle=True,
+        seed=11,
+        batch_ordering="random_runs",
+        run_length=3,
+    )
+
+    def sig(batch):
+        return (
+            len(batch),
+            int(
+                np.searchsorted(
+                    sampler._bucket_boundaries,
+                    max(sampler.get_durations(batch)),
+                )
+            ),
+        )
+
+    batches = [list(b) for b in sampler]
+    # same multiset of examples as any ordering
+    assert sorted(i for b in batches for i in b) == list(range(60))
+    # runs: count signature changes; with run_length 3 there must be
+    # at most ceil(n_sig_batches/3) runs per signature
+    from collections import Counter
+
+    sigs = [sig(b) for b in batches]
+    changes = 1 + sum(1 for a, b in zip(sigs, sigs[1:]) if a != b)
+    per_sig = Counter(sigs)
+    max_runs = sum(-(-c // 3) for c in per_sig.values())
+    assert changes <= max_runs
+    # deterministic per epoch, different across epochs
+    sampler2 = DynamicBatchSampler(
+        ds, max_batch_length=20, num_buckets=4, shuffle=True, seed=11,
+        batch_ordering="random_runs", run_length=3,
+    )
+    assert [list(b) for b in sampler2] == batches
+    sampler.set_epoch(1)
+    assert [list(b) for b in sampler] != batches
+
+
 def test_bucket_boundaries_finite():
     ds = _toy_dataset(30)
     sampler = DynamicBatchSampler(
