@@ -77,7 +77,7 @@ class Fbank:
 
     def __call__(self, wav):
         stft = self.compute_STFT(wav)
-        mag = spectral_magnitude(stft, power=1) ** 2
+        mag = spectral_magnitude(stft, power=1)
         fbanks = self.compute_fbanks(mag)
         if self.deltas:
             delta1 = self.compute_deltas(fbanks)

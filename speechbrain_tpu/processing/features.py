@@ -305,24 +305,28 @@ def _overlap_add(frames, hop):
 
 
 def spectral_magnitude(stft, power=1, log=False, eps=1e-14):
-    """Magnitude (or power/log) of a (…, 2) real-imag STFT.
+    """Magnitude of a (…, 2) real-imag STFT, raised to ``power``.
+
+    Reference convention (``processing/features.py:327``): the result is
+    ``(re^2 + im^2) ** power`` — ``power=1`` is the POWER spectrogram,
+    ``power=0.5`` the magnitude spectrogram.
 
     Example
     -------
     >>> import jax.numpy as jnp
     >>> x = jnp.array([[[[3.0, 4.0]]]])
-    >>> float(spectral_magnitude(x)[0, 0, 0])
+    >>> float(spectral_magnitude(x, power=0.5)[0, 0, 0])
     5.0
     """
     stft = jnp.asarray(stft)
-    power_spec = (stft ** 2).sum(-1)
-    if power == 1:
-        mag = jnp.sqrt(jnp.maximum(power_spec, eps))
-    else:
-        mag = power_spec ** power
+    spectr = (stft ** 2).sum(-1)
+    if power < 1:
+        spectr = spectr + eps
+    if power != 1:
+        spectr = spectr ** power
     if log:
-        return jnp.log(mag + eps)
-    return mag
+        return jnp.log(spectr + eps)
+    return spectr
 
 
 class Filterbank:
@@ -422,7 +426,8 @@ def mel_filter_matrix(
         right = -slope + 1.0
         fbank = np.maximum(0.0, np.minimum(left, right))
     elif filter_shape == "rectangular":
-        fbank = ((slope > -1) & (slope < 1)).astype(np.float64)
+        # inclusive bounds (reference: all_freqs.ge(low) & .le(high))
+        fbank = ((slope >= -1) & (slope <= 1)).astype(np.float64)
     elif filter_shape == "gaussian":
         fbank = np.exp(-0.5 * (slope / 0.5) ** 2)
     else:
@@ -483,9 +488,11 @@ class Deltas:
         if multi:
             b, t, f, c = x.shape
             x = jnp.moveaxis(x, 3, 1).reshape(b * c, t, f)
-        # pad time with edge values, correlate along time
+        # pad time with edge values, cross-correlate along time
+        # (reference uses torch conv1d = cross-correlation, no kernel
+        # flip: out[t] = sum_j x[t+j] * j / denom)
         xp = jnp.pad(x, ((0, 0), (self.n, self.n), (0, 0)), mode="edge")
-        k = self.kernel[::-1]
+        k = self.kernel
         out = sum(
             xp[:, i : i + x.shape[1], :] * k[i] for i in range(len(k))
         )
@@ -514,11 +521,15 @@ class ContextWindow:
             b, t, f, c = x.shape
             x = jnp.moveaxis(x, 3, 1).reshape(b * c, t, f)
         left, right = self.left_frames, self.right_frames
-        xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="edge")
+        # zero padding + feature-major interleaving: output channel
+        # f*(l+r+1) + c holds x[t + c - l, f] (reference builds this
+        # with a grouped conv eye-kernel, processing/features.py:889)
+        xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
         pieces = [
             xp[:, i : i + x.shape[1], :] for i in range(left + right + 1)
         ]
-        out = jnp.concatenate(pieces, axis=-1)
+        out = jnp.stack(pieces, axis=-1)  # (B, T, F, C)
+        out = out.reshape(out.shape[0], out.shape[1], -1)
         if multi:
             out = jnp.moveaxis(
                 out.reshape(b, c, out.shape[1], out.shape[2]), 1, 3
@@ -527,7 +538,11 @@ class ContextWindow:
 
 
 class GlobalNormState:
-    """Running mean/variance state for InputNormalization (a pytree)."""
+    """Running mean/std state for InputNormalization (a pytree).
+
+    Mirrors the reference's ``glob_mean``/``glob_std``/``count``
+    recoverables (``processing/features.py:991,1121``).
+    """
 
     @staticmethod
     def init(dim):
@@ -535,7 +550,7 @@ class GlobalNormState:
         return {
             "count": jnp.zeros((), jnp.float32),
             "mean": jnp.zeros((dim,), jnp.float32),
-            "var": jnp.ones((dim,), jnp.float32),
+            "std": jnp.ones((dim,), jnp.float32),
         }
 
 
@@ -544,11 +559,14 @@ class InputNormalization:
 
     Functional state threading: ``__call__(x, lengths, state=None,
     epoch=0, training=True)`` returns ``y`` (and ``new_state`` when a
-    state is passed).  Global statistics accumulate masked sums; under
-    data parallelism the sums are psum'd across replicas when inside
-    shard_map/pjit (set ``axis_name``).
-
-    Parity target: reference ``processing/features.py:941``.
+    state is passed).  Semantics mirror the reference exactly
+    (``processing/features.py:941``): per-sentence stats over the
+    unpadded frames with Bessel-corrected std; ``batch``/``global``
+    modes average the per-sentence stats; ``global`` keeps a running
+    average with weight ``1/(count+1)`` (or ``avg_factor``) per
+    training batch, frozen after ``update_until_epoch``.  Under data
+    parallelism the per-batch stats are pmean'd across replicas when
+    inside shard_map/pjit (set ``axis_name``).
     """
 
     def __init__(
@@ -557,6 +575,7 @@ class InputNormalization:
         std_norm=True,
         norm_type="global",
         update_until_epoch=3,
+        avg_factor=None,
         avoid_padding_norm=True,
         epsilon=1e-10,
         axis_name=None,
@@ -573,66 +592,77 @@ class InputNormalization:
         self.std_norm = std_norm
         self.norm_type = norm_type
         self.update_until_epoch = update_until_epoch
+        self.avg_factor = avg_factor
         self.avoid_padding_norm = avoid_padding_norm
         self.epsilon = epsilon
         self.axis_name = axis_name
 
+    def _sentence_stats(self, x, lengths):
+        """Per-sentence masked mean + Bessel-corrected std.
+
+        Matches the reference's ``_compute_current_stats``
+        (``processing/features.py:1120``): stats over the unpadded
+        frames (``round(len * T)``), ``torch.std`` (ddof=1), std
+        clamped to ``eps``.
+        """
+        T = x.shape[1]
+        n = jnp.round(lengths * T)  # (B,)
+        mask = (
+            jnp.arange(T)[None, :] < n[:, None]
+        ).astype(x.dtype)[..., None]
+        denom = jnp.maximum(n, 1.0)[:, None]
+        true_mean = (x * mask).sum(axis=1) / denom  # (B, F)
+        # std is always computed around the true mean (torch.std), even
+        # when mean_norm=False
+        centered = (x - true_mean[:, None, :]) * mask
+        ss = (centered ** 2).sum(axis=1)
+        std = jnp.sqrt(ss / jnp.maximum(n - 1.0, 1.0)[:, None])
+        mean = true_mean if self.mean_norm else jnp.zeros_like(true_mean)
+        if not self.std_norm:
+            std = jnp.ones_like(std)
+        std = jnp.maximum(std, self.epsilon)
+        return mean, std
+
     def __call__(self, x, lengths, state=None, epoch=0, training=True):
         x = jnp.asarray(x)
         lengths = jnp.asarray(lengths)
-        T = x.shape[1]
-        abs_len = lengths * T
-        mask = (
-            jnp.arange(T)[None, :] < abs_len[:, None]
-        ).astype(x.dtype)[..., None]
+        mean, std = self._sentence_stats(x, lengths)
 
         if self.norm_type == "sentence":
-            denom = jnp.maximum(mask.sum(axis=1), 1.0)
-            mean = (x * mask).sum(axis=1) / denom
-            var = ((x - mean[:, None, :]) ** 2 * mask).sum(axis=1) / denom
-            y = x
-            if self.mean_norm:
-                y = y - mean[:, None, :]
-            if self.std_norm:
-                y = y / jnp.sqrt(var[:, None, :] + self.epsilon)
+            y = (x - mean[:, None, :]) / std[:, None, :]
             return (y, state) if state is not None else y
+
+        # batch/global: reference averages the PER-SENTENCE stats
+        # (mean of means, mean of stds — processing/features.py:1083).
+        cur_mean = mean.mean(axis=0)
+        cur_std = std.mean(axis=0)
+        if self.axis_name is not None:
+            cur_mean = jax.lax.pmean(cur_mean, self.axis_name)
+            cur_std = jax.lax.pmean(cur_std, self.axis_name)
 
         if self.norm_type == "batch":
-            denom = jnp.maximum(mask.sum(), 1.0)
-            mean = (x * mask).sum(axis=(0, 1)) / denom
-            var = ((x - mean) ** 2 * mask).sum(axis=(0, 1)) / denom
-            y = x
-            if self.mean_norm:
-                y = y - mean
-            if self.std_norm:
-                y = y / jnp.sqrt(var + self.epsilon)
+            y = (x - cur_mean) / cur_std
             return (y, state) if state is not None else y
 
-        # global
+        # global: running average over batches with weight 1/(count+1),
+        # initialized from the first batch, frozen after
+        # update_until_epoch; count increments on every training batch
+        # (processing/features.py:1086-1117).
         if state is None:
             raise ValueError("global norm requires a state pytree")
-        count = mask.sum()
-        s1 = (x * mask).sum(axis=(0, 1))
-        s2 = (x ** 2 * mask).sum(axis=(0, 1))
-        if self.axis_name is not None:
-            count = jax.lax.psum(count, self.axis_name)
-            s1 = jax.lax.psum(s1, self.axis_name)
-            s2 = jax.lax.psum(s2, self.axis_name)
-        do_update = jnp.asarray(
-            training and (epoch < self.update_until_epoch), jnp.float32
-        )
-        new_count = state["count"] + do_update * count
-        batch_mean = s1 / jnp.maximum(count, 1.0)
-        batch_var = s2 / jnp.maximum(count, 1.0) - batch_mean ** 2
-        w = do_update * count / jnp.maximum(new_count, 1.0)
-        new_mean = state["mean"] + w * (batch_mean - state["mean"])
-        new_var = state["var"] + w * (batch_var - state["var"])
-        new_state = {"count": new_count, "mean": new_mean, "var": new_var}
-        use_mean = jnp.where(state["count"] > 0, new_mean, batch_mean)
-        use_var = jnp.where(state["count"] > 0, new_var, batch_var)
-        y = x
-        if self.mean_norm:
-            y = y - use_mean
-        if self.std_norm:
-            y = y / jnp.sqrt(jnp.maximum(use_var, self.epsilon))
+        training = jnp.asarray(training, jnp.float32)
+        is_first = (state["count"] == 0).astype(jnp.float32)
+        in_window = jnp.asarray(epoch < self.update_until_epoch, jnp.float32)
+        if self.avg_factor is None:
+            w = 1.0 / (state["count"] + 1.0)
+        else:
+            w = jnp.asarray(self.avg_factor, jnp.float32)
+        # blend factor: 1 on the first training batch, w inside the
+        # update window, 0 otherwise / at eval
+        blend = training * jnp.where(is_first > 0, 1.0, in_window * w)
+        new_mean = (1.0 - blend) * state["mean"] + blend * cur_mean
+        new_std = (1.0 - blend) * state["std"] + blend * cur_std
+        new_count = state["count"] + training
+        new_state = {"count": new_count, "mean": new_mean, "std": new_std}
+        y = (x - new_mean) / new_std
         return y, new_state
