@@ -53,9 +53,7 @@ class Separation(sb.Brain):
         targets = targets.reshape(B, T * C, S)
         est = predictions.reshape(B, T * C, S)
         mask = batch["batch_mask"]
-        per_ex = get_si_snr_with_pitwrapper(
-            targets, est, reduction="none"
-        )
+        per_ex = get_si_snr_with_pitwrapper(targets, est)
         per_ex = jnp.minimum(per_ex, self.hparams.loss_upper_lim)
         return (per_ex * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 

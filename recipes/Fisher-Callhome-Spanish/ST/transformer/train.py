@@ -83,6 +83,7 @@ class ST(sb.Brain):
             batch["trans_tokens_eos"],
             length=batch["trans_tokens_eos_lens"] * mask,
             label_smoothing=self.hparams.label_smoothing,
+            reduction="batchmean",
         )
         loss = (1 - self.hparams.asr_weight) * loss_st
         if ctc_logp is not None:
@@ -94,7 +95,8 @@ class ST(sb.Brain):
                 batch["sig_lens"] * mask,
                 batch["src_tokens_lens"] * mask,
                 blank_index=self.hparams.blank_index,
-            )
+                        reduction="batchmean",
+        )
         if asr_logp is not None:
             loss = loss + (
                 self.hparams.asr_weight * (1 - self.hparams.ctc_weight)
@@ -103,7 +105,8 @@ class ST(sb.Brain):
                 batch["src_tokens_eos"],
                 length=batch["src_tokens_eos_lens"] * mask,
                 label_smoothing=self.hparams.label_smoothing,
-            )
+                        reduction="batchmean",
+        )
         if stage != Stage.TRAIN and hasattr(self, "bleu_metric"):
             real = int(np.asarray(mask).sum())
             hyp_ids = np.asarray(st_logp).argmax(-1)[:real]

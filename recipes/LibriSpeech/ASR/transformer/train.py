@@ -75,12 +75,14 @@ class ASR(sb.Brain):
             batch["sig_lens"] * mask,
             batch["tokens_lens"] * mask,
             blank_index=self.hparams.blank_index,
+            reduction="batchmean",
         )
         loss_seq = kldiv_loss(
             seq_logp,
             batch["tokens_eos"],
             length=batch["tokens_eos_lens"] * mask,
             label_smoothing=self.hparams.label_smoothing,
+            reduction="batchmean",
         )
         loss = (
             self.hparams.ctc_weight * loss_ctc

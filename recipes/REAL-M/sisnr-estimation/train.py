@@ -52,8 +52,11 @@ class SISNREstimator(sb.Brain):
         est = self._degrade(
             targets, mix, self._bound_rngs["augment"]
         )
-        # Oracle SI-SNR per (example, source), in dB.
-        snr = cal_si_snr(targets, est)  # (B, S)
+        # Oracle SI-SNR per (example, source), in dB.  cal_si_snr is
+        # reference-layout: (T, B, S) in, negative si-snr (1, B, S) out.
+        snr = -cal_si_snr(
+            jnp.moveaxis(targets, 1, 0), jnp.moveaxis(est, 1, 0)
+        )[0]  # (B, S)
         snr_compressed = jnp.clip(
             (snr - self.hparams.snr_low)
             / (self.hparams.snr_high - self.hparams.snr_low),

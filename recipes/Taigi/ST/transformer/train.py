@@ -72,6 +72,7 @@ class ST(sb.Brain):
             batch["tokens_eos"],
             length=batch["tokens_eos_lens"] * mask,
             label_smoothing=self.hparams.label_smoothing,
+            reduction="batchmean",
         )
         if stage == Stage.TRAIN or not hasattr(self, "bleu_metric"):
             return loss

@@ -41,9 +41,7 @@ class Separation(sb.Brain):
         ]
         targets = jnp.stack(sources, axis=-1)
         mask = batch["batch_mask"]
-        per_ex = get_si_snr_with_pitwrapper(
-            targets, predictions, reduction="none"
-        )
+        per_ex = get_si_snr_with_pitwrapper(targets, predictions)
         per_ex = jnp.minimum(per_ex, self.hparams.loss_upper_lim)
         return (per_ex * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 

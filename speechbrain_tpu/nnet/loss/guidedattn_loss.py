@@ -41,4 +41,6 @@ class GuidedAttentionLoss:
         )
         mask = (n < tg_len) & (t < in_len)
         losses = attention * jnp.where(mask, w, 0.0)
-        return losses.sum() / jnp.maximum(mask.sum(), 1.0)
+        # reference reduces with a PLAIN mean over all (B, T_dec, T_enc)
+        # entries, padding included (guidedattn_loss.py:114)
+        return losses.mean()

@@ -124,6 +124,10 @@ def ctc_loss(
     elif reduction == "batchmean":
         return per_seq.mean()
     elif reduction == "batch":
+        # per-sequence loss normalized by its own target length
+        # (reference nnet/losses.py:291)
+        return per_seq / jnp.maximum(target_lengths, 1)
+    elif reduction == "none":
         return per_seq
     elif reduction == "sum":
         return per_seq.sum()
@@ -267,28 +271,37 @@ def kldiv_loss(
     log_probabilities = jnp.asarray(log_probabilities)
     targets = jnp.asarray(targets, jnp.int32)
     if label_smoothing > 0:
+        if log_probabilities.ndim == 2:
+            log_probabilities = log_probabilities[:, None, :]
         C = log_probabilities.shape[-1]
         confidence = 1.0 - label_smoothing
-        true_dist = jnp.full(
-            log_probabilities.shape, label_smoothing / (C - 1)
+        fill = label_smoothing / (C - 1)
+        onehot = jax.nn.one_hot(targets, C, dtype=bool)
+        true_dist = jnp.where(onehot, confidence, fill)
+        # torch kl_div elementwise: p * (log p - log q), with 0 log 0 = 0
+        log_true = jnp.where(
+            true_dist > 0, jnp.log(jnp.where(true_dist > 0, true_dist, 1.0)), 0.0
         )
-        true_dist = jnp.where(
-            jax.nn.one_hot(targets, C, dtype=bool), confidence, true_dist
-        )
-        per = -(true_dist * log_probabilities).sum(-1)
+        per = (true_dist * (log_true - log_probabilities)).sum(-1)
         mask_pad = (targets != pad_idx).astype(per.dtype)
         per = per * mask_pad
-        B, T = per.shape
         if length is not None:
-            m = _sequence_mask(length, T, per.dtype)
-            per = per * m
+            # identical to the reference on real data (padded targets
+            # are pad_idx there); additionally zeroes our bucketed
+            # dummy rows, whose lengths arrive as 0
+            per = per * _sequence_mask(length, per.shape[1], per.dtype)
+        B = per.shape[0]
         if reduction == "mean":
-            return per.sum() / jnp.maximum(mask_pad.sum(), 1.0)
+            # reference 'mean' is loss.sum().mean() == a GLOBAL SUM
+            # (nnet/losses.py:584); recipes use 'batchmean'
+            return per.sum()
         if reduction == "batchmean":
             return per.sum() / B
+        if reduction == "batch":
+            return per.reshape(B, -1).sum(1) / jnp.asarray(length)
         if reduction == "sum":
             return per.sum()
-        return per.sum(1)
+        return per
     return nll_loss(
         log_probabilities, targets, length, reduction=reduction
     )
@@ -315,75 +328,112 @@ def classification_error(probabilities, targets, length=None, reduction="mean"):
 # ---------------------------------------------------------------------------
 
 class PitWrapper:
-    """Permutation-invariant training wrapper.
+    """Permutation-invariant training wrapper (reference
+    ``nnet/losses.py:88``).
 
-    Evaluates the base loss under all source permutations (vmapped —
-    fine for <=4 sources) and takes the best per example.
+    The base loss is evaluated ONCE on an all-pairs broadcast: for each
+    example, ``pred`` is expanded to (..., n_sources, n_sources) along a
+    new second-to-last axis and ``target`` along the last, so
+    ``base_loss`` must perform no reduction (reference requirement).
+    The pairwise matrix is averaged over leading dims and each
+    permutation's diagonal selection scored; the best is returned.
+
+    Returns ``(loss, perms)`` with ``loss`` of shape (batch,) and
+    ``perms`` an int array (batch, n_sources): ``perms[b]`` reorders the
+    last axis of the predictions into target order (use
+    ``reorder_tensor``).  An array (not tuples) so the wrapper is
+    jit-traceable; index or ``tolist()`` it on the host for the
+    reference's list-of-tuples view.
 
     Example
     -------
     >>> import jax.numpy as jnp
-    >>> pit = PitWrapper(lambda p, t: ((p - t) ** 2).mean(axis=1))
-    >>> preds = jnp.ones((2, 10, 2))
-    >>> tgts = preds[..., ::-1]
+    >>> pit = PitWrapper(lambda p, t: (p - t) ** 2)
+    >>> tgts = jnp.asarray([[[1.0, 2.0], [3.0, 4.0]]])  # (1, 2, 2)
+    >>> preds = tgts[..., ::-1]
     >>> loss, perms = pit(preds, tgts)
-    >>> float(loss.sum())
-    0.0
+    >>> float(loss.sum()), perms.tolist()
+    (0.0, [[1, 0]])
     """
 
     def __init__(self, base_loss):
-        # base_loss(pred, target) -> per-source loss (..., n_sources) or
-        # scalar per pair; we call it per permuted pair and mean.
         self.base_loss = base_loss
+
+    def _loss_mat(self, pred, target):
+        """Per-example pairwise loss matrix (n_sources, n_sources):
+        entry (i, j) is base_loss(pred[..., j], target[..., i])."""
+        n = pred.shape[-1]
+        pred_b = jnp.broadcast_to(
+            pred[..., None, :], pred.shape[:-1] + (n, n)
+        )
+        tgt_b = jnp.broadcast_to(
+            target[..., :, None], target.shape[:-1] + (n, n)
+        )
+        mat = self.base_loss(pred_b, tgt_b)
+        # mean over all leading dims, keep the trailing (n, n)
+        return mat.reshape((-1, n, n)).mean(axis=0)
 
     def __call__(self, preds, targets):
         import itertools
 
-        n_sources = preds.shape[-1]
-        perms = list(itertools.permutations(range(n_sources)))
-        losses = []
-        for perm in perms:
-            permuted = targets[..., jnp.asarray(perm)]
-            per_pair = self.base_loss(preds, permuted)
-            # reduce everything but batch
-            while per_pair.ndim > 1:
-                per_pair = per_pair.mean(axis=-1)
-            losses.append(per_pair)
-        stacked = jnp.stack(losses, axis=-1)  # (B, n_perms)
-        best = stacked.argmin(axis=-1)
-        loss = stacked.min(axis=-1)
-        return loss, best
+        n = preds.shape[-1]
+        perms = jnp.asarray(
+            list(itertools.permutations(range(n))), jnp.int32
+        )  # (n!, n)
+
+        def per_example(pred, target):
+            mat = self._loss_mat(pred, target)  # (n, n)
+            # score perm p: mean_i mat[i, p[i]]
+            scores = mat[jnp.arange(n)[None, :], perms].mean(axis=-1)
+            best = jnp.argmin(scores)
+            return scores[best], perms[best]
+
+        return jax.vmap(per_example)(preds, targets)
+
+    def reorder_tensor(self, tensor, p):
+        """Reorder the trailing source axis per example with the
+        permutations from ``__call__`` (reference ``nnet/losses.py:191``)."""
+        p = jnp.asarray(p, jnp.int32)  # (B, n)
+        idx = p.reshape(p.shape[0:1] + (1,) * (tensor.ndim - 2) + p.shape[1:2])
+        return jnp.take_along_axis(tensor, idx, axis=-1)
 
 
 def cal_si_snr(source, estimate_source):
-    """Scale-invariant SNR in dB; inputs (T, B, C) or (B, T, C).
+    """NEGATIVE scale-invariant SNR in dB, PitWrapper-compatible layout.
 
-    Uses the (B, T, C) convention here.
+    Reference-exact (``nnet/losses.py:735``): inputs (T, B, C) — time
+    first — returning ``-si_snr`` with a leading singleton: (1, B, C).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> x = jnp.asarray([[1.0, 0], [123, 45], [34, 5], [2312, 421]])
+    >>> xhat = x[:, (1, 0)]
+    >>> x = jnp.repeat(x[:, :, None], 2, axis=2)
+    >>> xhat = jnp.repeat(xhat[:, None, :], 2, axis=1)
+    >>> (-cal_si_snr(x, xhat))[0, 0, 0].round(4)
+    Array(25.2142, dtype=float32)
     """
     source = jnp.asarray(source)
     estimate_source = jnp.asarray(estimate_source)
     eps = 1e-8
-    s = source - source.mean(axis=1, keepdims=True)
-    s_hat = estimate_source - estimate_source.mean(axis=1, keepdims=True)
-    dot = (s_hat * s).sum(axis=1, keepdims=True)
-    s_norm = (s ** 2).sum(axis=1, keepdims=True) + eps
-    proj = dot * s / s_norm
+    s = source - source.mean(axis=0, keepdims=True)
+    s_hat = estimate_source - estimate_source.mean(axis=0, keepdims=True)
+    dot = (s_hat * s).sum(axis=0, keepdims=True)
+    s_energy = (s ** 2).sum(axis=0, keepdims=True) + eps
+    proj = dot * s / s_energy
     e_noise = s_hat - proj
-    ratio = (proj ** 2).sum(axis=1) / ((e_noise ** 2).sum(axis=1) + eps)
-    return 10 * jnp.log10(ratio + eps)
+    ratio = (proj ** 2).sum(axis=0) / ((e_noise ** 2).sum(axis=0) + eps)
+    si_snr = 10 * jnp.log10(ratio + eps)
+    return -si_snr[None]
 
 
-def get_si_snr_with_pitwrapper(source, estimate_source, reduction="mean"):
-    """PIT-wrapped negative SI-SNR loss (B, T, C).
-
-    ``reduction``: "mean" (default) or "none" for per-example losses
-    (lets callers weight out padded batch rows).
-    """
-    pit = PitWrapper(lambda p, t: -cal_si_snr(t, p))
-    loss, perms = pit(estimate_source, source)
-    if reduction == "none":
-        return loss
-    return loss.mean()
+def get_si_snr_with_pitwrapper(source, estimate_source):
+    """PIT-wrapped negative SI-SNR loss; inputs (B, T, C), returns the
+    per-example loss (B,) (reference ``nnet/losses.py:690``)."""
+    pit = PitWrapper(cal_si_snr)
+    loss, _perms = pit(source, estimate_source)
+    return loss
 
 
 # ---------------------------------------------------------------------------

@@ -43,8 +43,7 @@ class SepBrain(Brain):
 
     def compute_objectives(self, predictions, batch, stage):
         targets = jnp.stack([batch["s1"], batch["s2"]], axis=-1)
-        pit = PitWrapper(lambda p, t: -cal_si_snr(t, p))
-        per_example, _ = pit(predictions, targets)
+        per_example = get_si_snr_with_pitwrapper(targets, predictions)
         mask = batch["batch_mask"]  # zero out dummy rows
         return (per_example * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
@@ -101,6 +100,5 @@ def test_separated_sources_match(trained):
     )
     est = brain.compute_forward(db, Stage.TEST)
     targets = jnp.stack([db["s1"], db["s2"]], axis=-1)
-    pit = PitWrapper(lambda p, t: -cal_si_snr(t, p))
-    loss, _ = pit(est[: len(batch)], targets[: len(batch)])
+    loss = get_si_snr_with_pitwrapper(targets[: len(batch)], est[: len(batch)])
     assert float(loss.mean()) < -5.0

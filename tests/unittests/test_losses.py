@@ -107,8 +107,8 @@ def test_transducer_loss_runs():
 
 
 def test_si_snr_perfect():
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 100, 2)))
-    snr = cal_si_snr(x, x)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(100, 2, 2)))
+    snr = -cal_si_snr(x, x)  # reference layout (T, B, C); negated output
     assert float(snr.min()) > 50.0
 
 
@@ -117,7 +117,7 @@ def test_pit_finds_permutation():
     a = jnp.asarray(rng.normal(size=(2, 50, 2)))
     swapped = a[..., ::-1]
     loss = get_si_snr_with_pitwrapper(a, swapped)
-    assert float(loss) < -50.0  # negative SI-SNR, perfect after permuting
+    assert float(loss.mean()) < -50.0  # negative SI-SNR, perfect after permuting
 
 
 def test_angular_margin():
