@@ -177,12 +177,15 @@ class CTCPrefixScorer:
             :, :, None
         ]  # (T, n, 1)
 
-        # t=0: r_nb[0] = x[0, c] if prefix empty else -inf;
-        # empty prefix detected via step==0
-        if state["step"] == 0:
-            r_nb0 = xc[0]
-        else:
-            r_nb0 = jnp.full((n, width), self.minus_inf)
+        # Reference convention (ctc.py:190-192): the prefix INCLUDES the
+        # bos token, so prefix_length = step + 1 and the time recursion
+        # starts at start = max(1, prefix_length) — each emitted symbol
+        # consumes at least one frame, and a frame-0 emission for the
+        # first real character is excluded (r[0] stays -inf because
+        # prefix_length is never 0 in the searcher).
+        prefix_length = state["step"] + 1
+        start = jnp.maximum(1, jnp.asarray(prefix_length, jnp.int32))
+        r_nb0 = jnp.full((n, width), self.minus_inf)
         psi_init_0 = jnp.full((n, width), self.minus_inf)
         r_b0 = jnp.full((n, width), self.minus_inf)
 
@@ -200,10 +203,8 @@ class CTCPrefixScorer:
                 attn = attn[:, -1, :]
             attn_peak = jnp.argmax(attn, axis=-1)  # (n,)
             win_lo = jnp.maximum(
-                jnp.max(jnp.asarray(state["step"], jnp.int32)),
-                jnp.min(attn_peak) - self.ctc_window_size,
+                start, jnp.min(attn_peak) - self.ctc_window_size
             )
-            win_lo = jnp.maximum(win_lo, 1)
             win_hi = jnp.minimum(
                 self.T, jnp.max(attn_peak) + self.ctc_window_size
             )
@@ -214,6 +215,11 @@ class CTCPrefixScorer:
             r_nb = jnp.logaddexp(r_nb_prev, phi_tm1) + x_t
             r_b = jnp.logaddexp(r_nb_prev, r_b_prev) + xb_t
             psi_new = jnp.logaddexp(psi_acc, phi_tm1 + x_t)
+            # frames before the recursion start stay -inf / unscored
+            before = t < start
+            r_nb = jnp.where(before, self.minus_inf, r_nb)
+            r_b = jnp.where(before, self.minus_inf, r_b)
+            psi_new = jnp.where(before, psi_acc, psi_new)
             if win_lo is not None:
                 inside = (t >= win_lo) & (t < win_hi)
                 r_nb = jnp.where(inside, r_nb, self.minus_inf)

@@ -29,17 +29,20 @@ __all__ = [
 ]
 
 
-def _pad_1d(x, kernel_size, dilation, stride, padding):
-    """Apply reference-style padding to (batch, time, ch)."""
+def _pad_1d(x, kernel_size, dilation, stride, padding, padding_mode="reflect"):
+    """Apply reference-exact padding to (batch, time, ch).
+
+    "same" pads symmetrically by ``get_padding_elem`` (reference
+    ``nnet/CNN.py:279,1459``: floor(d*(k-1)/2) each side for stride 1,
+    floor(k/2) for stride > 1) in ``padding_mode`` — the reference
+    default is REFLECT, not zeros.  "causal" zero-pads on the left.
+    """
     if padding == "same":
-        # Output length == ceil(input / stride), torch-"same" for stride 1.
-        L = x.shape[1]
-        eff_k = (kernel_size - 1) * dilation + 1
-        out_len = -(-L // stride)
-        total = max(0, (out_len - 1) * stride + eff_k - L)
-        left = total // 2
-        right = total - left
-        return jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+        left, right = get_padding_elem(
+            x.shape[1], stride, kernel_size, dilation
+        )
+        mode = "reflect" if padding_mode == "reflect" else "constant"
+        return jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode=mode)
     if padding == "causal":
         left = (kernel_size - 1) * dilation
         return jnp.pad(x, ((0, 0), (left, 0), (0, 0)))
@@ -78,13 +81,17 @@ class Conv1d(nn.Module):
     groups: int = 1
     bias: bool = True
     weight_norm: bool = False
+    padding_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, x):
         unsqueezed = x.ndim == 2
         if unsqueezed:
             x = x[..., None]
-        x = _pad_1d(x, self.kernel_size, self.dilation, self.stride, self.padding)
+        x = _pad_1d(
+            x, self.kernel_size, self.dilation, self.stride,
+            self.padding, self.padding_mode,
+        )
         y = nn.Conv(
             features=self.out_channels,
             kernel_size=(self.kernel_size,),
@@ -120,6 +127,7 @@ class Conv2d(nn.Module):
     padding: str = "same"
     bias: bool = True
     groups: int = 1
+    padding_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, x):
@@ -138,7 +146,7 @@ class Conv2d(nn.Module):
             else (self.dilation, self.dilation)
         )
         if self.padding == "same":
-            x = _pad2d_same(x, kh, kw, sh, sw, dh, dw)
+            x = _pad2d_same(x, kh, kw, sh, sw, dh, dw, self.padding_mode)
             pad = "VALID"
         elif self.padding == "causal":
             left = (kh - 1) * dh
@@ -159,22 +167,21 @@ class Conv2d(nn.Module):
         return y
 
 
-def _pad2d_same(x, kh, kw, sh, sw, dh, dw):
-    H, W = x.shape[1], x.shape[2]
-    eff_kh = (kh - 1) * dh + 1
-    eff_kw = (kw - 1) * dw + 1
-    out_h = -(-H // sh)
-    out_w = -(-W // sw)
-    tot_h = max(0, (out_h - 1) * sh + eff_kh - H)
-    tot_w = max(0, (out_w - 1) * sw + eff_kw - W)
+def _pad2d_same(x, kh, kw, sh, sw, dh, dw, padding_mode="reflect"):
+    """Reference-exact 2d "same": symmetric get_padding_elem amounts per
+    axis, reflect by default (reference ``nnet/CNN.py:658-690``)."""
+    ph = get_padding_elem(x.shape[1], sh, kh, dh)
+    pw = get_padding_elem(x.shape[2], sw, kw, dw)
+    mode = "reflect" if padding_mode == "reflect" else "constant"
     return jnp.pad(
         x,
         (
             (0, 0),
-            (tot_h // 2, tot_h - tot_h // 2),
-            (tot_w // 2, tot_w - tot_w // 2),
+            (ph[0], ph[1]),
+            (pw[0], pw[1]),
             (0, 0),
         ),
+        mode=mode,
     )
 
 
@@ -274,6 +281,7 @@ class SincConv(nn.Module):
     sample_rate: int = 16000
     min_low_hz: float = 50.0
     min_band_hz: float = 50.0
+    padding_mode: str = "reflect"
 
     @nn.compact
     def __call__(self, x):
@@ -342,7 +350,10 @@ class SincConv(nn.Module):
         filters = jnp.broadcast_to(
             filters, (self.kernel_size, in_ch, self.out_channels)
         ).astype(x.dtype)
-        x = _pad_1d(x, self.kernel_size, self.dilation, self.stride, self.padding)
+        x = _pad_1d(
+            x, self.kernel_size, self.dilation, self.stride,
+            self.padding, self.padding_mode,
+        )
         return jax.lax.conv_general_dilated(
             x,
             filters,
@@ -368,6 +379,7 @@ class GaborConv1d(nn.Module):
     min_freq: float = 60.0
     max_freq: float | None = None
     sort_filters: bool = False
+    padding_mode: str = "constant"  # reference GaborConv1d default
 
     @nn.compact
     def __call__(self, x):
@@ -415,7 +427,10 @@ class GaborConv1d(nn.Module):
         hio = filters.T[:, None, :].astype(x.dtype)  # (K, 1, out)
         in_ch = x.shape[-1]
         hio = jnp.broadcast_to(hio, (self.kernel_size, in_ch, hio.shape[-1]))
-        x = _pad_1d(x, self.kernel_size, 1, self.stride, self.padding)
+        x = _pad_1d(
+            x, self.kernel_size, 1, self.stride,
+            self.padding, self.padding_mode,
+        )
         return jax.lax.conv_general_dilated(
             x,
             hio,
@@ -505,7 +520,7 @@ class Conv2dWithConstraint(nn.Module):
         sh, sw = self.stride
         dh, dw = self.dilation
         if self.padding == "same":
-            y = _pad2d_same(x, kh, kw, sh, sw, dh, dw)
+            y = _pad2d_same(x, kh, kw, sh, sw, dh, dw, self.padding_mode)
             pad = "VALID"
         elif self.padding == "valid":
             y, pad = x, "VALID"

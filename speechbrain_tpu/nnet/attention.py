@@ -176,7 +176,12 @@ class RelPosEncXL(nn.Module):
 
     def __call__(self, x):
         T = x.shape[1]
-        pos = jnp.arange(T - 1, -T, -1, dtype=jnp.float32)[:, None]
+        # reference quirk (nnet/attention.py:349-353): the FUTURE half
+        # reuses sin(+p) ("same for past and future"), so the encoding
+        # is symmetric in the relative distance: sin(|r|), cos(|r|)
+        pos = jnp.abs(
+            jnp.arange(T - 1, -T, -1, dtype=jnp.float32)
+        )[:, None]
         div = jnp.exp(
             jnp.arange(0, self.emb_dim, 2, dtype=jnp.float32)
             * -(math.log(10000.0) / self.emb_dim)
@@ -245,9 +250,16 @@ class RelPosMHAXL(nn.Module):
         d_head = self.embed_dim // self.num_heads
         B, T_q = query.shape[0], query.shape[1]
         T_k = key.shape[1]
-        q = nn.Dense(self.embed_dim, name="q_proj", dtype=query.dtype)(query)
-        k = nn.Dense(self.embed_dim, name="k_proj", dtype=query.dtype)(key)
-        v = nn.Dense(self.embed_dim, name="v_proj", dtype=query.dtype)(value)
+        # reference packs q/k/v into one bias-free in_proj (attention.py:426)
+        q = nn.Dense(
+            self.embed_dim, use_bias=False, name="q_proj", dtype=query.dtype
+        )(query)
+        k = nn.Dense(
+            self.embed_dim, use_bias=False, name="k_proj", dtype=query.dtype
+        )(key)
+        v = nn.Dense(
+            self.embed_dim, use_bias=False, name="v_proj", dtype=query.dtype
+        )(value)
         p = nn.Dense(self.embed_dim, use_bias=False, name="pos_proj", dtype=query.dtype)(
             pos_embs
         )
@@ -276,7 +288,9 @@ class RelPosMHAXL(nn.Module):
             "bqhd,zlhd->bhql", q + pos_bias_v[None, None], p
         )
         pos_score = _rel_shift(pos_score)
-        scores = (content_score + pos_score) / math.sqrt(d_head)
+        # reference scales by 1/sqrt(embed_dim), NOT per-head dim
+        # (attention.py:453: self.scale = 1/math.sqrt(self.embed_dim))
+        scores = (content_score + pos_score) / math.sqrt(self.embed_dim)
         if attn_mask is not None:
             scores = jnp.where(attn_mask[None, None], NEG_FILL, scores)
         if key_padding_mask is not None:

@@ -127,23 +127,43 @@ class StatisticsPooling(nn.Module):
     return_std: bool = True
     eps: float = 1e-5
 
-    def __call__(self, x, lengths=None):
+    def __call__(self, x, lengths=None, rng=None):
+        # NaN-grad guard: sqrt'(0) = inf, and bucketed dummy rows are
+        # constant signals with exactly-zero variance; the max() floor
+        # changes the forward value by <=1e-10 and zeroes the gradient
+        # there instead (torch has the same hazard but no dummy rows).
+        tiny = 1e-20
         if lengths is None:
             mean = x.mean(axis=1)
-            std = x.std(axis=1)
+            # torch.std: Bessel-corrected
+            var = ((x - mean[:, None, :]) ** 2).sum(axis=1) / max(
+                x.shape[1] - 1, 1
+            )
+            std = jnp.sqrt(jnp.maximum(var, tiny))
         else:
             T = x.shape[1]
+            n = jnp.round(jnp.asarray(lengths) * T)
             mask = (
-                jnp.arange(T)[None, :] < (jnp.asarray(lengths) * T)[:, None]
+                jnp.arange(T)[None, :] < n[:, None]
             ).astype(x.dtype)[..., None]
-            denom = jnp.maximum(mask.sum(axis=1), 1.0)
+            denom = jnp.maximum(n, 1.0)[:, None]
             mean = (x * mask).sum(axis=1) / denom
-            var = ((x - mean[:, None, :]) ** 2 * mask).sum(axis=1) / denom
-            std = jnp.sqrt(var + self.eps)
+            ss = ((x - mean[:, None, :]) ** 2 * mask).sum(axis=1)
+            std = jnp.sqrt(
+                jnp.maximum(ss, tiny) / jnp.maximum(n - 1.0, 1.0)[:, None]
+            )
         outs = []
         if self.return_mean:
+            if rng is not None:
+                # reference adds [eps, 9*eps] min-max-normalized noise
+                # to the mean (nnet/pooling.py:309,327-340)
+                g = jax.random.normal(rng, mean.shape, mean.dtype)
+                g = g - g.min()
+                g = g / jnp.maximum(g.max(), 1e-20)
+                mean = mean + self.eps * ((1 - 9) * g + 9)
             outs.append(mean)
         if self.return_std:
+            std = std + self.eps
             outs.append(std)
         return jnp.concatenate(outs, axis=-1)[:, None, :]
 

@@ -616,12 +616,18 @@ class InputNormalization:
         # when mean_norm=False
         centered = (x - true_mean[:, None, :]) * mask
         ss = (centered ** 2).sum(axis=1)
-        std = jnp.sqrt(ss / jnp.maximum(n - 1.0, 1.0)[:, None])
+        # max() floor avoids sqrt'(0)=inf NaN grads on constant rows
+        std = jnp.sqrt(
+            jnp.maximum(ss, 1e-20) / jnp.maximum(n - 1.0, 1.0)[:, None]
+        )
         mean = true_mean if self.mean_norm else jnp.zeros_like(true_mean)
         if not self.std_norm:
             std = jnp.ones_like(std)
         std = jnp.maximum(std, self.epsilon)
-        return mean, std
+        # the reference DETACHES the stats (.detach().data,
+        # processing/features.py:1131): normalization is not
+        # differentiated through mean/std
+        return jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
 
     def __call__(self, x, lengths, state=None, epoch=0, training=True):
         x = jnp.asarray(x)

@@ -28,27 +28,41 @@ def test_greedy_ctc_decode():
     assert ctc_greedy_decode(probs, jnp.ones(1), blank_id=0) == [[1, 2]]
 
 
-def _brute_force_ctc_logprob(lp, target, blank):
-    """Total log P(target | x) by enumerating alignments."""
+def _brute_force_ctc_logprob(lp, target, blank, min_start=False):
+    """Total log P(target | x) by enumerating alignments.
+
+    With ``min_start=True``, only count alignments where the k-th target
+    symbol (1-indexed) is first emitted at frame >= k — the reference
+    CTCPrefixScorer's convention (decoders/ctc.py:190: the recursion for
+    the k-th expansion starts at frame max(1, prefix_length) with the
+    bos counted in prefix_length), which excludes the earliest-frame
+    paths from the score.
+    """
     import itertools
 
     T, V = lp.shape
     total = -np.inf
     for alignment in itertools.product(range(V), repeat=T):
-        collapsed = [
-            v
-            for i, v in enumerate(alignment)
-            if (i == 0 or v != alignment[i - 1]) and v != blank
-        ]
-        if collapsed == list(target):
-            total = np.logaddexp(
-                total, sum(lp[t, c] for t, c in enumerate(alignment))
-            )
+        collapsed = []
+        first_frames = []
+        for i, v in enumerate(alignment):
+            if (i == 0 or v != alignment[i - 1]) and v != blank:
+                collapsed.append(v)
+                first_frames.append(i)
+        if collapsed != list(target):
+            continue
+        if min_start and any(
+            frame < k + 1 for k, frame in enumerate(first_frames)
+        ):
+            continue
+        total = np.logaddexp(
+            total, sum(lp[t, c] for t, c in enumerate(alignment))
+        )
     return total
 
 
 def test_ctc_prefix_scorer_matches_full_prob():
-    """Committing y1..yU then scoring eos == total CTC log-prob."""
+    """Committing y1..yU then scoring eos == CTC log-prob over the\n    reference-convention path set (k-th symbol emitted at frame >= k)."""
     rng = np.random.default_rng(0)
     T, V = 4, 4  # vocab: 0=blank, 1, 2, 3=eos
     blank, eos = 0, 3
@@ -70,7 +84,7 @@ def test_ctc_prefix_scorer_matches_full_prob():
         inp = jnp.asarray([tok])
     scores, state = scorer.forward_step(inp, state)
     total += float(scores[0, eos])
-    expected = _brute_force_ctc_logprob(lp[0], target, blank)
+    expected = _brute_force_ctc_logprob(lp[0], target, blank, min_start=True)
     assert abs(total - expected) < 1e-4
 
 
