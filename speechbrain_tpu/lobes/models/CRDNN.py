@@ -37,8 +37,7 @@ class CNN_Block(nn.Module):
                 x = LayerNorm()(x)
             else:
                 x = BatchNorm1d()(x, train=train)
-            x = jax.nn.leaky_relu(x)
-            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+            x = jax.nn.leaky_relu(x, negative_slope=0.01)
         if self.using_2d_pooling:
             # 2-d pooling over (time, freq), per channel:
             x = jax.lax.reduce_window(
@@ -59,6 +58,11 @@ class CNN_Block(nn.Module):
                 window_strides=(1, 1, self.pooling_size, 1),
                 padding="VALID",
             )
+        # reference applies ONE channel dropout after pooling
+        # (CRDNN.py:275: Dropout2d), not per-conv dropout
+        from speechbrain_tpu.nnet.dropout import Dropout2d
+
+        x = Dropout2d(drop_rate=self.dropout)(x, train=train)
         return x
 
 
@@ -99,13 +103,13 @@ class CRDNN(nn.Module):
     time_pooling: bool = False
     time_pooling_size: int = 2
     freq_pooling_size: int = 2
-    rnn_class: str = "lstm"
+    rnn_class: str = "ligru"  # reference default (CRDNN.py:93)
     inter_layer_pooling_size: tuple = (2, 2)
     using_2d_pooling: bool = False
     rnn_layers: int = 4
     rnn_neurons: int = 512
     rnn_bidirectional: bool = True
-    rnn_re_init: bool = True
+    rnn_re_init: bool = False  # reference default (CRDNN.py:99)
     dnn_blocks: int = 2
     dnn_neurons: int = 512
     dropout: float = 0.15

@@ -45,9 +45,6 @@ class ConvolutionModule(nn.Module):
         y = nn.LayerNorm(dtype=x.dtype)(x)
         y = nn.Dense(2 * d, use_bias=self.bias, dtype=x.dtype)(y)
         y = nn.glu(y, axis=-1)
-        if mask is not None:
-            # zero padded frames so they don't leak through the conv
-            y = jnp.where(mask[..., None], 0.0, y)
         from speechbrain_tpu.ops.pallas.depthwise_conv import (
             depthwise_conv1d,
         )
@@ -73,6 +70,11 @@ class ConvolutionModule(nn.Module):
         y = y * jax.nn.sigmoid(y)  # swish
         y = nn.Dense(d, use_bias=self.bias, dtype=x.dtype)(y)
         y = nn.Dropout(rate=self.dropout, deterministic=not train)(y)
+        if mask is not None:
+            # reference masks the module OUTPUT only (Conformer.py:113:
+            # out.masked_fill_(mask, 0.0)); padded frames still leak
+            # into boundary frames through the depthwise conv
+            y = jnp.where(mask[..., None], 0.0, y)
         return y
 
 

@@ -134,13 +134,18 @@ class Conv2d(nn.Module):
         unsqueezed = x.ndim == 3
         if unsqueezed:
             x = x[..., None]
-        kh, kw = self.kernel_size
-        sh, sw = (
+        # Reference behavior quirk (nnet/CNN.py:419: x.transpose(1, -1)
+        # puts spatial dims as (freq, time)): kernel_size[0] / stride[0]
+        # / dilation[0] act on the FREQUENCY axis and index 1 on TIME —
+        # despite the docstring saying "time and frequency".  Our input
+        # stays (B, T, F, C), so swap when lowering to the XLA conv.
+        kw, kh = self.kernel_size
+        sw, sh = (
             self.stride
             if isinstance(self.stride, (tuple, list))
             else (self.stride, self.stride)
         )
-        dh, dw = (
+        dw, dh = (
             self.dilation
             if isinstance(self.dilation, (tuple, list))
             else (self.dilation, self.dilation)

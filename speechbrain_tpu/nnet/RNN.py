@@ -280,9 +280,18 @@ class LiGRU(_RecurrentBase):
         else:
             act = jax.nn.relu
 
-        def layer(inp, idx, backward, init=None):
-            name = f"l{idx}{'_bwd' if backward else ''}"
-            B, T = inp.shape[0], inp.shape[1]
+        def layer(inp, idx, init=None):
+            """One LiGRU layer; bidirectional via the reference's
+            flip-on-batch trick with SHARED weights (RNN.py:1218-1243):
+            [x; flip_t(x)] runs through one cell, halving parameters vs
+            separate per-direction weights."""
+            name = f"l{idx}"
+            B = inp.shape[0]
+            if self.bidirectional:
+                inp = jnp.concatenate(
+                    [inp, jnp.flip(inp, axis=1)], axis=0
+                )
+            N, T = inp.shape[0], inp.shape[1]
             wx = nn.Dense(2 * H, use_bias=False, name=f"{name}_wx", dtype=inp.dtype)(inp)
             if self.normalization == "batchnorm":
                 wx = nn.BatchNorm(
@@ -290,7 +299,7 @@ class LiGRU(_RecurrentBase):
                     momentum=0.95,
                     name=f"{name}_bn",
                     dtype=inp.dtype,
-                )(wx.reshape(B * T, 2 * H)).reshape(B, T, 2 * H)
+                )(wx.reshape(N * T, 2 * H)).reshape(N, T, 2 * H)
             elif self.normalization == "layernorm":
                 wx = nn.LayerNorm(name=f"{name}_ln", dtype=inp.dtype)(wx)
             u_kernel = self.param(
@@ -300,12 +309,12 @@ class LiGRU(_RecurrentBase):
             if self.dropout > 0.0 and train:
                 rng = self.make_rng("dropout")
                 drop_mask = jax.random.bernoulli(
-                    rng, 1.0 - self.dropout, (B, H)
+                    rng, 1.0 - self.dropout, (N, H)
                 ).astype(inp.dtype) / (1.0 - self.dropout)
             else:
-                drop_mask = jnp.ones((B, H), inp.dtype)
+                drop_mask = jnp.ones((N, H), inp.dtype)
             h0 = (
-                jnp.zeros((B, H), inp.dtype)
+                jnp.zeros((N, H), inp.dtype)
                 if init is None
                 else init.astype(inp.dtype)
             )
@@ -318,12 +327,33 @@ class LiGRU(_RecurrentBase):
                 h = zt_s * h + (1 - zt_s) * hcand
                 return h, h
 
-            hT, ys = _time_scan(
-                step, h0, jnp.swapaxes(wx, 0, 1), reverse=backward
-            )
-            return jnp.swapaxes(ys, 0, 1), hT
+            hT, ys = _time_scan(step, h0, jnp.swapaxes(wx, 0, 1))
+            ys = jnp.swapaxes(ys, 0, 1)  # (N, T, H)
+            if self.bidirectional:
+                h_f, h_b = ys[:B], jnp.flip(ys[B:], axis=1)
+                return jnp.concatenate([h_f, h_b], axis=-1), (
+                    hT[:B],
+                    hT[B:],
+                )
+            return ys, (hT,)
 
-        return self._run_layers(x, train, layer, hx=hx)
+        D = 2 if self.bidirectional else 1
+        states = []
+        out = x
+        for idx in range(self.num_layers):
+            if hx is None:
+                init = None
+            else:
+                init = self._slice_hx(hx, idx * D)
+                if self.bidirectional:
+                    init = jnp.concatenate(
+                        [init, self._slice_hx(hx, idx * D + 1)], axis=0
+                    )
+            out, hTs = layer(out, idx, init)
+            states.extend(hTs)
+        # reference LiGRU has no inter-layer dropout: the shared-mask
+        # recurrent dropout inside the cell is the only dropout
+        return out, self._stack_states(states)
 
 
 class QuasiRNN(_RecurrentBase):

@@ -41,7 +41,6 @@ class Dropout2d(nn.Module):
         if not train or self.drop_rate == 0.0:
             return x
         rng = self.make_rng("dropout")
-        keep = jax.random.bernoulli(
-            rng, 1.0 - self.drop_rate, shape=(x.shape[0], 1, x.shape[-1])
-        )
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (x.shape[-1],)
+        keep = jax.random.bernoulli(rng, 1.0 - self.drop_rate, shape=shape)
         return x * keep / (1.0 - self.drop_rate)

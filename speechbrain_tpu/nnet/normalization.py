@@ -63,17 +63,23 @@ class BatchNorm2d(BatchNorm1d):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm over the trailing feature axis (or axes)."""
+    """LayerNorm over ALL dims after (batch, time) — reference semantics
+    (``nnet/normalization.py:206``: normalized_shape = input_shape[2:]),
+    so 4-d (B, T, F, C) inputs normalize jointly over (F, C) with
+    affine params of shape (F, C)."""
 
     eps: float = 1e-5
     elementwise_affine: bool = True
 
     @nn.compact
     def __call__(self, x):
+        axes = tuple(range(2, x.ndim)) if x.ndim > 2 else (-1,)
         return nn.LayerNorm(
             epsilon=self.eps,
             use_bias=self.elementwise_affine,
             use_scale=self.elementwise_affine,
+            reduction_axes=axes,
+            feature_axes=axes,
             dtype=x.dtype,
         )(x)
 

@@ -352,3 +352,41 @@ def test_swish_softmax_parity(ref, torch, x8):
     theirs = RefSwish()(torch.tensor(x8))
     ours = Swish()(x8) if callable(Swish) else None
     assert_close(ours, theirs, rtol=1e-5, atol=1e-6, what="Swish")
+
+
+def test_ligru_bidirectional_shared_weights_parity(ref, torch, x8):
+    """Reference bidirectional LiGRU SHARES weights between directions
+    (flip-on-batch, RNN.py:1218-1243); ours must too."""
+    from speechbrain.nnet.RNN import LiGRU as RefLiGRU
+    from speechbrain_tpu.nnet.RNN import LiGRU
+
+    theirs_mod = RefLiGRU(
+        hidden_size=6,
+        input_shape=(3, 12, 8),
+        num_layers=2,
+        bidirectional=True,
+    )
+    theirs_mod.eval()
+    ours = LiGRU(hidden_size=6, num_layers=2, bidirectional=True)
+    sd = {n: t2j(p) for n, p in theirs_mod.named_parameters()}
+    params, stats = {}, {}
+    for i in range(2):
+        bn = theirs_mod.rnn[i].norm
+        params[f"l{i}_wx"] = {"kernel": sd[f"rnn.{i}.w.weight"].T}
+        params[f"l{i}_u"] = sd[f"rnn.{i}.u.weight"].T
+        params[f"l{i}_bn"] = {
+            "scale": sd[f"rnn.{i}.norm.weight"],
+            "bias": sd[f"rnn.{i}.norm.bias"],
+        }
+        stats[f"l{i}_bn"] = {
+            "mean": t2j(bn.running_mean),
+            "var": t2j(bn.running_var),
+        }
+    with torch.no_grad():
+        theirs, _ = theirs_mod(torch.tensor(x8))
+    ours_out, _ = ours.apply(
+        {"params": params, "batch_stats": stats}, x8, train=False
+    )
+    assert_close(
+        ours_out, theirs, rtol=1e-4, atol=1e-5, what="LiGRU bidir shared"
+    )
