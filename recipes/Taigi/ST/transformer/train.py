@@ -148,7 +148,7 @@ class ST(sb.Brain):
             self._bound_extra, self._bound_rngs, self._bound_train,
         )
         try:
-            seq, scores = self._jitted_search(
+            search_out = self._jitted_search(
                 self.train_state["params"],
                 self.train_state["model_state"],
                 self.train_state["extra"],
@@ -160,7 +160,7 @@ class ST(sb.Brain):
                 self._bound_params, self._bound_state,
                 self._bound_extra, self._bound_rngs, self._bound_train,
             ) = saved
-        return self._searcher.finalize(seq, scores)
+        return self._searcher.finalize(*search_out)
 
     def on_fit_batch_end(self, batch, outputs, loss, should_step):
         """Noam lr per optimizer step."""

@@ -216,6 +216,12 @@ class S2SBeamSearcher(S2SBaseSearcher):
         self.blank_index = blank_index
         self.ctc_score_mode = ctc_score_mode
         self.ctc_window_size = ctc_window_size
+        self.using_max_attn_shift = using_max_attn_shift
+        self.max_attn_shift = max_attn_shift
+        self.return_log_probs = return_log_probs
+        # reference decoders/seq2seq.py:460: attention scores are scaled
+        # by (1 - ctc_weight); LM and CTC terms are added unscaled
+        self.att_weight = 1.0 - ctc_weight
         self.minus_inf = minus_inf
         if length_normalization and length_rewarding > 0:
             raise ValueError(
@@ -239,8 +245,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
     # -- main loop -------------------------------------------------------
 
     def __call__(self, enc_states, wav_len):
-        seq, scores = self.search_device(enc_states, wav_len)
-        return self.finalize(seq, scores)
+        return self.finalize(*self.search_device(enc_states, wav_len))
 
     def search_device(self, enc_states, wav_len, early_exit=True):
         """Device-side search: all jnp, jittable with
@@ -280,14 +285,54 @@ class S2SBeamSearcher(S2SBaseSearcher):
         inp = jnp.full((n,), self.bos_index, jnp.int32)
         finished = jnp.zeros((n,), bool)
         alived_seq = jnp.full((n, max_steps), self.eos_index, jnp.int32)
-        attn_accum = None
+        batch_idx = jnp.arange(B)[:, None]
 
+        # Finalized-hypothesis store, replicating the reference's
+        # hyps_and_scores lists (decoders/seq2seq.py:546-596): at most
+        # beam_size hyps per batch, FIRST-COME (earliest eos, then beam
+        # rank) — later eos'd beams are dropped once full.  One extra
+        # slot serves as the out-of-bounds write sink.
+        store_seq = jnp.zeros((B, beam + 1, max_steps), jnp.int32)
+        store_len = jnp.zeros((B, beam + 1), jnp.int32)
+        store_score = jnp.full((B, beam + 1), self.minus_inf)
+        store_count = jnp.zeros((B,), jnp.int32)
+        prev_attn_peak = jnp.zeros((n,), jnp.int32)
+        coverage = None
+        sel_scores = jnp.zeros((B, beam))
+
+        def _store(store_seq, store_len, store_score, store_count,
+                   is_eos_bb, seqs_bb, lens_bb, scores_bb):
+            offs = jnp.cumsum(is_eos_bb, axis=1) - is_eos_bb
+            slot = store_count[:, None] + offs  # (B, beam)
+            write = is_eos_bb.astype(bool) & (slot < beam)
+            slot_safe = jnp.where(write, slot, beam)  # sink slot
+            store_seq = store_seq.at[batch_idx, slot_safe].set(seqs_bb)
+            store_len = store_len.at[batch_idx, slot_safe].set(lens_bb)
+            store_score = store_score.at[batch_idx, slot_safe].set(
+                scores_bb
+            )
+            store_count = jnp.minimum(
+                store_count + is_eos_bb.sum(axis=1), beam
+            )
+            return store_seq, store_len, store_score, store_count
+
+        t_final = max_steps
         for t in range(max_steps):
             log_probs, memory, attn = self.forward_step(
                 inp, memory, enc_states_i, enc_lens_i
             )
-            log_probs = jnp.asarray(log_probs, jnp.float32)
+            # reference scales the attention scores ONCE by
+            # att_weight = 1 - ctc_weight (seq2seq.py:728); LM/CTC terms
+            # are added unscaled afterwards
+            log_probs = self.att_weight * jnp.asarray(log_probs, jnp.float32)
             V = log_probs.shape[-1]
+            if self.using_max_attn_shift and attn is not None:
+                attn_peak = jnp.argmax(jnp.asarray(attn), axis=-1).reshape(n)
+                ok = jnp.abs(attn_peak - prev_attn_peak) <= self.max_attn_shift
+                log_probs = jnp.where(
+                    ok[:, None], log_probs, self.minus_inf
+                )
+                prev_attn_peak = attn_peak
             if t < min_steps:
                 log_probs = log_probs.at[:, self.eos_index].set(
                     self.minus_inf
@@ -299,57 +344,64 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 log_probs = log_probs.at[:, self.eos_index].set(
                     jnp.where(gate, eos_probs, self.minus_inf)
                 )
-            full_scores = log_probs
             if self.lm_weight > 0:
                 lm_log_probs, lm_memory = self.lm_forward_step(
                     inp, lm_memory
                 )
-                full_scores = full_scores + self.lm_weight * jnp.asarray(
+                log_probs = log_probs + self.lm_weight * jnp.asarray(
                     lm_log_probs, jnp.float32
                 )
             if ctc_scorer is not None:
+                log_probs = log_probs.at[:, self.blank_index].set(
+                    self.minus_inf
+                )
                 if self.ctc_score_mode == "partial":
                     # Score only the attention-selected top candidates
                     # (2*beam, reference ctc.py:120-146): lattice memory
                     # O(T*n*K) instead of O(T*n*V).
                     K = min(2 * beam, V)
-                    _, cand = jax.lax.top_k(full_scores, K)  # (n, K)
+                    _, cand_k = jax.lax.top_k(log_probs, K)  # (n, K)
                     ctc_scores, ctc_state = ctc_scorer.forward_step(
-                        inp, ctc_state, candidates=cand, attn=attn
+                        inp, ctc_state, candidates=cand_k, attn=attn
                     )
-                    mixed = jnp.full_like(full_scores, self.minus_inf)
+                    mixed = jnp.full_like(log_probs, self.minus_inf)
                     row_idx = jnp.arange(n)[:, None]
-                    mixed = mixed.at[row_idx, cand].set(
-                        (1.0 - self.ctc_weight)
-                        * jnp.take_along_axis(full_scores, cand, axis=1)
+                    mixed = mixed.at[row_idx, cand_k].set(
+                        jnp.take_along_axis(log_probs, cand_k, axis=1)
                         + self.ctc_weight * ctc_scores
                     )
-                    full_scores = mixed
+                    log_probs = mixed
                 else:
                     ctc_scores, ctc_state = ctc_scorer.forward_step(
                         inp, ctc_state, attn=attn
                     )
-                    full_scores = (
-                        (1.0 - self.ctc_weight) * full_scores
-                        + self.ctc_weight * ctc_scores
-                    )
+                    log_probs = log_probs + self.ctc_weight * ctc_scores
 
-            # Finished rows: only eos continuation with zero added score.
-            frozen = jnp.full((n, V), self.minus_inf)
-            frozen = frozen.at[:, self.eos_index].set(0.0)
-            full_scores = jnp.where(
-                finished[:, None], frozen, full_scores
+            # Finished rows are out of the search (reference fills their
+            # sequence_scores with -inf): all their candidates are -inf.
+            log_probs = jnp.where(
+                finished[:, None], self.minus_inf, log_probs
             )
 
-            cand = beam_scores.reshape(n, 1) + full_scores  # (n, V)
+            cand = beam_scores.reshape(n, 1) + log_probs  # (n, V)
+            if self.length_normalization:
+                cand = cand / (t + 1)
             cand = cand.reshape(B, beam * V)
-            new_scores, flat_idx = jax.lax.top_k(cand, beam)  # (B, beam)
+            sel_scores, flat_idx = jax.lax.top_k(cand, beam)  # (B, beam)
             pred_beam = flat_idx // V  # (B, beam)
             tokens = (flat_idx % V).astype(jnp.int32)
             rows = (
                 jnp.arange(B)[:, None] * beam + pred_beam
             ).reshape(-1)  # (n,)
             tokens_flat = tokens.reshape(-1)
+
+            # raw (denormalized) running scores; length rewarding is
+            # applied only to FINALIZED scores (reference seq2seq.py:592)
+            beam_scores = (
+                sel_scores * (t + 1)
+                if self.length_normalization
+                else sel_scores
+            )
 
             memory = _gather_rows(memory, rows)
             if lm_memory is not None:
@@ -358,54 +410,106 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 ctc_state = ctc_scorer.permute_mem(
                     ctc_state, flat_idx.reshape(-1)
                 )
+            if self.using_max_attn_shift:
+                prev_attn_peak = prev_attn_peak[rows]
             alived_seq = alived_seq[rows]
             alived_seq = alived_seq.at[:, t].set(tokens_flat)
-            was_finished = finished[rows]
-            finished = was_finished | (tokens_flat == self.eos_index)
-            # Length rewarding for still-alive rows.
-            step_bonus = jnp.where(
-                was_finished, 0.0, self.length_rewarding
-            )
-            beam_scores = (new_scores.reshape(-1) + step_bonus).reshape(
-                B, beam
-            )
-            inp = tokens_flat
-            if early_exit and bool(jnp.all(finished)):
-                break
-        return alived_seq, beam_scores
+            finished = finished[rows] | (tokens_flat == self.eos_index)
 
-    def finalize(self, alived_seq, beam_scores):
-        """Host-side hypothesis extraction + length normalization."""
-        beam = self.beam_size
-        seq = np.asarray(alived_seq)
-        B = seq.shape[0] // beam
-        seq = seq.reshape(B, beam, -1)
-        scores = np.asarray(beam_scores)
-        lengths = np.zeros((B, beam), np.int64)
-        hyps_all = []
+            # Coverage penalty adjusts the FINALIZED scores only
+            # (reference updates `scores` post-topk, seq2seq.py:824-852;
+            # sequence_scores was already saved un-penalized).
+            if self.coverage_penalty > 0 and attn is not None:
+                cur_attn = jnp.asarray(attn)[rows]
+                if cur_attn.ndim > 2:
+                    coverage = cur_attn.sum(axis=1)
+                elif coverage is None:
+                    coverage = cur_attn
+                else:
+                    coverage = coverage[rows] + cur_attn
+                penalty = jnp.maximum(coverage, 0.5).sum(-1)
+                penalty = penalty - coverage.shape[-1] * 0.5
+                if self.length_normalization:
+                    penalty = penalty / (t + 1)
+                sel_scores = sel_scores - (
+                    self.coverage_penalty * penalty.reshape(B, beam)
+                )
+
+            is_eos_bb = (tokens_flat == self.eos_index).reshape(
+                B, beam
+            ).astype(jnp.int32)
+            final_scores = sel_scores + self.length_rewarding * (t + 1)
+            store_seq, store_len, store_score, store_count = _store(
+                store_seq, store_len, store_score, store_count,
+                is_eos_bb, alived_seq.reshape(B, beam, -1),
+                jnp.full((B, beam), t, jnp.int32),  # tokens before eos
+                final_scores,
+            )
+            beam_scores = jnp.where(
+                is_eos_bb.astype(bool), self.minus_inf, beam_scores
+            )
+
+            inp = tokens_flat
+            if early_exit and bool(jnp.all(store_count >= beam)):
+                t_final = t + 1
+                break
+
+        # Fill remaining slots from still-alive beams (reference's
+        # end-of-loop all-eos fill, seq2seq.py:889-903) using the LAST
+        # step's (penalized, normalized) selection scores.
+        # reference fills with ALL beams (it marks every row eos); rows
+        # already stored are naturally skipped by the capacity check
+        fill_all = jnp.ones((B, beam), jnp.int32)
+        final_scores = sel_scores + self.length_rewarding * (
+            t_final + 1
+        )
+        store_seq, store_len, store_score, store_count = _store(
+            store_seq, store_len, store_score, store_count,
+            fill_all, alived_seq.reshape(B, beam, -1),
+            jnp.full((B, beam), t_final, jnp.int32),
+            final_scores,
+        )
+        return (
+            store_seq[:, :beam],
+            store_len[:, :beam],
+            store_score[:, :beam],
+        )
+
+    def finalize(self, store_seq, store_len, store_score):
+        """Host-side top-k selection over the finalized store; the best
+        hypothesis per batch is truncated at its first eos (reference
+        ``batch_filter_seq2seq_output``)."""
+        seqs = np.asarray(store_seq)
+        lens = np.asarray(store_len)
+        scores = np.asarray(store_score)
+        B = seqs.shape[0]
+        order = np.argsort(-scores, axis=1, kind="stable")
+        best_hyps = []
         for b in range(B):
-            beam_hyps = []
-            for k in range(beam):
-                hyp = []
-                for tok in seq[b, k]:
-                    if tok == self.eos_index:
-                        break
-                    hyp.append(int(tok))
-                lengths[b, k] = max(len(hyp), 1)
-                beam_hyps.append(hyp)
-            hyps_all.append(beam_hyps)
-        if self.length_normalization:
-            scores = scores / lengths
-        order = np.argsort(-scores, axis=1)
-        best_hyps = [hyps_all[b][order[b, 0]] for b in range(B)]
-        top_scores = scores[np.arange(B), order[:, 0]]
+            k = order[b, 0]
+            hyp = []
+            for tok in seqs[b, k, : lens[b, k]]:
+                if tok == self.eos_index:
+                    break
+                hyp.append(int(tok))
+            best_hyps.append(hyp)
+        top_scores = np.take_along_axis(scores, order, axis=1)[
+            :, : self.topk
+        ]
         if self.topk > 1:
-            topk_hyps = [
-                [hyps_all[b][order[b, k]] for k in range(min(self.topk, self.beam_size))]
-                for b in range(B)
-            ]
+            topk_hyps = []
+            for b in range(B):
+                row = []
+                for k in order[b, : self.topk]:
+                    hyp = []
+                    for tok in seqs[b, k, : lens[b, k]]:
+                        if tok == self.eos_index:
+                            break
+                        hyp.append(int(tok))
+                    row.append(hyp)
+                topk_hyps.append(row)
             return best_hyps, top_scores, topk_hyps
-        return best_hyps, top_scores
+        return best_hyps, top_scores[:, 0]
 
 
 class S2SRNNBeamSearcher(S2SBeamSearcher):
