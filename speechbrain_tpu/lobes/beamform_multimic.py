@@ -43,8 +43,8 @@ class DelaySum_Beamformer:
         """(batch, time, channels) -> (batch, time) beamformed."""
         wavs = jnp.asarray(wavs)
         T = wavs.shape[1]
-        X = self.stft(wavs)  # (B, frames, F, C, 2)
+        X = self.stft(wavs)  # (B, frames, F, 2, C)
         XX = self.cov(X)
         tdoas = self.gcc(XX)
-        Y = self.delay_sum(X, tdoas)  # (B, frames, F, 1, 2)
-        return self.istft(Y[..., 0, :], sig_length=T)
+        Y = self.delay_sum(X, tdoas)  # (B, frames, F, 2, 1)
+        return self.istft(Y[..., 0], sig_length=T)

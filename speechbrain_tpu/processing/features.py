@@ -173,7 +173,8 @@ class STFT:
         if multi_channel:
             n_frames, n_freq = out.shape[1], out.shape[2]
             out = out.reshape(batch, channels, n_frames, n_freq, 2)
-            out = jnp.moveaxis(out, 1, -2)  # (batch, frames, freq, channels, 2)
+            # reference layout: (batch, frames, freq, 2, channels)
+            out = jnp.transpose(out, (0, 2, 3, 4, 1))
         return out
 
     def get_filter_properties(self):
@@ -254,8 +255,8 @@ class ISTFT:
         x = jnp.asarray(x)
         multi_channel = x.ndim == 5
         if multi_channel:
-            batch, frames_n, freq, channels, _ = x.shape
-            x = jnp.moveaxis(x, 3, 1).reshape(
+            batch, frames_n, freq, _, channels = x.shape
+            x = jnp.moveaxis(x, -1, 1).reshape(
                 batch * channels, frames_n, freq, 2
             )
         spec = x[..., 0] + 1j * x[..., 1]

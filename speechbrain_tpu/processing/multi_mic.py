@@ -28,7 +28,8 @@ __all__ = [
 
 
 def _to_complex(xs):
-    """(…, 2) real-imag -> complex."""
+    """(…, 2, C) or (…, 2) real-imag -> complex, moving the re/im axis
+    last internally."""
     return xs[..., 0] + 1j * xs[..., 1]
 
 
@@ -36,35 +37,70 @@ def _from_complex(z):
     return jnp.stack([z.real, z.imag], axis=-1)
 
 
+def _n_mics_from_pairs(n_pairs):
+    return int(((1 + 8 * n_pairs) ** 0.5 - 1) / 2)
+
+
+def _triu_pairs(n_mics):
+    rows, cols = np.triu_indices(n_mics)
+    return rows, cols
+
+
+def _triu_to_full(XXs):
+    """(B, T, F, 2, P) reference triu layout -> complex (B, T, F, C, C)
+    hermitian covariance."""
+    XXs = jnp.asarray(XXs)
+    P = XXs.shape[-1]
+    C = _n_mics_from_pairs(P)
+    Z = XXs[..., 0, :] + 1j * XXs[..., 1, :]  # (B, T, F, P)
+    rows, cols = _triu_pairs(C)
+    full = jnp.zeros(Z.shape[:-1] + (C, C), Z.dtype)
+    full = full.at[..., rows, cols].set(Z)
+    lower = jnp.conj(jnp.swapaxes(full, -1, -2))
+    diag_mask = jnp.eye(C, dtype=bool)
+    return jnp.where(diag_mask, full, full + lower)
+
+
 class Covariance:
-    """Spatial covariance per (frame, freq): (B, T, F, C, C) complex as
-    upper-triangular vector (reference layout) or full matrix.
+    """Spatial covariance in the reference's triu-vectorized layout:
+    (B, T, F, 2, n_mics + n_pairs), pair order = ``np.triu_indices``
+    (reference ``processing/multi_mic.py:85``).  ``average=True`` means
+    the covariance is averaged over time and repeated back to T frames.
 
     Example
     -------
     >>> import numpy as np
-    >>> xs = np.ones((1, 10, 33, 4, 2), np.float32)
+    >>> xs = np.ones((1, 10, 33, 2, 4), np.float32)
     >>> Covariance(average=True)(xs).shape
-    (1, 1, 33, 4, 4, 2)
+    (1, 10, 33, 2, 10)
     """
 
     def __init__(self, average=True):
         self.average = average
 
     def __call__(self, Xs):
-        X = _to_complex(jnp.asarray(Xs))  # (B, T, F, C)
-        XX = jnp.einsum("btfc,btfd->btfcd", X, jnp.conj(X))
+        Xs = jnp.asarray(Xs)  # (B, T, F, 2, C)
+        X = Xs[..., 0, :] + 1j * Xs[..., 1, :]  # (B, T, F, C)
+        C = X.shape[-1]
+        rows, cols = _triu_pairs(C)
+        # reference algebra (multi_mic.py:173-180): Rxx_re = ReReT+ImImT,
+        # Rxx_im = ReImT-ImReT, i.e. entry (c,d) = conj(X_c) * X_d
+        XX = jnp.conj(X[..., rows]) * X[..., cols]  # (B, T, F, P)
+        XXs = jnp.stack([XX.real, XX.imag], axis=-2)  # (B, T, F, 2, P)
         if self.average:
-            XX = XX.mean(axis=1, keepdims=True)
-        return _from_complex(XX)
+            T = XXs.shape[1]
+            XXs = jnp.broadcast_to(
+                XXs.mean(axis=1, keepdims=True), XXs.shape[:1] + (T,) + XXs.shape[2:]
+            )
+        return XXs
 
 
 class GccPhat:
-    """GCC-PHAT time-difference-of-arrival estimation.
+    """GCC-PHAT time-difference-of-arrival estimation (reference
+    ``processing/multi_mic.py:643``).
 
-    Takes covariance (B, T', F, C, C, 2); returns TDOAs (B, T', C, C)
-    in samples with quadratic peak interpolation (see unit test for a
-    worked two-mic delay-recovery example).
+    Input: covariance (B, T, F, 2, n_mics+n_pairs); output TDOAs in
+    samples, (B, T, n_mics+n_pairs), quadratically interpolated.
     """
 
     def __init__(self, tdoa_max=None, eps=1e-20):
@@ -72,59 +108,58 @@ class GccPhat:
         self.eps = eps
 
     def __call__(self, XXs):
-        XX = _to_complex(jnp.asarray(XXs))  # (B, T, F, C, C)
-        B, T, F, C, _ = XX.shape
-        n_fft = 2 * (F - 1)
-        phat = XX / jnp.maximum(jnp.abs(XX), self.eps)
-        # Cross-correlation via inverse rfft over freq.
-        xcorr = jnp.fft.irfft(
+        XXs = jnp.asarray(XXs)  # (B, T, F, 2, P)
+        n_fft = (XXs.shape[2] - 1) * 2
+        Z = XXs[..., 0, :] + 1j * XXs[..., 1, :]  # (B, T, F, P)
+        phat = Z / (jnp.abs(Z) + self.eps)
+        xxs = jnp.fft.irfft(
             jnp.moveaxis(phat, 2, -1), n=n_fft, axis=-1
-        )  # (B, T, C, C, n_fft)
+        )  # (B, T, P, n_fft)
+        xxs = jnp.moveaxis(xxs, -1, 2)  # (B, T, n_fft, P)
         tdoa_max = self.tdoa_max or n_fft // 2
-        # circular: lags [0..tdoa_max] and negative tail
-        pos = xcorr[..., : tdoa_max + 1]
-        neg = xcorr[..., -tdoa_max:]
-        cc = jnp.concatenate([neg, pos], axis=-1)
-        lags = jnp.arange(-tdoa_max, tdoa_max + 1)
-        idx = jnp.argmax(cc, axis=-1)
-        # Quadratic interpolation around the peak.
-        i0 = jnp.clip(idx, 1, cc.shape[-1] - 2)
-        ym1 = jnp.take_along_axis(cc, (i0 - 1)[..., None], -1)[..., 0]
-        y0 = jnp.take_along_axis(cc, i0[..., None], -1)[..., 0]
-        yp1 = jnp.take_along_axis(cc, (i0 + 1)[..., None], -1)[..., 0]
-        denom = ym1 - 2 * y0 + yp1
-        delta = jnp.where(
-            jnp.abs(denom) > 1e-10, 0.5 * (ym1 - yp1) / denom, 0.0
-        )
-        return lags[i0] + delta
+        # reference slicing: [0:tdoa_max] and [-tdoa_max:]
+        sl1 = xxs[..., 0:tdoa_max, :]
+        sl2 = xxs[..., -tdoa_max:, :]
+        sliced = jnp.concatenate([sl1, sl2], axis=2)
+        delays = jnp.argmax(sliced, axis=2)  # (B, T, P)
+        offset = n_fft - sliced.shape[2]
+        wrapped = delays >= sl1.shape[2]
+        delays = jnp.where(wrapped, delays + offset - n_fft, delays)
+        # quadratic interpolation with circular neighbor gather
+        def grab(d):
+            idx = jnp.mod(d + n_fft, n_fft)[..., None, :]
+            return jnp.take_along_axis(xxs, idx, axis=2)[..., 0, :]
+
+        y1 = grab(delays - 1)
+        y2 = grab(delays)
+        y3 = grab(delays + 1)
+        return delays + (y1 - y3) / (2 * y1 - 4 * y2 + 2 * y3)
 
 
 class DelaySum:
-    """Delay-and-sum beamforming in the frequency domain.
+    """Delay-and-sum beamforming (reference ``multi_mic.py:198``):
+    steering from TDOAs (or DOAs with ``doa_mode=True``), output
+    (B, T, F, 2, 1)."""
 
-    Applies steering from TDOAs and sums channels.
-    """
-
-    def __call__(self, Xs, tdoas):
-        X = _to_complex(jnp.asarray(Xs))  # (B, T, F, C)
-        B, T, F, C = X.shape
-        n_fft = 2 * (F - 1)
-        # tdoas relative to mic 0: (B, T', C) -> broadcast over T
-        taus = jnp.asarray(tdoas)
-        if taus.ndim == 4:  # (B, T', C, C): take row 0
-            taus = taus[:, :, 0, :]
-        omega = (
-            2 * math.pi * jnp.arange(F) / n_fft
-        )  # (F,)
-        # taus row-0 convention: taus_c = tau_0 - tau_c; aligning x_c
-        # (= s delayed by tau_c) needs e^{+j w tau_c} = e^{-j w taus_c}.
-        steer = jnp.exp(
-            -1j * omega[None, None, :, None] * taus[:, :, None, :]
-        )  # (B, T', F, C)
-        if steer.shape[1] == 1:
-            steer = jnp.broadcast_to(steer, (B, T, F, C))
-        Y = (X * steer).sum(axis=-1, keepdims=True) / C
-        return _from_complex(Y)
+    def __call__(
+        self, Xs, localization_tensor, doa_mode=False, mics=None,
+        fs=None, c=343.0,
+    ):
+        Xs = jnp.asarray(Xs)  # (B, T, F, 2, C)
+        n_fft = Xs.shape[2]
+        if doa_mode:
+            taus = doas2taus(localization_tensor, mics=mics, fs=fs, c=c)
+        else:
+            taus = tdoas2taus(jnp.asarray(localization_tensor))
+        As = steering(jnp.asarray(taus), n_fft)  # (..., F, 2, C)
+        n_mics = Xs.shape[-1]
+        Ws_re = As[..., 0, :] / n_mics
+        Ws_im = -As[..., 1, :] / n_mics
+        Xs_re = Xs[..., 0, :]
+        Xs_im = Xs[..., 1, :]
+        Ys_re = (Ws_re * Xs_re - Ws_im * Xs_im).sum(axis=3, keepdims=True)
+        Ys_im = (Ws_re * Xs_im + Ws_im * Xs_re).sum(axis=3, keepdims=True)
+        return jnp.stack([Ys_re, Ys_im], axis=3)
 
 
 class Mvdr:
@@ -137,17 +172,14 @@ class Mvdr:
         self.eps = eps
 
     def __call__(self, Xs, NNs, tdoas):
-        X = _to_complex(jnp.asarray(Xs))  # (B, T, F, C)
-        NN = _to_complex(jnp.asarray(NNs))  # (B, 1|T, F, C, C)
+        Xs = jnp.asarray(Xs)  # (B, T, F, 2, C)
+        X = Xs[..., 0, :] + 1j * Xs[..., 1, :]  # (B, T, F, C)
+        NN = _triu_to_full(jnp.asarray(NNs))  # (B, T, F, C, C)
         B, T, F, C = X.shape
-        n_fft = 2 * (F - 1)
-        taus = jnp.asarray(tdoas)
-        if taus.ndim == 4:
-            taus = taus[:, :, 0, :]
-        omega = 2 * math.pi * jnp.arange(F) / n_fft
-        d = jnp.exp(
-            1j * omega[None, None, :, None] * taus[:, :, None, :]
-        )  # (B, T', F, C) steering vector
+        n_fft = F
+        taus = tdoas2taus(jnp.asarray(tdoas))  # (B, T', C)
+        As = steering(taus, n_fft)  # (B, T', F, 2, C)
+        d = As[..., 0, :] + 1j * As[..., 1, :]  # (B, T', F, C)
         NN_reg = NN + self.eps * jnp.eye(C)[None, None, None]
         NN_inv = jnp.linalg.inv(NN_reg)  # (B, T', F, C, C)
         Nd = jnp.einsum("btfcd,btfd->btfc", NN_inv, d)
@@ -155,8 +187,8 @@ class Mvdr:
         w = Nd / (denom[..., None] + self.eps)
         if w.shape[1] == 1:
             w = jnp.broadcast_to(w, (B, T, F, C))
-        Y = jnp.einsum("btfc,btfc->btf", jnp.conj(w), X)[..., None]
-        return _from_complex(Y)
+        Y = jnp.einsum("btfc,btfc->btf", jnp.conj(w), X)
+        return jnp.stack([Y.real, Y.imag], axis=-1)[..., None, :].swapaxes(-1, -2)
 
 
 class Gev:
@@ -169,9 +201,10 @@ class Gev:
         self.eps = eps
 
     def __call__(self, Xs, SSs, NNs):
-        X = _to_complex(jnp.asarray(Xs))
-        SS = _to_complex(jnp.asarray(SSs))
-        NN = _to_complex(jnp.asarray(NNs))
+        Xs = jnp.asarray(Xs)  # (B, T, F, 2, C)
+        X = Xs[..., 0, :] + 1j * Xs[..., 1, :]
+        SS = _triu_to_full(jnp.asarray(SSs))
+        NN = _triu_to_full(jnp.asarray(NNs))
         C = X.shape[-1]
         NN_reg = NN + self.eps * jnp.eye(C)[None, None, None]
         # Solve via Cholesky whitening: L L^H = NN; M = L^-1 SS L^-H
@@ -190,8 +223,8 @@ class Gev:
             w = jnp.broadcast_to(
                 w, (X.shape[0], X.shape[1]) + w.shape[2:]
             )
-        Y = jnp.einsum("btfc,btfc->btf", jnp.conj(w), X)[..., None]
-        return _from_complex(Y)
+        Y = jnp.einsum("btfc,btfc->btf", jnp.conj(w), X)
+        return jnp.stack([Y.real, Y.imag], axis=-1)[..., None, :].swapaxes(-1, -2)
 
 
 def sphere(levels_count=4):
@@ -222,13 +255,13 @@ def doas2taus(doas, mics, fs, c=343.0):
 
 
 def steering(taus, n_fft):
-    """Delays (…, C) -> steering vectors (…, F, C, 2)."""
-    F = n_fft // 2 + 1
-    omega = 2 * math.pi * jnp.arange(F) / n_fft
-    A = jnp.exp(
-        -1j * omega[..., :, None] * jnp.asarray(taus)[..., None, :]
-    )
-    return _from_complex(A)
+    """Delays (…, C) -> steering vectors (…, n_fft, 2, C), reference
+    layout (``multi_mic.py:1317``): a = e^{-j w tau} with ``n_fft``
+    already the number of rfft bins and frame_size = (n_fft-1)*2."""
+    frame_size = int((n_fft - 1) * 2)
+    omega = 2 * math.pi * jnp.arange(n_fft) / frame_size
+    A = jnp.exp(-1j * omega[:, None] * jnp.asarray(taus)[..., None, :])
+    return jnp.stack([A.real, A.imag], axis=-2)  # (..., F, 2, C)
 
 
 class SrpPhat:
@@ -243,7 +276,7 @@ class SrpPhat:
         self.taus = doas2taus(self.doas, self.mics, self.fs, self.c)
 
     def __call__(self, XXs):
-        XX = _to_complex(jnp.asarray(XXs))  # (B, T', F, C, C)
+        XX = _triu_to_full(jnp.asarray(XXs))  # (B, T, F, C, C)
         B, T, F, C, _ = XX.shape
         n_fft = 2 * (F - 1)
         phat = XX / jnp.maximum(jnp.abs(XX), self.eps)
@@ -273,7 +306,7 @@ class Music:
         self.taus = doas2taus(self.doas, self.mics, self.fs, self.c)
 
     def __call__(self, XXs):
-        XX = _to_complex(jnp.asarray(XXs))  # (B, T', F, C, C)
+        XX = _triu_to_full(jnp.asarray(XXs))  # (B, T, F, C, C)
         B, T, F, C, _ = XX.shape
         n_fft = 2 * (F - 1)
         XXh = 0.5 * (XX + jnp.conj(jnp.swapaxes(XX, -1, -2)))

@@ -124,14 +124,22 @@ def convolve1d(waveform, kernel, padding=0, pad_type="constant", stride=1, use_f
     if use_fft:
         n = waveform.shape[1]
         k = kernel.shape[1]
-        if rotation_index:
-            # rotate kernel: move first rotation_index samples to end
-            kernel = jnp.concatenate(
-                [kernel[:, rotation_index:], kernel[:, :rotation_index]],
-                axis=1,
-            )
-        f1 = jnp.fft.rfft(waveform, n=n, axis=1)
-        f2 = jnp.fft.rfft(kernel, n=n, axis=1)
+        if k > n:
+            kernel = kernel[:, : n]
+            k = n
+        # Reference layout (signal_processing.py:236-242): the kernel's
+        # pre-rotation part wraps to the END of the n-length buffer
+        # (negative time in the circular convolution); zeros sit in the
+        # middle: [kernel[rot:], zeros, kernel[:rot]].
+        zeros = jnp.zeros(
+            (kernel.shape[0], n - k, kernel.shape[2]), kernel.dtype
+        )
+        kernel = jnp.concatenate(
+            [kernel[:, rotation_index:], zeros, kernel[:, :rotation_index]],
+            axis=1,
+        )
+        f1 = jnp.fft.rfft(waveform, axis=1)
+        f2 = jnp.fft.rfft(kernel, axis=1)
         out = jnp.fft.irfft(f1 * f2, n=n, axis=1)
         return out
     # Direct correlation via strided frame gather + einsum.
@@ -169,8 +177,15 @@ def reverberate(waveforms, rir_waveform, rescale_amp="avg"):
     orig_amplitude = compute_amplitude(
         waveforms.squeeze(-1), None, rescale_amp
     )
-    # Direct-path delay: index of RIR peak.
+    # Direct-path delay: index of RIR peak; flip the RIR if the peak is
+    # negative (reference signal_processing.py:330-332)
     direct_index = jnp.argmax(jnp.abs(rir_waveform), axis=1).reshape(-1)[0]
+    peak = jnp.take_along_axis(
+        rir_waveform,
+        direct_index.reshape(1, 1, 1).astype(jnp.int32),
+        axis=1,
+    )
+    rir_waveform = jnp.where(peak < 0, -rir_waveform, rir_waveform)
     waveforms = convolve1d(
         waveform=waveforms,
         kernel=rir_waveform,
@@ -204,7 +219,9 @@ def notch_filter(notch_freq, filter_width=101, notch_width=0.05):
         safe = jnp.where(x == 0, 1.0, x)
         return jnp.where(x == 0, 1.0, jnp.sin(safe) / safe)
 
-    window = jnp.asarray(np.blackman(filter_width))
+    # torch.blackman_window defaults to the PERIODIC window
+    # (= symmetric window of N+1 points, last dropped)
+    window = jnp.asarray(np.blackman(filter_width + 1)[:-1])
     hlpf = sinc(3 * (notch_freq - notch_width) * inputs)
     hlpf = hlpf * window
     hlpf = hlpf / hlpf.sum()

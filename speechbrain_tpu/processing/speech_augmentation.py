@@ -238,27 +238,54 @@ class Resample:
         self._build_kernel()
 
     def _build_kernel(self):
+        """Reference-exact Kaldi-style weights (``speech_augmentation.py
+        :758-823``): Hann-windowed sinc at ``0.99 * 0.5 * min_freq``
+        cutoff, normalized by ``orig_freq``.  Weights repeat with period
+        ``up`` output samples; we precompute one period (polyphase)."""
         up, down = self.up, self.down
         if up == down:
             self.kernel = None
             return
-        # Cutoff at the lower of the two Nyquists (normalized to input sr).
-        cutoff = 0.5 * min(1.0, up / down)
-        width = int(math.ceil(self.lowpass_filter_width / cutoff / 2) * 2)
-        self.width = width
-        # For each output phase p (0..up-1), fractional input offset:
-        phases = np.arange(up)
-        frac = phases * down / up - np.floor(phases * down / up)
-        taps = np.arange(-width // 2, width // 2 + 1)
-        t = taps[None, :] - frac[:, None]  # (up, W)
-        kern = np.sinc(2 * cutoff * t) * 2 * cutoff
-        win = 0.5 * (1 + np.cos(np.pi * np.clip(t / (width // 2 + 1), -1, 1)))
-        kern = kern * win
-        self.kernel = jnp.asarray(kern.astype(np.float32))  # (up, W)
-        self.base_offsets = jnp.asarray(
-            np.floor(phases * down / up).astype(np.int32)
+        # work in the reduced-rate units the phases repeat over
+        orig_freq = float(down)
+        new_freq = float(up)
+        min_freq = min(orig_freq, new_freq)
+        cutoff = 0.99 * 0.5 * min_freq
+        window_width = self.lowpass_filter_width / (2.0 * cutoff)
+        phases = np.arange(up, dtype=np.float64)
+        t_out = phases / new_freq
+        min_idx = np.ceil((t_out - window_width) * orig_freq)
+        max_idx = np.floor((t_out + window_width) * orig_freq)
+        max_w = int((max_idx - min_idx).max()) + 1
+        j = np.arange(max_w, dtype=np.float64)
+        input_index = min_idx[:, None] + j[None, :]
+        delta_t = input_index / orig_freq - t_out[:, None]
+        inside = np.abs(delta_t) < window_width
+        win = np.where(
+            inside,
+            0.5
+            * (
+                1
+                + np.cos(
+                    2
+                    * np.pi
+                    * cutoff
+                    / self.lowpass_filter_width
+                    * delta_t
+                )
+            ),
+            0.0,
         )
-        self.taps_offset = width // 2
+        sinc = np.where(
+            delta_t == 0,
+            2 * cutoff,
+            np.sin(2 * np.pi * cutoff * delta_t)
+            / (np.pi * np.where(delta_t == 0, 1.0, delta_t)),
+        )
+        weights = win * sinc / orig_freq
+        self.width = max_w
+        self.kernel = jnp.asarray(weights.astype(np.float32))  # (up, W)
+        self.min_idx = min_idx.astype(np.int64)  # (up,), may be negative
 
     def __call__(self, waveforms):
         """(batch, time[, ch]) -> (batch, time*up//down[, ch])."""
@@ -271,19 +298,20 @@ class Resample:
             waveforms = jnp.moveaxis(waveforms, 2, 1).reshape(b * c, t)
         B, T = waveforms.shape
         up, down, W = self.up, self.down, self.width
-        t_out = T * up // down
+        t_out = int(np.ceil(T * up / down))
         n_blocks = -(-t_out // up)  # output blocks of `up` phases
-        pad_left = self.taps_offset
+        pad_left = int(max(0, -self.min_idx.min()))
         pad_right = n_blocks * down + W
         x = jnp.pad(waveforms, ((0, 0), (pad_left, pad_right)))
-        # For block i, phase p: start index = i*down + base_offsets[p]
+        # Output sample i*up + p starts at input i*down + min_idx[p].
         block_starts = jnp.arange(n_blocks) * down  # (n_blocks,)
+        offs = jnp.asarray(self.min_idx + pad_left, jnp.int32)
         idx = (
             block_starts[:, None, None]
-            + self.base_offsets[None, :, None]
-            + jnp.arange(W + 1)[None, None, :]
-        )  # (n_blocks, up, W+1)
-        frames = x[:, idx]  # (B, n_blocks, up, W+1)
+            + offs[None, :, None]
+            + jnp.arange(W)[None, None, :]
+        )  # (n_blocks, up, W)
+        frames = x[:, idx]  # (B, n_blocks, up, W)
         out = jnp.einsum("bnpw,pw->bnp", frames, self.kernel)
         out = out.reshape(B, n_blocks * up)[:, :t_out]
         if had_ch:

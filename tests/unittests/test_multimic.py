@@ -25,11 +25,12 @@ def test_gcc_phat_recovers_delay():
     delay = 3
     wavs = _delayed_pair(delay)
     stft = STFT(SR, n_fft=256, win_length=16, hop_length=8)
-    X = np.asarray(stft(wavs))  # (B, T, F, C, 2)
+    X = np.asarray(stft(wavs))  # (B, T, F, 2, C)
     cov = Covariance(average=True)(X)
     tdoas = np.asarray(GccPhat(tdoa_max=10)(cov))
     # mic1 lags mic0 by `delay` samples
-    assert abs(abs(tdoas[0, 0, 0, 1]) - delay) < 0.5
+    # pair (0,1) is triu entry 1; mic1 lags mic0 by `delay`
+    assert abs(abs(tdoas[0, 0, 1]) - delay) < 0.5
 
 
 def test_delay_sum_improves_alignment():
@@ -41,7 +42,7 @@ def test_delay_sum_improves_alignment():
     cov = Covariance(average=True)(X)
     tdoas = GccPhat(tdoa_max=10)(cov)
     Y = DelaySum()(X, tdoas)
-    y = np.asarray(istft(Y[..., 0, :]))
+    y = np.asarray(istft(Y[..., 0]))
     ref = wavs[0, :, 0]
     n = min(len(ref), y.shape[1]) - 500
     corr = np.corrcoef(y[0, 400:n], ref[400:n])[0, 1]
@@ -55,7 +56,7 @@ def test_mvdr_runs():
     cov = Covariance(average=True)(X)
     tdoas = GccPhat(tdoa_max=10)(cov)
     Y = np.asarray(Mvdr()(X, cov, tdoas))
-    assert Y.shape == X.shape[:3] + (1, 2)
+    assert Y.shape == X.shape[:3] + (2, 1)
     assert np.isfinite(Y).all()
 
 
@@ -68,5 +69,5 @@ def test_gev_runs():
     SS = Covariance(average=True)(X)
     NN = Covariance(average=True)(N)
     Y = np.asarray(Gev()(X, SS, NN))
-    assert Y.shape == X.shape[:3] + (1, 2)
+    assert Y.shape == X.shape[:3] + (2, 1)
     assert np.isfinite(Y).all()
