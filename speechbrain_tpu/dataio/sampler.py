@@ -312,12 +312,17 @@ class DynamicBatchSampler:
         from scipy.stats import lognorm
 
         logger.info("Batch quantisation in latent space")
+        # reference spacing: linspace(1/(Q+1), Q/(Q+1), Q)
+        num_boundaries = num_quantiles + 1
         latent_boundaries = np.linspace(
-            1 / num_quantiles, 1, num_quantiles, endpoint=False
+            1 / num_boundaries,
+            num_quantiles / num_boundaries,
+            num_quantiles,
         )
         bucket_boundaries = lognorm.ppf(latent_boundaries, 1)
-        max_boundary = float(bucket_boundaries.max())
-        bucket_boundaries = bucket_boundaries / max_boundary * max_batch_length
+        bucket_boundaries = (
+            bucket_boundaries * max_batch_length / bucket_boundaries[-1]
+        )
         return list(sorted(bucket_boundaries))
 
     def _permute_batches(self):

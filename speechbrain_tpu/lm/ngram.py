@@ -44,7 +44,7 @@ class BackoffNgramLM:
         self.top_order = max(ngrams.keys())
 
     def logprob(self, token, context=tuple()):
-        """Sequence log-probability under the n-gram LM."""
+        """Token log-probability given the context, with backoff."""
         # Truncate context to the highest order available.
         context = tuple(context)
         if len(context) >= self.top_order:
@@ -58,7 +58,10 @@ class BackoffNgramLM:
             return self.ngrams[order][context][token]
         if not context:
             return NEGINFINITY
-        backoff = self.backoffs.get(context, 0.0)
+        # backoffs are keyed by context order then context tuple
+        # (reference lm/ngram.py:103); flat dicts also accepted
+        table = self.backoffs.get(len(context), self.backoffs)
+        backoff = table.get(context, 0.0) if isinstance(table, dict) else 0.0
         return backoff + self.logprob(token, context[1:])
 
 
