@@ -183,8 +183,9 @@ class TransformerEncoder(nn.Module):
                 train=train,
             )
             attns.append(attn)
-        if self.normalize_before:
-            output = nn.LayerNorm(dtype=output.dtype, name="norm_out")(output)
+        # reference applies the final encoder norm UNCONDITIONALLY
+        # (Transformer.py:485: output = self.norm(output))
+        output = nn.LayerNorm(dtype=output.dtype, name="norm_out")(output)
         return output, attns
 
 
@@ -303,8 +304,9 @@ class TransformerDecoder(nn.Module):
             )
             self_attns.append(sa)
             cross_attns.append(ca)
-        if self.normalize_before:
-            output = nn.LayerNorm(dtype=output.dtype, name="norm_out")(output)
+        # reference applies the final decoder norm UNCONDITIONALLY
+        # (Transformer.py:761: output = self.norm(output))
+        output = nn.LayerNorm(dtype=output.dtype, name="norm_out")(output)
         return output, self_attns, cross_attns
 
 

@@ -106,7 +106,9 @@ class TransformerASR(nn.Module):
                 d_model=self.d_model,
                 dropout=self.dropout,
                 activation=self.activation,
-                normalize_before=True,
+                # reference passes the interface's flag through
+                # (Transformer.py:187), not a hard-coded pre-norm
+                normalize_before=self.normalize_before,
             )
 
     def _encode(self, src, wav_len, train):

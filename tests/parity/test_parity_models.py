@@ -359,3 +359,127 @@ def test_crdnn_parity(ref, torch):
     }
     ours_out = ours.apply(variables, jnp.asarray(x), train=False)
     assert_close(ours_out, theirs, rtol=1e-3, atol=1e-4, what="CRDNN")
+
+
+def test_transformer_asr_parity(ref, torch):
+    """Full TransformerASR stack (vanilla attention): same weights +
+    inputs -> same (encoder_out, decoder_out), covering embeddings,
+    fixed-abs-sine positional encoding, masks, encoder+decoder layers."""
+    from speechbrain.lobes.models.transformer.TransformerASR import (
+        TransformerASR as Ref,
+    )
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+        TransformerASR as Ours,
+    )
+    import flax
+
+    cfg = dict(
+        tgt_vocab=20,
+        input_size=24,
+        d_model=16,
+        nhead=2,
+        num_encoder_layers=1,
+        num_decoder_layers=1,
+        d_ffn=32,
+        dropout=0.0,
+        encoder_module="transformer",
+        attention_type="regularMHA",
+        positional_encoding="fixed_abs_sine",
+    )
+    theirs_mod = Ref(**cfg)
+    theirs_mod.eval()
+    rng = np.random.default_rng(90)
+    src = rng.standard_normal((2, 12, 24)).astype(np.float32)
+    tgt = rng.integers(1, 20, (2, 5)).astype(np.int64)
+    tgt[1, 3:] = 0  # padding
+    wav_len = np.asarray([1.0, 0.75], dtype=np.float32)
+    with torch.no_grad():
+        t_enc, t_dec = theirs_mod(
+            torch.tensor(src), torch.tensor(tgt), torch.tensor(wav_len)
+        )
+
+    sd = {n: t2j(p) for n, p in theirs_mod.named_parameters()}
+    E = 16
+
+    def mha(prefix):
+        # torch nn.MultiheadAttention chunks the packed in_proj by ROWS
+        w = sd[f"{prefix}.att.in_proj_weight"]
+        b = sd[f"{prefix}.att.in_proj_bias"]
+        return {
+            "q_proj": {"kernel": w[:E].T, "bias": b[:E]},
+            "k_proj": {"kernel": w[E : 2 * E].T, "bias": b[E : 2 * E]},
+            "v_proj": {"kernel": w[2 * E :].T, "bias": b[2 * E :]},
+            "out_proj": {
+                "kernel": sd[f"{prefix}.att.out_proj.weight"].T,
+                "bias": sd[f"{prefix}.att.out_proj.bias"],
+            },
+        }
+
+    def ln(prefix):
+        return {
+            "scale": sd[f"{prefix}.norm.weight"],
+            "bias": sd[f"{prefix}.norm.bias"],
+        }
+
+    def ffn(prefix):
+        return {
+            "Dense_0": {
+                "kernel": sd[f"{prefix}.ffn.0.weight"].T,
+                "bias": sd[f"{prefix}.ffn.0.bias"],
+            },
+            "Dense_1": {
+                "kernel": sd[f"{prefix}.ffn.3.weight"].T,
+                "bias": sd[f"{prefix}.ffn.3.bias"],
+            },
+        }
+
+    ours = Ours(**cfg)
+    init = ours.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+    )
+    flat = flax.traverse_util.flatten_dict(init["params"], sep="/")
+    new = dict(flat)
+
+    def put(prefix_ours, tree):
+        sub = flax.traverse_util.flatten_dict(tree, sep="/")
+        for k, v in sub.items():
+            key = f"{prefix_ours}/{k}"
+            assert key in new, key
+            assert new[key].shape == v.shape, (key, new[key].shape, v.shape)
+            new[key] = v
+
+    put("encoder/layer_0/MultiheadAttention_0", mha("encoder.layers.0.self_att"))
+    put("encoder/layer_0/PositionalwiseFeedForward_0", ffn("encoder.layers.0.pos_ffn"))
+    put("encoder/layer_0/LayerNorm_0", ln("encoder.layers.0.norm1"))
+    put("encoder/layer_0/LayerNorm_1", ln("encoder.layers.0.norm2"))
+    put("encoder/norm_out", ln("encoder.norm"))
+    put("decoder/layer_0/self_attn", mha("decoder.layers.0.self_attn"))
+    put("decoder/layer_0/cross_attn", mha("decoder.layers.0.mutihead_attn"))
+    put("decoder/layer_0/PositionalwiseFeedForward_0", ffn("decoder.layers.0.pos_ffn"))
+    put("decoder/layer_0/LayerNorm_0", ln("decoder.layers.0.norm1"))
+    put("decoder/layer_0/LayerNorm_1", ln("decoder.layers.0.norm2"))
+    put("decoder/layer_0/LayerNorm_2", ln("decoder.layers.0.norm3"))
+    put("decoder/norm_out", ln("decoder.norm"))
+    # input projection + target embedding
+    src_keys = [k for k in new if k.startswith("custom_src_module")]
+    assert len(src_keys) == 2, src_keys
+    kkey = [k for k in src_keys if k.endswith("kernel")][0]
+    bkey = [k for k in src_keys if k.endswith("bias")][0]
+    new[kkey] = sd["custom_src_module.layers.0.w.weight"].T
+    new[bkey] = sd["custom_src_module.layers.0.w.bias"]
+    emb_keys = [k for k in new if k.startswith("custom_tgt_module")]
+    assert len(emb_keys) == 1, emb_keys
+    new[emb_keys[0]] = sd["custom_tgt_module.layers.0.emb.Embedding.weight"]
+
+    variables = {"params": flax.traverse_util.unflatten_dict(new, sep="/")}
+    o_enc, o_dec = ours.apply(
+        variables,
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        wav_len=jnp.asarray(wav_len),
+        train=False,
+    )
+    assert_close(o_enc, t_enc, rtol=1e-3, atol=1e-4, what="TransformerASR enc")
+    assert_close(o_dec, t_dec, rtol=1e-3, atol=1e-4, what="TransformerASR dec")
