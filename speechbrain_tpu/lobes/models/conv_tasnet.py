@@ -162,7 +162,8 @@ class ConvTasNet(nn.Module):
 class ChannelwiseLayerNorm(nn.Module):
     """Channel-wise layer norm (cLN): normalize over the channel axis
     per time step (reference ``lobes/models/conv_tasnet.py:514``;
-    channels-last here).
+    channels-last here).  ``channel_size`` is accepted for reference
+    API compatibility (the shape is inferred).
 
     Example
     -------
@@ -174,6 +175,7 @@ class ChannelwiseLayerNorm(nn.Module):
     (2, 20, 8)
     """
 
+    channel_size: int | None = None
     eps: float = 1e-8
 
     @nn.compact
@@ -201,6 +203,7 @@ class GlobalLayerNorm(nn.Module):
     (2, 20, 8)
     """
 
+    channel_size: int | None = None
     eps: float = 1e-8
 
     @nn.compact

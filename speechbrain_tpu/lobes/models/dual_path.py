@@ -310,10 +310,11 @@ class GlobalLayerNorm(nn.Module):
 
 
 class CumulativeLayerNorm(nn.Module):
-    """Cumulative (streaming-friendly) layer norm: at each step,
-    normalize by the statistics of everything seen so far (reference
-    ``lobes/models/dual_path.py:102``; implemented with cumulative
-    sums, channels-last).
+    """Per-step channel layer norm.  Despite its name, the reference's
+    CumulativeLayerNorm subclasses torch.nn.LayerNorm and normalizes
+    each frame over the CHANNEL dim only — nothing is cumulative
+    (``lobes/models/dual_path.py:102-148``: permute, super().forward,
+    permute back).  Replicated exactly, channels-last.
 
     Example
     -------
@@ -329,22 +330,7 @@ class CumulativeLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        B, T, C = x.shape[0], x.shape[1], x.shape[-1]
-        flat = x.reshape(B, T, -1)
-        n = flat.shape[-1]
-        step_sum = flat.sum(axis=-1)  # (B, T)
-        step_sq = (flat**2).sum(axis=-1)
-        cum_sum = jnp.cumsum(step_sum, axis=1)
-        cum_sq = jnp.cumsum(step_sq, axis=1)
-        counts = jnp.arange(1, T + 1, dtype=x.dtype)[None, :] * n
-        cum_mean = cum_sum / counts
-        cum_var = cum_sq / counts - cum_mean**2
-        cum_mean = cum_mean[..., None]
-        cum_std = jnp.sqrt(jnp.maximum(cum_var, self.eps))[..., None]
-        y = (flat - cum_mean) / cum_std
-        gamma = self.param("gamma", nn.initializers.ones, (C,))
-        beta = self.param("beta", nn.initializers.zeros, (C,))
-        return y.reshape(x.shape) * gamma + beta
+        return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype)(x)
 
 
 def select_norm(norm, dim=None, shape=None, eps=1e-8):

@@ -483,3 +483,70 @@ def test_transformer_asr_parity(ref, torch):
     )
     assert_close(o_enc, t_enc, rtol=1e-3, atol=1e-4, what="TransformerASR enc")
     assert_close(o_dec, t_dec, rtol=1e-3, atol=1e-4, what="TransformerASR dec")
+
+
+def test_dual_path_norms_parity(ref, torch):
+    """SepFormer norms: gln normalizes over (C, L) jointly; the
+    reference's 'CumulativeLayerNorm' is per-frame channel LN."""
+    from speechbrain.lobes.models.dual_path import (
+        GlobalLayerNorm as RefGLN,
+        CumulativeLayerNorm as RefCLN,
+    )
+    from speechbrain_tpu.lobes.models.dual_path import (
+        GlobalLayerNorm,
+        CumulativeLayerNorm,
+    )
+
+    rng = np.random.default_rng(91)
+    # reference layout: (N, C, L); ours channels-last (N, L, C)
+    x_cf = rng.standard_normal((2, 8, 30)).astype(np.float32) * 2 + 0.5
+    x_cl = np.transpose(x_cf, (0, 2, 1))
+
+    ref_gln = RefGLN(8, 3)
+    with torch.no_grad():
+        t = ref_gln(torch.tensor(x_cf))
+    ours = GlobalLayerNorm()
+    p = ours.init(jax.random.PRNGKey(0), jnp.asarray(x_cl))
+    o = ours.apply(p, jnp.asarray(x_cl))
+    assert_close(
+        np.transpose(np.asarray(o), (0, 2, 1)), t,
+        rtol=1e-4, atol=1e-5, what="GlobalLayerNorm",
+    )
+
+    ref_cln = RefCLN(8)
+    with torch.no_grad():
+        t = ref_cln(torch.tensor(x_cf))
+    ours = CumulativeLayerNorm()
+    p = ours.init(jax.random.PRNGKey(0), jnp.asarray(x_cl))
+    o = ours.apply(p, jnp.asarray(x_cl))
+    assert_close(
+        np.transpose(np.asarray(o), (0, 2, 1)), t,
+        rtol=1e-4, atol=1e-4, what="CumulativeLayerNorm",
+    )
+
+
+def test_conv_tasnet_norms_parity(ref, torch):
+    from speechbrain.lobes.models.conv_tasnet import (
+        ChannelwiseLayerNorm as RefCLN,
+        GlobalLayerNorm as RefGLN,
+    )
+    from speechbrain_tpu.lobes.models.conv_tasnet import (
+        ChannelwiseLayerNorm,
+        GlobalLayerNorm,
+    )
+
+    rng = np.random.default_rng(92)
+    # reference conv_tasnet layout: (M, K, N) = (batch, time, channels)
+    x = rng.standard_normal((2, 30, 8)).astype(np.float32) * 2 - 0.3
+
+    for RefCls, OursCls, name in [
+        (RefCLN, ChannelwiseLayerNorm, "tasnet cLN"),
+        (RefGLN, GlobalLayerNorm, "tasnet gLN"),
+    ]:
+        ref_mod = RefCls(8)
+        with torch.no_grad():
+            t = ref_mod(torch.tensor(x))
+        ours = OursCls(8) 
+        p = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        o = ours.apply(p, jnp.asarray(x))
+        assert_close(o, t, rtol=1e-4, atol=1e-5, what=name)
