@@ -312,11 +312,13 @@ def EER(positive_scores, negative_scores):
     positive_scores = np.asarray(positive_scores, dtype=np.float64)
     negative_scores = np.asarray(negative_scores, dtype=np.float64)
     thresholds = np.unique(np.concatenate([positive_scores, negative_scores]))
-    # interpolate midpoints for a finer sweep
-    mid = (thresholds[:-1] + thresholds[1:]) / 2 if len(thresholds) > 1 else thresholds
-    thresholds = np.sort(np.concatenate([thresholds, mid]))
-    FRR = np.mean(positive_scores[:, None] < thresholds[None, :], axis=0)
-    FAR = np.mean(negative_scores[:, None] >= thresholds[None, :], axis=0)
+    # interpolate midpoints for a finer sweep (reference :479-481)
+    if len(thresholds) > 1:
+        mid = (thresholds[:-1] + thresholds[1:]) / 2
+        thresholds = np.sort(np.concatenate([thresholds, mid]))
+    # reference boundary conventions: FRR counts pos <= t, FAR neg > t
+    FRR = np.mean(positive_scores[:, None] <= thresholds[None, :], axis=0)
+    FAR = np.mean(negative_scores[:, None] > thresholds[None, :], axis=0)
     idx = np.argmin(np.abs(FAR - FRR))
     eer = float((FAR[idx] + FRR[idx]) / 2)
     return eer, float(thresholds[idx])
@@ -338,12 +340,16 @@ def minDCF(
     positive_scores = np.asarray(positive_scores, dtype=np.float64)
     negative_scores = np.asarray(negative_scores, dtype=np.float64)
     thresholds = np.unique(np.concatenate([positive_scores, negative_scores]))
-    p_miss = np.mean(positive_scores[:, None] < thresholds[None, :], axis=0)
-    p_fa = np.mean(negative_scores[:, None] >= thresholds[None, :], axis=0)
+    if len(thresholds) > 1:
+        mid = (thresholds[:-1] + thresholds[1:]) / 2
+        thresholds = np.sort(np.concatenate([thresholds, mid]))
+    p_miss = np.mean(positive_scores[:, None] <= thresholds[None, :], axis=0)
+    p_fa = np.mean(negative_scores[:, None] > thresholds[None, :], axis=0)
     c_det = c_miss * p_miss * p_target + c_fa * p_fa * (1 - p_target)
     idx = int(np.argmin(c_det))
-    c_def = min(c_miss * p_target, c_fa * (1 - p_target))
-    return float(c_det[idx] / c_def), float(thresholds[idx])
+    # reference returns the RAW minimum cost (no c_def normalization,
+    # metric_stats.py:570-573)
+    return float(c_det[idx]), float(thresholds[idx])
 
 
 class ClassificationStats(MetricStats):
