@@ -157,25 +157,45 @@ class HMMAligner:
         abs_T = jnp.round(jnp.asarray(lens) * T).astype(jnp.int32)
         abs_U = jnp.round(jnp.asarray(phn_lens) * U).astype(jnp.int32)
         emis = self._emission(emission_pred, phns)  # (B, T, U)
+        # reference emission prep (aligner.py:538-595): frames past the
+        # utterance are ZERO (not -inf), padded states are -inf
+        t_valid = jnp.arange(T)[None, :] < abs_T[:, None]
+        emis = jnp.where(t_valid[:, :, None], emis, 0.0)
         u_valid = jnp.arange(U)[None, :] < abs_U[:, None]
         emis = jnp.where(u_valid[:, None, :], emis, self.neg_inf)
 
-        # Left-to-right: state u from u (self-loop) or u-1 (advance)
-        def fwd_step(alpha, e_t):
-            stay = alpha
+        # Left-to-right: state u from u (self-loop) or u-1 (advance).
+        # Reference transition probs (aligner.py:473-535): each state's
+        # {self-loop, advance} row is log-softmaxed -> log(0.5) each,
+        # except the FINAL state whose only option is the self-loop
+        # (log 1 = 0).
+        log_half = float(np.log(0.5))
+        is_final = (
+            jnp.arange(U)[None, :] == jnp.clip(abs_U - 1, 0, U - 1)[:, None]
+        )
+        stay_cost = jnp.where(is_final, 0.0, log_half)  # (B, U)
+        adv_cost = log_half  # from u-1, never the final state
+
+        def fwd_step(alpha, inp):
+            e_t, t = inp
+            stay = alpha + stay_cost
             adv = jnp.pad(
                 alpha[:, :-1], ((0, 0), (1, 0)),
                 constant_values=self.neg_inf,
-            )
-            alpha = jnp.logaddexp(stay, adv) + e_t
+            ) + adv_cost
+            new = jnp.logaddexp(stay, adv) + e_t
+            # reference freezes transitions once lens_abs < t
+            # (aligner.py:646-652: identity transition, zero emission)
+            frozen = abs_T < t
+            alpha = jnp.where(frozen[:, None], alpha, new)
             return alpha, alpha
 
         def vit_step(alpha, e_t):
-            stay = alpha
+            stay = alpha + stay_cost
             adv = jnp.pad(
                 alpha[:, :-1], ((0, 0), (1, 0)),
                 constant_values=self.neg_inf,
-            )
+            ) + adv_cost
             take_adv = adv > stay
             alpha = jnp.where(take_adv, adv, stay) + e_t
             return alpha, (alpha, take_adv)
@@ -184,11 +204,12 @@ class HMMAligner:
         alpha0 = alpha0.at[:, 0].set(emis[:, 0, 0])
         emis_t = jnp.swapaxes(emis, 0, 1)  # (T, B, U)
         if dp == "forward":
-            _, alphas = jax.lax.scan(fwd_step, alpha0, emis_t[1:])
-            alphas = jnp.concatenate([alpha0[None], alphas], axis=0)
-            final_t = jnp.clip(abs_T - 1, 0, T - 1)
-            final_u = jnp.clip(abs_U - 1, 0, U - 1)
-            return alphas[final_t, jnp.arange(B), final_u]
+            alpha_T, _ = jax.lax.scan(
+                fwd_step, alpha0, (emis_t[1:], jnp.arange(1, T))
+            )
+            # reference likelihood: logsumexp over ALL states at the
+            # final (max) frame (aligner.py:663-666)
+            return jax.scipy.special.logsumexp(alpha_T, axis=1)
         # Viterbi with backtrace
         _, (alphas, moves) = jax.lax.scan(vit_step, alpha0, emis_t[1:])
         alphas = jnp.concatenate([alpha0[None], alphas], axis=0)

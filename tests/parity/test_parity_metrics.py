@@ -93,3 +93,45 @@ def test_binary_metrics_parity(ref, torch):
     o = ours.summarize(threshold=0.0)
     for key in ("TP", "TN", "FP", "FN", "precision", "recall", "F-score"):
         assert abs(float(o[key]) - float(t[key])) < 1e-6, (key, o[key], t[key])
+
+
+def test_hmm_aligner_parity(ref, torch):
+    """Forward log-likelihood and Viterbi alignment vs the reference
+    HMMAligner (states_per_phoneme=1, forced left-to-right traversal)."""
+    from speechbrain.alignment.aligner import HMMAligner as RefAligner
+    from speechbrain_tpu.alignment.aligner import HMMAligner
+
+    rng = np.random.default_rng(114)
+    B, T, V, U = 2, 12, 6, 4
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    x = logits - logits.max(-1, keepdims=True)
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    phns = np.asarray([[1, 2, 3, 4], [2, 4, 1, 0]], dtype=np.int64)
+    lens = np.asarray([1.0, 0.75], dtype=np.float32)
+    phn_lens = np.asarray([1.0, 0.75], dtype=np.float32)
+
+    ref_al = RefAligner()
+    with torch.no_grad():
+        t_fwd = ref_al(
+            torch.tensor(logp), torch.tensor(lens),
+            torch.tensor(phns), torch.tensor(phn_lens), "forward",
+        )
+        t_vit, t_align = ref_al(
+            torch.tensor(logp), torch.tensor(lens),
+            torch.tensor(phns), torch.tensor(phn_lens), "viterbi",
+        )
+
+    ours = HMMAligner()
+    o_fwd = ours(logp, lens, phns, phn_lens, dp="forward")
+    o_vit, o_align = ours(logp, lens, phns, phn_lens, dp="viterbi")
+    np.testing.assert_allclose(
+        np.asarray(o_fwd), np.asarray(t_fwd), rtol=1e-4, atol=1e-4,
+        err_msg="aligner forward",
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_vit), np.asarray(t_vit), rtol=1e-4, atol=1e-4,
+        err_msg="aligner viterbi ll",
+    )
+    t_align = [list(map(int, a)) for a in t_align]
+    o_align = [list(map(int, a)) for a in o_align]
+    assert o_align == t_align, (o_align, t_align)
