@@ -1,19 +1,44 @@
 """Conv-TasNet source separation (encoder/masker/decoder).
 
-Parity target: reference ``lobes/models/conv_tasnet.py`` (MaskNet :173).
+Parity target: reference ``lobes/models/conv_tasnet.py`` (Encoder :13,
+Decoder :62, TemporalBlocksSequential :122, MaskNet :173,
+TemporalBlock :284, DepthwiseSeparableConv :375, Chomp1d :452,
+choose_norm :490, ChannelwiseLayerNorm :514, GlobalLayerNorm :555).
+
+Layout note: the reference composes ``dual_path.Encoder`` (channel-first
+[M, N, K]) with ``conv_tasnet.MaskNet``; this build is channels-last
+throughout — ``MaskNet`` takes (batch, time, N) and returns
+(n_src, batch, time, N) — which is the same math in the TPU-native
+(batch, time, channel) convention.
 """
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from speechbrain_tpu.nnet.CNN import Conv1d, ConvTranspose1d
+from speechbrain_tpu.nnet.CNN import Conv1d
+from speechbrain_tpu.nnet.linear import Linear
+from speechbrain_tpu.processing.signal_processing import overlap_and_add
 
 __all__ = ["Encoder", "Decoder", "TemporalBlock", "MaskNet", "ConvTasNet"]
 
+EPS = 1e-8
+
 
 class Encoder(nn.Module):
-    """Waveform -> latent frames via strided conv."""
+    """Waveform -> latent frames via strided conv + ReLU (reference
+    ``conv_tasnet.py:13``: Conv1d(N, L, stride=L//2, bias=False) with
+    the library's default "same" padding).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> enc = Encoder(L=8, N=6)
+    >>> x = jnp.ones((2, 64))
+    >>> v = enc.init(jax.random.PRNGKey(0), x)
+    >>> enc.apply(v, x).shape
+    (2, 17, 6)
+    """
 
     L: int = 16  # kernel
     N: int = 512  # latent channels
@@ -27,143 +52,48 @@ class Encoder(nn.Module):
                 out_channels=self.N,
                 kernel_size=self.L,
                 stride=self.L // 2,
-                padding="valid",
                 bias=False,
+                name="conv1d_U",
             )(x)
         )
 
 
 class Decoder(nn.Module):
-    """Latent frames -> waveform via transposed conv."""
-
-    L: int = 16
-    N: int = 512
-
-    @nn.compact
-    def __call__(self, x):
-        y = ConvTranspose1d(
-            out_channels=1,
-            kernel_size=self.L,
-            stride=self.L // 2,
-            bias=False,
-        )(x)
-        return y[..., 0]
-
-
-class TemporalBlock(nn.Module):
-    """1x1 conv -> PReLU -> norm -> depthwise dilated conv -> 1x1."""
-
-    out_channels: int
-    hid_channels: int
-    kernel_size: int
-    dilation: int
-
-    @nn.compact
-    def __call__(self, x):
-        residual = x
-        y = Conv1d(out_channels=self.hid_channels, kernel_size=1)(x)
-        y = nn.PReLU()(y)
-        y = nn.LayerNorm(dtype=y.dtype)(y)
-        y = Conv1d(
-            out_channels=self.hid_channels,
-            kernel_size=self.kernel_size,
-            dilation=self.dilation,
-            groups=self.hid_channels,
-        )(y)
-        y = nn.PReLU()(y)
-        y = nn.LayerNorm(dtype=y.dtype)(y)
-        y = Conv1d(out_channels=self.out_channels, kernel_size=1)(y)
-        return y + residual
-
-
-class MaskNet(nn.Module):
-    """TCN mask estimation: X blocks x R repeats of dilated conv stacks.
-
-    Returns masks (n_src, batch, time, N).
-    """
-
-    N: int = 512
-    B: int = 128
-    H: int = 512
-    P: int = 3
-    X: int = 8
-    R: int = 3
-    C: int = 2
-    norm_type: str = "gLN"
-    causal: bool = False
-    mask_nonlinear: str = "relu"
-
-    @nn.compact
-    def __call__(self, mixture_w):
-        y = nn.LayerNorm(dtype=mixture_w.dtype)(mixture_w)
-        y = Conv1d(out_channels=self.B, kernel_size=1)(y)
-        for r in range(self.R):
-            for x in range(self.X):
-                y = TemporalBlock(
-                    out_channels=self.B,
-                    hid_channels=self.H,
-                    kernel_size=self.P,
-                    dilation=2 ** x,
-                    name=f"tcn_{r}_{x}",
-                )(y)
-        score = Conv1d(
-            out_channels=self.C * self.N, kernel_size=1
-        )(y)
-        b, t, _ = score.shape
-        score = score.reshape(b, t, self.C, self.N)
-        score = jnp.moveaxis(score, 2, 0)  # (C, B, T, N)
-        if self.mask_nonlinear == "softmax":
-            return jax.nn.softmax(score, axis=0)
-        return jax.nn.relu(score)
-
-
-class ConvTasNet(nn.Module):
-    """Full encoder-masker-decoder separation model.
+    """Masked latent frames -> waveforms: per-source basis projection
+    (Linear N->L, bias=False) + overlap-add with hop L//2 (reference
+    ``conv_tasnet.py:62``).
 
     Example
     -------
     >>> import jax, jax.numpy as jnp
-    >>> model = ConvTasNet(N=16, B=8, H=16, X=2, R=1, C=2, L=8)
-    >>> x = jnp.ones((1, 256))
-    >>> v = model.init(jax.random.PRNGKey(0), x)
-    >>> model.apply(v, x).shape
-    (1, 256, 2)
+    >>> dec = Decoder(L=8, N=6)
+    >>> w = jnp.ones((2, 17, 6))
+    >>> m = jnp.ones((2, 17, 2, 6))
+    >>> v = dec.init(jax.random.PRNGKey(0), w, m)
+    >>> dec.apply(v, w, m).shape
+    (2, 72, 2)
     """
 
-    N: int = 512
-    B: int = 128
-    H: int = 512
-    P: int = 3
-    X: int = 8
-    R: int = 3
-    C: int = 2
     L: int = 16
+    N: int = 512
 
     @nn.compact
-    def __call__(self, mixture):
-        T_orig = mixture.shape[1]
-        w = Encoder(L=self.L, N=self.N)(mixture)
-        masks = MaskNet(
-            N=self.N, B=self.B, H=self.H, P=self.P,
-            X=self.X, R=self.R, C=self.C,
-        )(w)
-        decoder = Decoder(L=self.L, N=self.N)
-        outs = []
-        for c in range(self.C):
-            y = decoder(w * masks[c])
-            if y.shape[1] >= T_orig:
-                y = y[:, :T_orig]
-            else:
-                y = jnp.pad(y, ((0, 0), (0, T_orig - y.shape[1])))
-            outs.append(y)
-        return jnp.stack(outs, axis=-1)
+    def __call__(self, mixture_w, est_mask):
+        # mixture_w: (M, K, N); est_mask: (M, K, C, N)
+        source_w = mixture_w[:, :, None, :] * est_mask  # (M, K, C, N)
+        source_w = jnp.moveaxis(source_w, 2, 1)  # (M, C, K, N)
+        est_source = Linear(
+            n_neurons=self.L, bias=False, name="basis_signals"
+        )(source_w)  # (M, C, K, L)
+        est_source = overlap_and_add(est_source, self.L // 2)  # (M, C, T)
+        return jnp.moveaxis(est_source, 1, 2)  # (M, T, C)
 
 
 class ChannelwiseLayerNorm(nn.Module):
     """Channel-wise layer norm (cLN): normalize over the channel axis
-    per time step (reference ``lobes/models/conv_tasnet.py:514``;
-    channels-last here).  ``channel_size`` is accepted for reference
-    API compatibility (the shape is inferred).
+    per time step with biased variance and eps=1e-8 (reference
+    ``conv_tasnet.py:514``; channels-last here).  ``channel_size`` is
+    accepted for reference API compatibility (the shape is inferred).
 
     Example
     -------
@@ -176,7 +106,7 @@ class ChannelwiseLayerNorm(nn.Module):
     """
 
     channel_size: int | None = None
-    eps: float = 1e-8
+    eps: float = EPS
 
     @nn.compact
     def __call__(self, x):
@@ -184,14 +114,12 @@ class ChannelwiseLayerNorm(nn.Module):
         var = x.var(axis=-1, keepdims=True)
         gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
         beta = self.param("beta", nn.initializers.zeros, (x.shape[-1],))
-        return (
-            gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
-        )
+        return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
 
 
 class GlobalLayerNorm(nn.Module):
-    """Global layer norm (gLN): normalize over time AND channels
-    (reference ``lobes/models/conv_tasnet.py:555``).
+    """Global layer norm (gLN): normalize over time AND channels with
+    biased variance and eps=1e-8 (reference ``conv_tasnet.py:555``).
 
     Example
     -------
@@ -204,7 +132,7 @@ class GlobalLayerNorm(nn.Module):
     """
 
     channel_size: int | None = None
-    eps: float = 1e-8
+    eps: float = EPS
 
     @nn.compact
     def __call__(self, x):
@@ -215,20 +143,21 @@ class GlobalLayerNorm(nn.Module):
         return gamma * (x - mean) / jnp.sqrt(var + self.eps) + beta
 
 
-def choose_norm(norm_type, channel_size=None):
+def choose_norm(norm_type, channel_size=None, name=None):
     """Return the normalization module for ``norm_type`` ∈
-    {"gLN", "cLN", "ln"} (reference
-    ``lobes/models/conv_tasnet.py:490``)."""
+    {"gLN", "cLN", ...} (reference ``conv_tasnet.py:490``; the
+    reference's fallback is BatchNorm1d — unused by any recipe — here a
+    plain LayerNorm keeps the module stateless)."""
     if norm_type == "gLN":
-        return GlobalLayerNorm()
+        return GlobalLayerNorm(name=name)
     if norm_type == "cLN":
-        return ChannelwiseLayerNorm()
-    return nn.LayerNorm()
+        return ChannelwiseLayerNorm(name=name)
+    return nn.LayerNorm(name=name)
 
 
 class Chomp1d(nn.Module):
     """Remove trailing frames added by causal padding (reference
-    ``lobes/models/conv_tasnet.py``, channels-last).
+    ``conv_tasnet.py:452``, channels-last).
 
     Example
     -------
@@ -244,8 +173,8 @@ class Chomp1d(nn.Module):
 
 
 class DepthwiseSeparableConv(nn.Module):
-    """Depthwise + pointwise conv with norm and PReLU-style activation
-    (reference ``lobes/models/conv_tasnet.py``).
+    """Depthwise dilated conv -> PReLU -> norm -> pointwise 1x1, all
+    bias-free (reference ``conv_tasnet.py:375``).
 
     Example
     -------
@@ -274,21 +203,72 @@ class DepthwiseSeparableConv(nn.Module):
             dilation=self.dilation,
             padding="causal" if self.causal else "same",
             groups=in_ch,
-            name="depthwise",
+            bias=False,
+            name="conv_0",
         )(x)
-        y = jax.nn.leaky_relu(y, 0.01)
-        y = choose_norm(self.norm_type)(y)
+        y = nn.PReLU(negative_slope_init=0.25, name="act")(y)
+        y = choose_norm(self.norm_type, name="norm")(y)
         y = Conv1d(
-            out_channels=self.out_channels, kernel_size=1,
-            name="pointwise",
+            out_channels=self.out_channels,
+            kernel_size=1,
+            bias=False,
+            name="conv_1",
         )(y)
         return y
 
 
+class TemporalBlock(nn.Module):
+    """1x1 conv (bias-free) -> PReLU -> norm -> depthwise-separable
+    dilated conv, with a residual connection (reference
+    ``conv_tasnet.py:284``).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> blk = TemporalBlock(out_channels=5, kernel_size=3, dilation=2)
+    >>> x = jnp.ones((2, 20, 8))
+    >>> v = blk.init(jax.random.PRNGKey(0), x)
+    >>> blk.apply(v, x).shape
+    (2, 20, 8)
+    """
+
+    out_channels: int  # H: hidden width of the block
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    norm_type: str = "gLN"
+    causal: bool = False
+    # alias kept for older call sites
+    hid_channels: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        hid = (
+            self.hid_channels
+            if self.hid_channels is not None
+            else self.out_channels
+        )
+        residual = x
+        y = Conv1d(
+            out_channels=hid, kernel_size=1, bias=False, name="conv"
+        )(x)
+        y = nn.PReLU(negative_slope_init=0.25, name="act")(y)
+        y = choose_norm(self.norm_type, name="norm")(y)
+        y = DepthwiseSeparableConv(
+            out_channels=x.shape[-1],
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            dilation=self.dilation,
+            causal=self.causal,
+            norm_type=self.norm_type,
+            name="DSconv",
+        )(y)
+        return y + residual
+
+
 class TemporalBlocksSequential(nn.Module):
     """Stack of dilated TemporalBlocks: R repeats × X layers with
-    exponentially growing dilation (reference
-    ``lobes/models/conv_tasnet.py``).
+    exponentially growing dilation (reference ``conv_tasnet.py:122``).
 
     Example
     -------
@@ -313,10 +293,125 @@ class TemporalBlocksSequential(nn.Module):
         for r in range(self.R):
             for i in range(self.X):
                 x = TemporalBlock(
-                    out_channels=x.shape[-1],
-                    hid_channels=self.H,
+                    out_channels=self.H,
                     kernel_size=self.P,
+                    stride=1,
                     dilation=2**i,
-                    name=f"block_{r}_{i}",
+                    norm_type=self.norm_type,
+                    causal=self.causal,
+                    name=f"temporalblock_{r}_{i}",
                 )(x)
         return x
+
+
+class MaskNet(nn.Module):
+    """TCN mask estimation: cLN -> bias-free bottleneck 1x1 -> R×X
+    dilated temporal blocks -> bias-free mask 1x1 (reference
+    ``conv_tasnet.py:173``).
+
+    Takes latent frames (batch, time, N); returns masks
+    (n_src, batch, time, N).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> net = MaskNet(N=6, B=4, H=5, P=3, X=2, R=1, C=2)
+    >>> w = jnp.ones((2, 17, 6))
+    >>> v = net.init(jax.random.PRNGKey(0), w)
+    >>> net.apply(v, w).shape
+    (2, 2, 17, 6)
+    """
+
+    N: int = 512
+    B: int = 128
+    H: int = 512
+    P: int = 3
+    X: int = 8
+    R: int = 3
+    C: int = 2
+    norm_type: str = "gLN"
+    causal: bool = False
+    mask_nonlinear: str = "relu"
+
+    @nn.compact
+    def __call__(self, mixture_w):
+        M, K, _ = mixture_w.shape
+        y = ChannelwiseLayerNorm(name="layer_norm")(mixture_w)
+        y = Conv1d(
+            out_channels=self.B,
+            kernel_size=1,
+            bias=False,
+            name="bottleneck_conv1x1",
+        )(y)
+        y = TemporalBlocksSequential(
+            H=self.H,
+            P=self.P,
+            R=self.R,
+            X=self.X,
+            norm_type=self.norm_type,
+            causal=self.causal,
+            name="temporal_conv_net",
+        )(y, train=False)
+        score = Conv1d(
+            out_channels=self.C * self.N,
+            kernel_size=1,
+            bias=False,
+            name="mask_conv1x1",
+        )(y)
+        score = score.reshape(M, K, self.C, self.N)
+        score = jnp.moveaxis(score, 2, 0)  # (C, M, K, N)
+        if self.mask_nonlinear == "softmax":
+            # The reference applies softmax over the channel axis N
+            # (conv_tasnet.py:277, dim=2 of [C, M, N, K]); mirrored.
+            return jax.nn.softmax(score, axis=-1)
+        return jax.nn.relu(score)
+
+
+class ConvTasNet(nn.Module):
+    """Full encoder-masker-decoder separation model.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> model = ConvTasNet(N=16, B=8, H=16, X=2, R=1, C=2, L=8)
+    >>> x = jnp.ones((1, 256))
+    >>> v = model.init(jax.random.PRNGKey(0), x)
+    >>> model.apply(v, x).shape
+    (1, 256, 2)
+    """
+
+    N: int = 512
+    B: int = 128
+    H: int = 512
+    P: int = 3
+    X: int = 8
+    R: int = 3
+    C: int = 2
+    L: int = 16
+    norm_type: str = "gLN"
+    causal: bool = False
+    mask_nonlinear: str = "relu"
+
+    @nn.compact
+    def __call__(self, mixture):
+        T_orig = mixture.shape[1]
+        w = Encoder(L=self.L, N=self.N)(mixture)
+        masks = MaskNet(
+            N=self.N,
+            B=self.B,
+            H=self.H,
+            P=self.P,
+            X=self.X,
+            R=self.R,
+            C=self.C,
+            norm_type=self.norm_type,
+            causal=self.causal,
+            mask_nonlinear=self.mask_nonlinear,
+        )(w)  # (C, M, K, N)
+        est_mask = jnp.moveaxis(masks, 0, 2)  # (M, K, C, N)
+        y = Decoder(L=self.L, N=self.N)(w, est_mask)  # (M, T, C)
+        if y.shape[1] >= T_orig:
+            y = y[:, :T_orig]
+        else:
+            y = jnp.pad(y, ((0, 0), (0, T_orig - y.shape[1]), (0, 0)))
+        return y
