@@ -309,6 +309,47 @@ def _load_audio_any(path, start=0, stop=None):
     raise ValueError(f"Unsupported audio format: {ext}")
 
 
+def audio_info(path):
+    """Return ``(sample_rate, num_frames)`` for an audio file.
+
+    Header-only for WAV/SPHERE (the torchaudio.info role in the
+    reference, e.g. VAD ``_get_audio_info``,
+    ``pretrained/interfaces.py:1732``); falls back to a full decode
+    for formats without a cheap header path (flac/mp3/...).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".wav", ".wave", ""):
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic != b"NIST":
+            import wave
+
+            try:
+                with wave.open(path, "rb") as w:
+                    return w.getframerate(), w.getnframes()
+            except wave.Error:
+                pass
+        else:
+            with open(path, "rb") as f:
+                f.readline()
+                header_size = int(f.readline().strip())
+                f.seek(0)
+                header = f.read(header_size).decode(
+                    "ascii", errors="replace"
+                )
+            fields = {}
+            for line in header.splitlines()[2:]:
+                parts = line.split()
+                if len(parts) >= 3 and parts[1].startswith("-"):
+                    fields[parts[0]] = parts[2]
+            return (
+                int(fields.get("sample_rate", 16000)),
+                int(fields.get("sample_count", 0)),
+            )
+    audio, sr = _load_audio_any(path)
+    return sr, len(audio)
+
+
 def read_audio_multichannel(waveforms_obj):
     """Read and stack multiple files as channels: {"files": [...], ...}."""
     if isinstance(waveforms_obj, str):

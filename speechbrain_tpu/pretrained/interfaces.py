@@ -317,9 +317,17 @@ class VAD(Pretrained):
     """Voice activity detection over arbitrarily long recordings.
 
     Chunked double-windowing inference (reference
-    ``interfaces.py:1120-2053``): the file is processed in large chunks
-    with small-chunk granularity, probabilities are thresholded into
-    boundaries, with optional energy-based refinement.
+    ``pretrained/interfaces.py:1120-2053``): the file is read in large
+    sequential chunks; each is split into small chunks processed in
+    parallel (optionally 50%-overlapped with hamming-window averaging),
+    probabilities are thresholded into boundaries, with optional
+    energy-based refinement and neural double-checking.
+
+    All boundary math follows the reference exactly: frame-level
+    arrays are shaped ``(batch, frames, 1)``, segment end times are the
+    *last speech frame* times ``time_resolution``
+    (``interfaces.py:1438-1443``), and energies are log-sum-abs
+    normalized to mean 0.5 / half-std 0.5 (``interfaces.py:1674-1684``).
     """
 
     MODULES_NEEDED = ["model"]
@@ -331,151 +339,516 @@ class VAD(Pretrained):
             self.hparams, "time_resolution", 0.01
         )
 
+    # -- neural posteriors -------------------------------------------------
+
     def get_speech_prob_chunk(self, wavs, wav_lens=None):
-        """Frame-level speech probabilities for waveform chunks."""
+        """Frame-level speech probabilities for waveform chunks.
+
+        Returns a ``(batch, frames, 1)`` array of sigmoided posteriors
+        (reference ``interfaces.py:1308-1357``).
+        """
+        import jax
         import jax.numpy as jnp
 
         wavs = jnp.asarray(wavs)
+        if wavs.ndim == 1:
+            wavs = wavs[None]
         if wav_lens is None:
             wav_lens = jnp.ones(wavs.shape[0])
         if hasattr(self.hparams, "compute_features"):
             feats = self.hparams.compute_features(wavs)
         else:
             feats = wavs
+        if hasattr(self.hparams, "mean_var_norm"):
+            feats = self.hparams.mean_var_norm(feats, wav_lens)
         out = self._apply("model", feats, lengths=wav_lens)
-        import jax
-
         return jax.nn.sigmoid(out)
 
     def get_speech_prob_file(
-        self, audio_file, large_chunk_size=30, small_chunk_size=10, overlap_small_chunk=False
+        self,
+        audio_file,
+        large_chunk_size=30,
+        small_chunk_size=10,
+        overlap_small_chunk=False,
     ):
-        """Frame-level speech probabilities for a whole file."""
-        import jax.numpy as jnp
+        """Frame-level speech probability over a whole file.
 
-        audio = np.asarray(self.load_audio(audio_file))
-        sr = self.sample_rate
-        large = int(large_chunk_size * sr)
-        small = int(small_chunk_size * sr)
-        probs = []
-        for start in range(0, len(audio), large):
-            chunk = audio[start : start + large]
-            # split into small chunks (pad last)
-            n_small = -(-len(chunk) // small)
-            pad = n_small * small - len(chunk)
-            chunk = np.pad(chunk, (0, pad))
-            smalls = chunk.reshape(n_small, small)
-            p = self.get_speech_prob_chunk(jnp.asarray(smalls))
-            probs.append(np.asarray(p).reshape(-1, p.shape[-1]))
-        return np.concatenate(probs, axis=0)
+        Double-windowing (reference ``interfaces.py:1149-1280``):
+        sequential non-overlapping large chunks, each split into small
+        chunks scored in parallel.  With ``overlap_small_chunk`` the
+        small chunks use a 50% step and their probabilities are
+        combined with hamming windows via overlap-add (the reference's
+        unfold/fold pair).
+        """
+        sample_rate, audio_len = self._get_audio_info(audio_file)
+        if sample_rate != self.sample_rate:
+            raise ValueError(
+                "The detected sample rate is different from that set "
+                "in the hparam file"
+            )
+
+        long_chunk_len = int(sample_rate * large_chunk_size)
+        small_chunk_len = int(sample_rate * small_chunk_size)
+        small_chunk_step = small_chunk_size
+        if overlap_small_chunk:
+            small_chunk_step = small_chunk_size / 2
+        small_chunk_len_step = int(sample_rate * small_chunk_step)
+
+        prob_chunks = []
+        last_chunk = False
+        begin_sample = 0
+        while True:
+            large_chunk = self._read_segment(
+                audio_file, begin_sample, long_chunk_len
+            )
+            if last_chunk or large_chunk.shape[-1] < small_chunk_len:
+                large_chunk = np.concatenate(
+                    [large_chunk, np.zeros(small_chunk_len, np.float32)]
+                )
+
+            # unfold: (n_windows, small_chunk_len), 50%-step capable
+            n_win = (
+                len(large_chunk) - small_chunk_len
+            ) // small_chunk_len_step + 1
+            idx = (
+                np.arange(small_chunk_len)[None, :]
+                + np.arange(n_win)[:, None] * small_chunk_len_step
+            )
+            small_chunks = large_chunk[idx]
+
+            small_chunks_prob = np.asarray(
+                self.get_speech_prob_chunk(small_chunks)
+            )
+            if small_chunks_prob.ndim == 2:
+                small_chunks_prob = small_chunks_prob[:, :, None]
+
+            out_len = int(
+                large_chunk.shape[-1]
+                / (sample_rate * self.time_resolution)
+            )
+            kernel_len = int(small_chunk_size / self.time_resolution)
+            step_len = int(small_chunk_step / self.time_resolution)
+
+            # drop trailing frame so each window is exactly
+            # kernel_len frames (reference interfaces.py:1235; models
+            # that already emit kernel_len frames are used as-is)
+            if small_chunks_prob.shape[1] > kernel_len:
+                small_chunks_prob = small_chunks_prob[:, :-1, :]
+
+            if overlap_small_chunk:
+                small_chunks_prob = self._manage_overlapped_chunks(
+                    small_chunks_prob
+                )
+
+            # fold: overlap-add the per-window frame probabilities
+            folded = np.zeros((out_len, 1), np.float32)
+            for w in range(small_chunks_prob.shape[0]):
+                beg = w * step_len
+                folded[beg : beg + kernel_len] += small_chunks_prob[
+                    w, :kernel_len
+                ]
+            prob_chunks.append(folded[None])
+
+            if last_chunk:
+                break
+            begin_sample = begin_sample + long_chunk_len
+            if begin_sample + long_chunk_len > audio_len:
+                last_chunk = True
+
+        prob_vad = np.concatenate(prob_chunks, axis=1)
+        last_elem = int(audio_len / (self.time_resolution * sample_rate))
+        return prob_vad[:, 0:last_elem, :]
+
+    def _manage_overlapped_chunks(self, small_chunks_prob):
+        """Hamming-weight 50%-overlapped small-chunk probabilities
+        (reference ``interfaces.py:1282-1306``); first/last half
+        windows keep unit weight at the unoverlapped edges."""
+        n = small_chunks_prob.shape[1]
+        # torch.hamming_window is periodic: 0.54 - 0.46 cos(2 pi k / n)
+        hamming = (
+            0.54 - 0.46 * np.cos(2.0 * np.pi * np.arange(n) / n)
+        ).astype(small_chunks_prob.dtype)
+        half_point = int(n / 2)
+        small_chunks_prob = small_chunks_prob.copy()
+        small_chunks_prob[0, half_point:] *= hamming[half_point:, None]
+        small_chunks_prob[-1, 0:half_point] *= hamming[0:half_point, None]
+        small_chunks_prob[1:-1] *= hamming[None, :, None]
+        return small_chunks_prob
+
+    # -- thresholding & boundaries -----------------------------------------
 
     def apply_threshold(
         self, vad_prob, activation_th=0.5, deactivation_th=0.25
     ):
-        """Hysteresis thresholding of frame probabilities."""
-        vad_prob = np.asarray(vad_prob).reshape(-1)
-        vad = np.zeros_like(vad_prob, dtype=bool)
-        active = False
-        for i, p in enumerate(vad_prob):
-            if not active and p >= activation_th:
-                active = True
-            elif active and p < deactivation_th:
-                active = False
-            vad[i] = active
-        return vad
+        """Hysteresis thresholding: speech starts when the posterior
+        exceeds ``activation_th`` and ends when it drops below
+        ``deactivation_th`` (reference ``interfaces.py:1358-1396``).
 
-    def get_boundaries(self, vad, output_value="seconds"):
-        """Binary frame decisions -> (N, 2) start/end boundaries."""
-        vad = np.asarray(vad).reshape(-1)
-        bounds = []
-        in_seg = False
-        for i, v in enumerate(vad):
-            if v and not in_seg:
-                in_seg = True
-                start = i
-            elif not v and in_seg:
-                in_seg = False
-                bounds.append((start, i))
-        if in_seg:
-            bounds.append((start, len(vad)))
-        bounds = np.asarray(bounds, dtype=np.float64).reshape(-1, 2)
+        Accepts/returns ``(batch, frames, 1)`` (frame vectors are
+        promoted); returns int 0/1 decisions of the same shape.
+        """
+        vad_prob = np.asarray(vad_prob, np.float32)
+        squeeze = vad_prob.ndim == 1
+        if squeeze:
+            vad_prob = vad_prob[None, :, None]
+        elif vad_prob.ndim == 2:
+            vad_prob = vad_prob[:, :, None]
+        active = vad_prob >= deactivation_th
+        starting = vad_prob >= activation_th
+        B, T, _ = vad_prob.shape
+        t_idx = np.arange(T)[None, :, None]
+        # speech at t iff inside an `active` run containing an earlier
+        # (or equal) `starting` frame: compare the most recent start
+        # against the most recent inactive frame (vectorized form of
+        # the reference's sequential 2->1 promotion loop).
+        last_inactive = np.maximum.accumulate(
+            np.where(~active, t_idx, -1), axis=1
+        )
+        last_start = np.maximum.accumulate(
+            np.where(starting, t_idx, -1), axis=1
+        )
+        vad_th = (active & (last_start > last_inactive)).astype(np.int32)
+        return vad_th[0, :, 0] if squeeze else vad_th
+
+    def get_boundaries(self, prob_th, output_value="seconds"):
+        """Binary frame decisions -> (N, 2) begin/end boundaries.
+
+        The end value is the *last speech frame* (reference subtracts
+        one before scaling, ``interfaces.py:1438-1443``); seconds =
+        frame * time_resolution, samples = round(sr * seconds).
+        """
+        prob_th = np.asarray(prob_th).astype(np.float32)
+        if prob_th.ndim == 1:
+            prob_th = prob_th[None, :, None]
+        elif prob_th.ndim == 2:
+            prob_th = prob_th[:, :, None]
+        prob_th = prob_th.copy()
+        shifted = np.roll(prob_th, shift=1, axis=1)
+        shifted[:, 0, :] = 0
+        prob_th = prob_th + shifted
+        prob_th[:, 0, :] = (prob_th[:, 0, :] >= 1).astype(np.float32)
+        prob_th[:, -1, :] = (prob_th[:, -1, :] >= 1).astype(np.float32)
+
+        flat = prob_th[0, :, 0]
+        change_idx = np.nonzero(flat == 1)[0]
+        if len(change_idx) % 2 == 1:
+            # speech started in the last frame: close it there
+            change_idx = np.concatenate([change_idx, [len(flat)]])
+        indexes = change_idx.reshape(-1, 2).astype(np.int64)
+        indexes[:, -1] = indexes[:, -1] - 1
+
+        seconds = (indexes * self.time_resolution).astype(np.float32)
         if output_value == "seconds":
-            bounds = bounds * self.time_resolution
-        return bounds
+            return seconds
+        return np.round(self.sample_rate * seconds).astype(np.int64)
+
+    def merge_close_segments(self, boundaries, close_th=0.250):
+        """Merge segments whose gap is <= ``close_th`` seconds
+        (reference ``interfaces.py:1452-1497``)."""
+        boundaries = np.asarray(boundaries, np.float32).reshape(-1, 2)
+        if boundaries.shape[0] == 0:
+            return boundaries
+        merged = [[float(boundaries[0, 0]), float(boundaries[0, 1])]]
+        for beg, end in boundaries[1:]:
+            if beg - merged[-1][1] <= close_th:
+                merged[-1][1] = float(end)
+            else:
+                merged.append([float(beg), float(end)])
+        return np.asarray(merged, np.float32)
+
+    def remove_short_segments(self, boundaries, len_th=0.250):
+        """Drop segments with duration <= ``len_th`` seconds
+        (reference ``interfaces.py:1499-1528`` keeps strictly longer)."""
+        boundaries = np.asarray(boundaries, np.float32).reshape(-1, 2)
+        keep = (boundaries[:, 1] - boundaries[:, 0]) > len_th
+        return boundaries[keep].reshape(-1, 2)
+
+    def save_boundaries(
+        self,
+        boundaries,
+        save_path=None,
+        print_boundaries=True,
+        audio_file=None,
+    ):
+        """Write/print speech and non-speech intervals in the
+        reference's readable segment format
+        (``interfaces.py:1530-1603``)."""
+        boundaries = np.asarray(boundaries).reshape(-1, 2)
+        f = None
+        if save_path is not None:
+            f = open(save_path, mode="w", encoding="utf-8")
+        audio_len = None
+        if audio_file is not None:
+            sample_rate, audio_len = self._get_audio_info(audio_file)
+            audio_len = audio_len / sample_rate
+        if np.issubdtype(boundaries.dtype, np.integer):
+            value_format = "% i"
+        else:
+            value_format = "% .2f "
+
+        def emit(cnt, a, b, label):
+            print_str = (
+                "segment_%03d " + value_format + value_format + label
+            )
+            line = print_str % (cnt, a, b)
+            if print_boundaries:
+                print(line)
+            if f is not None:
+                f.write(line + "\n")
+
+        last_end = 0
+        cnt_seg = 0
+        end_value = 0
+        for i in range(boundaries.shape[0]):
+            begin_value = boundaries[i, 0]
+            end_value = boundaries[i, 1]
+            if last_end != begin_value:
+                cnt_seg += 1
+                emit(cnt_seg, last_end, begin_value, "NON_SPEECH")
+            cnt_seg += 1
+            emit(cnt_seg, begin_value, end_value, "SPEECH")
+            last_end = end_value
+        if audio_file is not None and last_end < audio_len:
+            cnt_seg += 1
+            emit(cnt_seg, end_value, audio_len, "NON_SPEECH")
+        if f is not None:
+            f.close()
+
+    # -- energy refinement ---------------------------------------------------
 
     def energy_VAD(
-        self, audio_file, boundaries, activation_th=0.5, deactivation_th=0.0, eps=1e-6
+        self,
+        audio_file,
+        boundaries,
+        activation_th=0.5,
+        deactivation_th=0.0,
+        eps=1e-6,
     ):
-        """Refine boundaries with frame energies inside each segment."""
-        audio = np.asarray(self.load_audio(audio_file))
-        sr = self.sample_rate
-        frame = int(self.time_resolution * sr)
-        new_bounds = []
-        for beg, end in boundaries:
-            s, e = int(beg * sr), int(end * sr)
-            seg = audio[s:e]
-            if len(seg) < frame:
-                continue
-            n = len(seg) // frame
-            frames = seg[: n * frame].reshape(n, frame)
-            energy = 10 * np.log10((frames ** 2).mean(axis=1) + eps)
-            # normalize to 0..1 within segment
-            rng_e = energy.max() - energy.min() + eps
-            norm_e = (energy - energy.min()) / rng_e
-            vad = self.apply_threshold(
-                norm_e, activation_th, deactivation_th
+        """Fine-grained energy VAD inside each detected speech segment
+        (reference ``interfaces.py:1605-1705``): log-sum-abs chunk
+        energies normalized to mean 0.5 / half-std 0.5, then the same
+        hysteresis thresholding."""
+        sample_rate, audio_len = self._get_audio_info(audio_file)
+        if sample_rate != self.sample_rate:
+            raise ValueError(
+                "The detected sample rate is different from that set "
+                "in the hparam file"
             )
-            for bs, be in self.get_boundaries(vad, output_value="frames"):
-                new_bounds.append(
-                    (
-                        beg + bs * self.time_resolution,
-                        beg + be * self.time_resolution,
-                    )
+        chunk_len = int(self.time_resolution * sample_rate)
+        new_boundaries = []
+        boundaries = np.asarray(boundaries, np.float32).reshape(-1, 2)
+        for i in range(boundaries.shape[0]):
+            begin_sample = int(boundaries[i, 0] * sample_rate)
+            end_sample = int(boundaries[i, 1] * sample_rate)
+            seg_len = end_sample - begin_sample
+            segment = self._read_segment(audio_file, begin_sample, seg_len)
+            segment_chunks = self.create_chunks(
+                segment[None], chunk_size=chunk_len, chunk_stride=chunk_len
+            )
+            energy_chunks = np.abs(segment_chunks).sum(-1) + eps
+            energy_chunks = np.log(energy_chunks)
+            energy_chunks = (
+                (energy_chunks - energy_chunks.mean())
+                / (2 * energy_chunks.std(ddof=1))
+            ) + 0.5
+            energy_vad = self.apply_threshold(
+                energy_chunks[None, :, None],
+                activation_th=activation_th,
+                deactivation_th=deactivation_th,
+            )
+            energy_boundaries = self.get_boundaries(
+                energy_vad, output_value="seconds"
+            )
+            for j in range(energy_boundaries.shape[0]):
+                start_en = boundaries[i, 0] + energy_boundaries[j, 0]
+                end_en = boundaries[i, 0] + energy_boundaries[j, 1]
+                new_boundaries.append([start_en, end_en])
+        return np.asarray(new_boundaries, np.float32).reshape(-1, 2)
+
+    # -- chunk/file helpers ----------------------------------------------------
+
+    def create_chunks(self, x, chunk_size=16384, chunk_stride=16384):
+        """Split (batch, time) signals into strided chunks concatenated
+        over the batch axis (reference ``interfaces.py:1707-1730``)."""
+        x = np.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        n_win = max(0, (x.shape[1] - chunk_size) // chunk_stride + 1)
+        idx = (
+            np.arange(chunk_size)[None, :]
+            + np.arange(n_win)[:, None] * chunk_stride
+        )
+        return x[:, idx].reshape(x.shape[0] * n_win, -1)
+
+    def _get_audio_info(self, audio_file):
+        """(sample_rate, num_frames) of the input audio file."""
+        from speechbrain_tpu.dataio.dataio import audio_info
+
+        return audio_info(str(audio_file))
+
+    def _read_segment(self, audio_file, frame_offset, num_frames):
+        """Read ``num_frames`` samples starting at ``frame_offset``
+        (mono float32) — the torchaudio.load(frame_offset, num_frames)
+        role in the reference."""
+        from speechbrain_tpu.dataio.dataio import _load_audio_any
+
+        audio, _ = _load_audio_any(
+            str(audio_file), int(frame_offset),
+            int(frame_offset) + int(num_frames),
+        )
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=-1)
+        return audio
+
+    # -- visualization / verification helpers ------------------------------
+
+    def upsample_VAD(self, vad_out, audio_file, time_resolution=0.01):
+        """Upsample frame decisions to sample rate for visualization
+        (reference ``interfaces.py:1741-1785``)."""
+        sample_rate, sig_len = self._get_audio_info(audio_file)
+        if sample_rate != self.sample_rate:
+            raise ValueError(
+                "The detected sample rate is different from that set "
+                "in the hparam file"
+            )
+        vad_out = np.asarray(vad_out)
+        if vad_out.ndim == 1:
+            vad_out = vad_out[None, :, None]
+        beg_samp = 0
+        step_size = int(time_resolution * sample_rate)
+        end_samp = step_size
+        index = 0
+        vad_signal = np.zeros((1, sig_len), np.float32)
+        while end_samp < sig_len:
+            vad_signal[0, beg_samp:end_samp] = vad_out[0, index, 0]
+            index += 1
+            beg_samp += step_size
+            end_samp = beg_samp + step_size
+        return vad_signal
+
+    def upsample_boundaries(self, boundaries, audio_file):
+        """Boundaries -> sample-rate 0/1 signal (reference
+        ``interfaces.py:1787-1822``)."""
+        sample_rate, sig_len = self._get_audio_info(audio_file)
+        if sample_rate != self.sample_rate:
+            raise ValueError(
+                "The detected sample rate is different from that set "
+                "in the hparam file"
+            )
+        boundaries = np.asarray(boundaries).reshape(-1, 2)
+        vad_signal = np.zeros((1, sig_len), np.float32)
+        for i in range(boundaries.shape[0]):
+            beg_sample = int(boundaries[i, 0] * sample_rate)
+            end_sample = int(boundaries[i, 1] * sample_rate)
+            vad_signal[0, beg_sample:end_sample] = 1.0
+        return vad_signal
+
+    def double_check_speech_segments(
+        self, boundaries, audio_file, speech_th=0.5
+    ):
+        """Re-score each candidate segment with the neural VAD and keep
+        those whose mean posterior exceeds ``speech_th`` (reference
+        ``interfaces.py:1824-1868``)."""
+        self._get_audio_info(audio_file)
+        boundaries = np.asarray(boundaries, np.float32).reshape(-1, 2)
+        sample_rate = self.sample_rate
+        new_boundaries = []
+        for i in range(boundaries.shape[0]):
+            beg_sample = int(boundaries[i, 0] * sample_rate)
+            end_sample = int(boundaries[i, 1] * sample_rate)
+            segment = self._read_segment(
+                audio_file, beg_sample, end_sample - beg_sample
+            )
+            speech_prob = self.get_speech_prob_chunk(segment[None])
+            if float(np.asarray(speech_prob).mean()) > speech_th:
+                new_boundaries.append(
+                    [boundaries[i, 0], boundaries[i, 1]]
                 )
-        return np.asarray(new_bounds).reshape(-1, 2)
+        return np.asarray(new_boundaries, np.float32).reshape(-1, 2)
 
-    def merge_close_segments(self, boundaries, close_th=0.25):
-        """Merge segments separated by < close_th seconds."""
-        if len(boundaries) == 0:
-            return boundaries
-        merged = [list(boundaries[0])]
-        for beg, end in boundaries[1:]:
-            if beg - merged[-1][1] < close_th:
-                merged[-1][1] = end
-            else:
-                merged.append([beg, end])
-        return np.asarray(merged)
+    def get_segments(
+        self, boundaries, audio_file, before_margin=0.1, after_margin=0.1
+    ):
+        """Extract the detected speech waveform segments, with margins
+        (reference ``interfaces.py:1870-1913``)."""
+        sample_rate, sig_len = self._get_audio_info(audio_file)
+        if sample_rate != self.sample_rate:
+            raise ValueError(
+                "The detected sample rate is different from that set "
+                "in the hparam file"
+            )
+        boundaries = np.asarray(boundaries, np.float32).reshape(-1, 2)
+        segments = []
+        for i in range(boundaries.shape[0]):
+            beg_sample = boundaries[i, 0] * sample_rate
+            end_sample = boundaries[i, 1] * sample_rate
+            beg_sample = int(
+                max(0, beg_sample - before_margin * sample_rate)
+            )
+            end_sample = int(
+                min(sig_len, end_sample + after_margin * sample_rate)
+            )
+            segments.append(
+                self._read_segment(
+                    audio_file, beg_sample, end_sample - beg_sample
+                )[None]
+            )
+        return segments
 
-    def remove_short_segments(self, boundaries, len_th=0.25):
-        """Drop segments shorter than len_th seconds."""
-        return np.asarray(
-            [b for b in boundaries if b[1] - b[0] >= len_th]
-        ).reshape(-1, 2)
+    # -- full pipeline ----------------------------------------------------
 
     def get_speech_segments(
         self,
         audio_file,
         large_chunk_size=30,
         small_chunk_size=10,
+        overlap_small_chunk=False,
+        apply_energy_VAD=False,
+        double_check=True,
+        close_th=0.250,
+        len_th=0.250,
         activation_th=0.5,
         deactivation_th=0.25,
-        apply_energy_VAD=False,
-        close_th=0.25,
-        len_th=0.25,
+        en_activation_th=0.5,
+        en_deactivation_th=0.0,
+        speech_th=0.50,
     ):
-        """Full pipeline: file -> speech segment boundaries (seconds)."""
-        probs = self.get_speech_prob_file(
-            audio_file, large_chunk_size, small_chunk_size
+        """Full pipeline: posteriors -> threshold -> boundaries ->
+        (energy VAD) -> merge -> remove-short -> (double check)
+        (reference ``interfaces.py:1915-2047``)."""
+        prob_chunks = self.get_speech_prob_file(
+            audio_file,
+            large_chunk_size=large_chunk_size,
+            small_chunk_size=small_chunk_size,
+            overlap_small_chunk=overlap_small_chunk,
         )
-        vad = self.apply_threshold(
-            probs, activation_th, deactivation_th
-        )
-        boundaries = self.get_boundaries(vad)
+        prob_th = self.apply_threshold(
+            prob_chunks,
+            activation_th=activation_th,
+            deactivation_th=deactivation_th,
+        ).astype(np.float32)
+        boundaries = self.get_boundaries(prob_th, output_value="seconds")
         if apply_energy_VAD:
-            boundaries = self.energy_VAD(audio_file, boundaries)
-        boundaries = self.merge_close_segments(boundaries, close_th)
-        boundaries = self.remove_short_segments(boundaries, len_th)
+            boundaries = self.energy_VAD(
+                audio_file,
+                boundaries,
+                activation_th=en_activation_th,
+                deactivation_th=en_deactivation_th,
+            )
+        boundaries = self.merge_close_segments(
+            boundaries, close_th=close_th
+        )
+        boundaries = self.remove_short_segments(boundaries, len_th=len_th)
+        if double_check:
+            boundaries = self.double_check_speech_segments(
+                boundaries, audio_file, speech_th=speech_th
+            )
         return boundaries
+
+    def forward(self, wavs, wav_lens=None):
+        """Frame-level speech-activity predictions."""
+        return self.get_speech_prob_chunk(wavs, wav_lens)
 
 
 class WaveformEncoder(Pretrained):
