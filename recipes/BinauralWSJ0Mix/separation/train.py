@@ -33,6 +33,10 @@ class Separation(sb.Brain):
         import jax.numpy as jnp
 
         mix = batch["mix_sig"]  # (B, T, 2)
+        if self.hparams.binaural_model:
+            # BinauralConvTasNet consumes the stereo pair jointly
+            # (independent/parallel/cross modes).
+            return self.modules.masknet(mix)
         B, T, C = mix.shape
         mono = jnp.moveaxis(mix, -1, 1).reshape(B * C, T)
         est = self.modules.masknet(mono)  # (B*C, T, S)

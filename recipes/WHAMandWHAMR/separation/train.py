@@ -107,6 +107,47 @@ def prepare_wham(data_folder, save_folder, num_spks=2, sample_rate=8000):
             json.dump(manifest, f, indent=2)
 
 
+def _dynamic_mix_pipeline(hparams, ds, rng, num_spks, crop, src_keys):
+    """On-the-fly mixture synthesis (the reference's dynamic mixing,
+    ``recipes/WHAMandWHAMR/*/dynamic_mixing.py``): each train access
+    draws ``num_spks`` random source utterances + this example's noise,
+    applies random gains, crops to fixed length and remixes.  Host-side
+    numpy (runs in the prefetch workers), device shapes stay static."""
+    from speechbrain_tpu.dataio.dataio import read_audio
+
+    with open(hparams["train_data"]) as f:
+        manifest = json.load(f)
+    all_sources = [
+        e[k] for e in manifest.values() for k in src_keys if k in e
+    ]
+
+    def fixed_crop(sig):
+        n = len(sig)
+        if n > crop:
+            start = int(rng.integers(0, n - crop))
+            return sig[start : start + crop]
+        return np.pad(sig, (0, crop - n))
+
+    def dm_pipeline(noise_wav):
+        sources = []
+        for _ in range(num_spks):
+            s = fixed_crop(read_audio(all_sources[int(rng.integers(len(all_sources)))]))
+            gain_db = float(rng.uniform(-5.0, 5.0))
+            sources.append(s * (10.0 ** (gain_db / 20.0)))
+        noise = fixed_crop(read_audio(noise_wav))
+        mix = np.sum(sources, axis=0) + noise
+        peak = max(float(np.abs(mix).max()), 1e-6)
+        scale = min(1.0, 0.9 / peak)
+        mix = (mix * scale).astype(np.float32)
+        return tuple([mix] + [(s * scale).astype(np.float32) for s in sources])
+
+    ds.add_dynamic_item(
+        dm_pipeline,
+        takes=["noise_wav"],
+        provides=["mix_sig"] + [f"s{i + 1}_sig" for i in range(num_spks)],
+    )
+
+
 def dataio_prep(hparams):
     """Datasets yielding fixed-length (mix, s1..sN) training crops."""
     from speechbrain_tpu.dataio.dataio import read_audio
@@ -123,6 +164,14 @@ def dataio_prep(hparams):
         ("test", hparams["test_data"]),
     ]:
         ds = DynamicItemDataset.from_json(path)
+
+        if split == "train" and hparams.get("dynamic_mixing", False):
+            _dynamic_mix_pipeline(
+                hparams, ds, rng, num_spks, crop, src_keys
+            )
+            ds.set_output_keys(["id", "mix_sig"] + out_keys)
+            datasets[split] = ds
+            continue
 
         def audio_pipeline(mix_wav, *src_wavs, split=split):
             sigs = [read_audio(mix_wav)] + [

@@ -415,3 +415,139 @@ class ConvTasNet(nn.Module):
         else:
             y = jnp.pad(y, ((0, 0), (0, T_orig - y.shape[1]), (0, 0)))
         return y
+
+
+class BinauralConvTasNet(nn.Module):
+    """Binaural (2-ear) Conv-TasNet with the reference's three wiring
+    modes (``recipes/BinauralWSJ0Mix/separation/train.py:87-159``):
+
+    - ``independent``: per-ear encoder/masker/decoder, no interaction.
+    - ``parallel``: each masker sees BOTH ears' encoder features
+      (concatenated); its 2N-channel mask is chunked and applied to
+      each ear's representation, summed per ear.
+    - ``cross``: interaural level differences (ILD, 10*log10 of the
+      ears' STFT magnitude ratio) are upsampled to the encoder frame
+      rate, projected with a learned 1x1 conv and concatenated with
+      each ear's features (sign-flipped for the right ear).
+
+    Input (batch, time, 2) -> estimates (batch, time, 2, num_spks).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> net = BinauralConvTasNet(mode="parallel", N=16, B=8, H=16,
+    ...                          X=2, R=1, C=2, L=8)
+    >>> x = jnp.ones((1, 256, 2))
+    >>> v = net.init(jax.random.PRNGKey(0), x)
+    >>> net.apply(v, x).shape
+    (1, 256, 2, 2)
+    """
+
+    mode: str = "parallel"
+    N: int = 256
+    B: int = 128
+    H: int = 256
+    P: int = 3
+    X: int = 6
+    R: int = 2
+    C: int = 2
+    L: int = 16
+    norm_type: str = "gLN"
+    causal: bool = False
+    mask_nonlinear: str = "relu"
+    sample_rate: int = 8000
+
+    def _masknet(self, n_in, name):
+        return MaskNet(
+            N=n_in,
+            B=self.B,
+            H=self.H,
+            P=self.P,
+            X=self.X,
+            R=self.R,
+            C=self.C,
+            norm_type=self.norm_type,
+            causal=self.causal,
+            mask_nonlinear=self.mask_nonlinear,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(self, mix, train=True):
+        T_orig = mix.shape[1]
+        xl, xr = mix[:, :, 0], mix[:, :, 1]
+        enc_l = Encoder(L=self.L, N=self.N, name="encoder_l")
+        enc_r = Encoder(L=self.L, N=self.N, name="encoder_r")
+        dec_l = Decoder(L=self.L, N=self.N, name="decoder_l")
+        dec_r = Decoder(L=self.L, N=self.N, name="decoder_r")
+        wl = enc_l(xl)
+        wr = enc_r(xr)
+        Nc = self.N
+
+        if self.mode == "independent":
+            ml = self._masknet(Nc, "masknet_l")(wl)
+            mr = self._masknet(Nc, "masknet_r")(wr)
+            sep_l = wl[None] * ml  # (C, B, K, N)
+            sep_r = wr[None] * mr
+        elif self.mode == "parallel":
+            # masker L sees (encL(left) || encR(right))
+            cat_l = jnp.concatenate([wl, wr], axis=-1)
+            masks_l = self._masknet(2 * Nc, "masknet_l")(cat_l)
+            sep_hl1 = wl[None] * masks_l[..., :Nc]
+            sep_hr2 = wr[None] * masks_l[..., Nc:]
+            # masker R sees the cross pairing (encR(left) || encL(right))
+            wl2 = enc_r(xl)
+            wr1 = enc_l(xr)
+            cat_r = jnp.concatenate([wl2, wr1], axis=-1)
+            masks_r = self._masknet(2 * Nc, "masknet_r")(cat_r)
+            sep_hl2 = wl2[None] * masks_r[..., :Nc]
+            sep_hr1 = wr1[None] * masks_r[..., Nc:]
+            sep_l = sep_hl1 + sep_hr2
+            sep_r = sep_hl2 + sep_hr1
+        elif self.mode == "cross":
+            from speechbrain_tpu.processing.features import (
+                STFT,
+                spectral_magnitude,
+            )
+
+            eps = 1e-8
+            stft = STFT(
+                sample_rate=self.sample_rate,
+                win_length=256 * 1000.0 / self.sample_rate,
+                hop_length=128 * 1000.0 / self.sample_rate,
+                n_fft=256,
+            )
+            mag_l = spectral_magnitude(stft(xl), power=0.5)
+            mag_r = spectral_magnitude(stft(xr), power=0.5)
+            ild = 10.0 * jnp.log10(mag_l / (mag_r + eps) + eps)
+            K = wl.shape[1]
+            ild = jax.image.resize(
+                ild, (ild.shape[0], K, ild.shape[2]), method="linear"
+            )
+            ild_cat = nn.Dense(Nc, name="ild_proj")(ild)
+            masks_l = self._masknet(2 * Nc, "masknet_l")(
+                jnp.concatenate([wl, ild_cat], axis=-1)
+            )
+            masks_r = self._masknet(2 * Nc, "masknet_r")(
+                jnp.concatenate([wr, -ild_cat], axis=-1)
+            )
+            sep_l = wl[None] * masks_l[..., :Nc]
+            sep_r = wr[None] * masks_r[..., :Nc]
+        else:
+            raise ValueError(f"unknown binaural mode {self.mode}")
+
+        outs = []
+        for dec, sep in ((dec_l, sep_l), (dec_r, sep_r)):
+            # `sep` is already the masked representation (C, B, K, N);
+            # the Decoder's internal w*mask product is made a no-op by
+            # passing ones as the mixture representation.
+            y = dec(jnp.ones_like(wl), jnp.moveaxis(sep, 0, 2))
+            outs.append(y)
+        est = jnp.stack(outs, axis=2)  # (B, T', 2, C)
+        if est.shape[1] >= T_orig:
+            est = est[:, :T_orig]
+        else:
+            est = jnp.pad(
+                est, ((0, 0), (0, T_orig - est.shape[1]), (0, 0), (0, 0))
+            )
+        return est

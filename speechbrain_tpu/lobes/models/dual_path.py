@@ -135,9 +135,39 @@ class Dual_Path_Model(nn.Module):
     intra_dffn: int = 1024
     inter_dffn: int = 1024
     use_rnn: bool = False
+    # block family for intra/inter models: "transformer" (SepFormer),
+    # "rnn" (DPRNN), or "conformer" (reference
+    # sepformer-conformerintra.yaml, SBConformerEncoderBlock)
+    intra_block: str = "transformer"
+    inter_block: str = "transformer"
+    conformer_kernel_size: int = 31
+
+    def _block(self, kind, numlayers, nhead, dffn, name):
+        if kind == "rnn":
+            return SBRNNBlock(
+                hidden_channels=self.out_channels // 2, name=name
+            )
+        if kind == "conformer":
+            return SBConformerEncoderBlock(
+                num_layers=numlayers,
+                d_model=self.out_channels,
+                nhead=nhead,
+                d_ffn=dffn,
+                kernel_size=self.conformer_kernel_size,
+                name=name,
+            )
+        return SBTransformerBlock(
+            num_layers=numlayers,
+            d_model=self.out_channels,
+            nhead=nhead,
+            d_ffn=dffn,
+            name=name,
+        )
 
     @nn.compact
     def __call__(self, x, train=True):
+        intra_kind = "rnn" if self.use_rnn else self.intra_block
+        inter_kind = "rnn" if self.use_rnn else self.inter_block
         B, T, N = x.shape
         x = nn.LayerNorm(dtype=x.dtype)(x)
         x = Conv1d(out_channels=self.out_channels, kernel_size=1, bias=False)(x)
@@ -155,38 +185,20 @@ class Dual_Path_Model(nn.Module):
         for layer in range(self.num_layers):
             # Intra: over K within each chunk
             intra_in = chunks.reshape(B * S, K, self.out_channels)
-            if self.use_rnn:
-                intra = SBRNNBlock(
-                    hidden_channels=self.out_channels // 2,
-                    name=f"intra_{layer}",
-                )(intra_in, train=train)
-            else:
-                intra = SBTransformerBlock(
-                    num_layers=self.intra_numlayers,
-                    d_model=self.out_channels,
-                    nhead=self.intra_nhead,
-                    d_ffn=self.intra_dffn,
-                    name=f"intra_{layer}",
-                )(intra_in, train=train)
+            intra = self._block(
+                intra_kind, self.intra_numlayers, self.intra_nhead,
+                self.intra_dffn, f"intra_{layer}",
+            )(intra_in, train=train)
             intra = nn.LayerNorm(dtype=intra.dtype)(intra)
             chunks = chunks + intra.reshape(B, S, K, self.out_channels)
             # Inter: over S across chunks
             inter_in = jnp.swapaxes(chunks, 1, 2).reshape(
                 B * K, S, self.out_channels
             )
-            if self.use_rnn:
-                inter = SBRNNBlock(
-                    hidden_channels=self.out_channels // 2,
-                    name=f"inter_{layer}",
-                )(inter_in, train=train)
-            else:
-                inter = SBTransformerBlock(
-                    num_layers=self.inter_numlayers,
-                    d_model=self.out_channels,
-                    nhead=self.inter_nhead,
-                    d_ffn=self.inter_dffn,
-                    name=f"inter_{layer}",
-                )(inter_in, train=train)
+            inter = self._block(
+                inter_kind, self.inter_numlayers, self.inter_nhead,
+                self.inter_dffn, f"inter_{layer}",
+            )(inter_in, train=train)
             inter = nn.LayerNorm(dtype=inter.dtype)(inter)
             inter = jnp.swapaxes(
                 inter.reshape(B, K, S, self.out_channels), 1, 2
@@ -245,6 +257,9 @@ class SepformerWrapper(nn.Module):
     intra_dffn: int = 1024
     inter_dffn: int = 1024
     use_rnn: bool = False
+    intra_block: str = "transformer"
+    inter_block: str = "transformer"
+    conformer_kernel_size: int = 31
 
     @nn.compact
     def __call__(self, mix, train=True):
@@ -266,6 +281,9 @@ class SepformerWrapper(nn.Module):
             intra_dffn=self.intra_dffn,
             inter_dffn=self.inter_dffn,
             use_rnn=self.use_rnn,
+            intra_block=self.intra_block,
+            inter_block=self.inter_block,
+            conformer_kernel_size=self.conformer_kernel_size,
         )(w, train=train)
         decoder = Decoder(
             kernel_size=self.encoder_kernel_size,

@@ -399,3 +399,74 @@ class ResourceEfficientSeparator(nn.Module):
             x.shape[0], x.shape[1], self.num_spk, D
         )
         return [masks[:, :, i] for i in range(self.num_spk)]
+
+
+class SkiMSeparator(nn.Module):
+    """End-to-end SkiM separation: learned conv encoder ->
+    SegLSTM/MemLSTM mask estimator -> transposed-conv decoder.
+
+    The whole-model wrapper for the reference's WSJ0Mix ``skim.yaml``
+    recipe (``recipes/WSJ0Mix/separation/hparams/skim.yaml``: Encoder +
+    ResourceEfficientSeparator(mem_type ``hc``) + Decoder), matching
+    the Encoder/MaskNet/Decoder wiring of ``dual_path.SepformerWrapper``.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> model = SkiMSeparator(encoder_out_nchannels=16, unit=16,
+    ...     segment_size=10, num_blocks=1, encoder_kernel_size=8)
+    >>> x = jnp.ones((1, 400))
+    >>> v = model.init(jax.random.PRNGKey(0), x, train=False)
+    >>> model.apply(v, x, train=False).shape
+    (1, 400, 2)
+    """
+
+    encoder_kernel_size: int = 16
+    encoder_out_nchannels: int = 128
+    num_spks: int = 2
+    causal: bool = True
+    unit: int = 128
+    segment_size: int = 150
+    num_blocks: int = 4
+    mem_type: str = "hc"
+    seg_overlap: bool = False
+
+    @nn.compact
+    def __call__(self, mix, train=True):
+        from speechbrain_tpu.lobes.models.dual_path import Decoder, Encoder
+
+        T_orig = mix.shape[1]
+        w = Encoder(
+            kernel_size=self.encoder_kernel_size,
+            out_channels=self.encoder_out_nchannels,
+        )(mix)
+        masks = ResourceEfficientSeparator(
+            input_dim=self.encoder_out_nchannels,
+            num_spk=self.num_spks,
+            causal=self.causal,
+            unit=self.unit,
+            segment_size=self.segment_size,
+            layer=self.num_blocks,
+            mem_type=self.mem_type,
+            seg_overlap=self.seg_overlap,
+            name="masknet",
+        )(w, train=train)
+        decoder = Decoder(
+            kernel_size=self.encoder_kernel_size,
+            in_channels=self.encoder_out_nchannels,
+        )
+        outs = []
+        for s in range(self.num_spks):
+            y = decoder(w * masks[s])
+            if y.shape[1] >= T_orig:
+                y = y[:, :T_orig]
+            else:
+                y = jnp.pad(y, ((0, 0), (0, T_orig - y.shape[1])))
+            outs.append(y)
+        return jnp.stack(outs, axis=-1)
+
+
+# The RE-SepFormer recipe variant (reference resepformer.yaml) is the
+# same Encoder -> ResourceEfficientSeparator -> Decoder wiring with
+# mem_type 'av' (transformer chunk models) instead of 'hc' (SegLSTM).
+ResepformerWrapper = SkiMSeparator

@@ -98,3 +98,72 @@ class CNNTransformerSE(nn.Module):
         if self.output_activation == "softplus":
             return nn.softplus(out)
         return out
+
+
+class SpectralMaskWrapper(nn.Module):
+    """Waveform-in/waveform-out spectral-mask enhancement wrapper.
+
+    STFT -> compressed magnitude -> ``masker`` (e.g.
+    ``CNNTransformerSE``) -> mask x magnitude -> iSTFT with the noisy
+    phase.  Gives spectral-domain maskers the same (B, T) ->
+    (B, T, 1) contract as the time-domain separation models, so the
+    reference's STFT-encoder enhancement configs
+    (``recipes/WHAMandWHAMR/enhancement/hparams/cnntransformer-*.yaml``)
+    plug into the shared separation/enhancement Brain unchanged.
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> net = SpectralMaskWrapper(
+    ...     masker=CNNTransformerSE(d_model=16, output_size=129,
+    ...                             num_layers=1, nhead=4, d_ffn=32),
+    ...     n_fft=256)
+    >>> x = jnp.ones((1, 2000))
+    >>> v = net.init(jax.random.PRNGKey(0), x, train=False)
+    >>> net.apply(v, x, train=False).shape
+    (1, 2000, 1)
+    """
+
+    masker: nn.Module = None
+    sample_rate: int = 8000
+    win_length: int = 32.0  # ms
+    hop_length: int = 16.0  # ms
+    n_fft: int = 512
+    mag_power: float = 0.5
+
+    @nn.compact
+    def __call__(self, wav, train=True):
+        from speechbrain_tpu.processing.features import (
+            ISTFT,
+            STFT,
+            spectral_magnitude,
+        )
+        from speechbrain_tpu.processing.signal_processing import (
+            resynthesize,
+        )
+
+        stft = STFT(
+            sample_rate=self.sample_rate,
+            win_length=self.win_length,
+            hop_length=self.hop_length,
+            n_fft=self.n_fft,
+        )
+        istft = ISTFT(
+            sample_rate=self.sample_rate,
+            win_length=self.win_length,
+            hop_length=self.hop_length,
+            n_fft=self.n_fft,
+        )
+        feats = stft(wav)
+        mag = spectral_magnitude(feats, power=self.mag_power)
+        mask = self.masker(mag, train=train)
+        enhanced_mag = (jnp.maximum(mask, 0.0) * mag) ** (
+            1.0 / self.mag_power
+        )
+        out = resynthesize(enhanced_mag, wav, stft, istft)
+        T_orig = wav.shape[1]
+        if out.shape[1] >= T_orig:
+            out = out[:, :T_orig]
+        else:
+            out = jnp.pad(out, ((0, 0), (0, T_orig - out.shape[1])))
+        return out[..., None]

@@ -68,7 +68,12 @@ def test_every_corpus_has_readme():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     with open(os.path.join(repo, "tests", "recipes.csv"), newline="") as f:
-        corpora = {row["Dataset"] for row in csv.DictReader(f)}
+        corpora = {
+            row["Dataset"]
+            for row in csv.DictReader(f)
+            # template rows live under templates/, not recipes/<corpus>
+            if not row["Script_file"].startswith("templates/")
+        }
     missing = [
         c
         for c in corpora
