@@ -32,8 +32,13 @@ class ASR(sb.Brain):
 
     def compute_forward(self, batch, stage):
         """Wav -> latents -> context encoder -> DNN -> CTC log-probs."""
-        latents = self.modules.extractor(batch["sig"])
-        enc = self.modules.encoder(latents)["embeddings"]
+        if getattr(self, "w2v", None) is not None:
+            # HF Flax wav2vec2 path (train_hf_wav2vec.yaml); frozen
+            # params are closed over as jit constants.
+            enc = self.w2v(batch["sig"], batch["sig_lens"])
+        else:
+            latents = self.modules.extractor(batch["sig"])
+            enc = self.modules.encoder(latents)["embeddings"]
         x = self.modules.enc_dnn(enc)
         return jax.nn.log_softmax(self.modules.ctc_lin(x), axis=-1)
 
@@ -175,6 +180,9 @@ if __name__ == "__main__":
         },
     )
     datasets, label_encoder = dataio_prepare(hparams)
+    w2v = None
+    if "wav2vec2" in hparams:
+        w2v = hparams["wav2vec2"](source=hparams["wav2vec2_source"])
     brain = ASR(
         modules=hparams["modules"],
         opt_class=lambda lr: hparams["opt_class"](learning_rate=lr),
@@ -183,6 +191,7 @@ if __name__ == "__main__":
         checkpointer=Checkpointer(hparams["save_folder"]),
     )
     brain.label_encoder = label_encoder
+    brain.w2v = w2v
     brain.fit(
         hparams["epoch_counter"],
         SaveableDataLoader(

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """LibriSpeech Whisper-encoder + char CTC fine-tuning (TPU-native).
 
-    python train_with_whisper.py hparams/train_whisper_encoder_ctc.yaml \
+    python train_with_whisper.py hparams/train_hf_whisper_encoder.yaml \
         --data_folder /data/LibriSpeech
 
 Mirrors the reference ``recipes/LibriSpeech/ASR/CTC/train_with_whisper.py``

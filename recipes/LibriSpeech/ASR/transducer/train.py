@@ -39,10 +39,15 @@ class Transducer(sb.Brain):
             )
         if self.precision == "bf16":
             feats = feats.astype(jnp.bfloat16)
-        src = self.modules.frontend(feats)
-        enc = self.modules.transformer(
-            src, batch["sig_lens"], method="encode"
-        )
+        if "transformer" in self.modules:
+            src = self.modules.frontend(feats)
+            enc = self.modules.transformer(
+                src, batch["sig_lens"], method="encode"
+            )
+        else:
+            # CRDNN encoder (the reference transducer recipe's own
+            # encoder, recipes/LibriSpeech/ASR/transducer/train.py:10)
+            enc = self.modules.enc(feats, lengths=batch["sig_lens"])
         enc = self.modules.enc_lin(enc)
         emb = self.modules.emb(batch["tokens_blank"])
         pred, _ = self.modules.dec(emb)

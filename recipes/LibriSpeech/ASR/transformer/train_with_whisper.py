@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """LibriSpeech Whisper fine-tuning with NLL (TPU-native).
 
-    python train_with_whisper.py hparams/train_whisper.yaml \
+    python train_with_whisper.py hparams/train_hf_whisper.yaml \
         --data_folder /data/LibriSpeech
 
 Mirrors the reference
