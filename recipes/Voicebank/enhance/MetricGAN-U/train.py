@@ -24,7 +24,7 @@ from speechbrain_tpu.core import Stage
 from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
 from speechbrain_tpu.dataio.dataset import DynamicItemDataset
 from speechbrain_tpu.gan import GANBrain
-from speechbrain_tpu.nnet.loss.srmr_loss import srmr
+from speechbrain_tpu.nnet.loss.srmr_loss import dnsmos_proxy, srmr
 from speechbrain_tpu.nnet.loss.stoi_loss import stoi_loss
 from speechbrain_tpu.processing.features import spectral_magnitude
 from speechbrain_tpu.processing.signal_processing import resynthesize
@@ -60,7 +60,14 @@ class MetricGanUBrain(GANBrain):
         return self.modules.discriminator(mag[..., None])[:, 0]
 
     def _target_score(self, wav):
-        """Bounded non-intrusive score in [0, 1): srmr/(srmr+beta)."""
+        """Bounded non-intrusive score in [0, 1).
+
+        ``target_metric: srmr`` -> srmr/(srmr+beta);
+        ``target_metric: dnsmos`` -> the native DNSMOS proxy
+        (srmr + spectral-flatness composite, srmr_loss.dnsmos_proxy).
+        """
+        if self.hparams.target_metric == "dnsmos":
+            return dnsmos_proxy(wav, reduction="batch")
         s = srmr(wav, reduction="batch")
         return s / (s + self.hparams.srmr_beta)
 

@@ -112,3 +112,39 @@ def srmr_loss(y_pred_batch, y_true_batch=None, lens=None, reduction="mean"):
     if reduction == "mean":
         return loss.mean()
     return loss
+
+
+def dnsmos_proxy(wav, sample_rate=16000, reduction="batch", eps=1e-8):
+    """Non-intrusive quality proxy standing in for DNSMOS.
+
+    The reference's MetricGAN-U dnsmos variant
+    (``recipes/Voicebank/enhance/MetricGAN-U/hparams/train_dnsmos.yaml``)
+    scores enhanced audio with Microsoft's ONNX DNSMOS network, which
+    cannot ship in a torch/onnx-free build.  This differentiable proxy
+    combines the SRMR modulation-ratio score with a spectral-flatness
+    penalty (broadband noise is spectrally flat; clean speech is not),
+    both bounded to [0, 1): score = 0.7 * srmr/(srmr+5) + 0.3 * (1-SFM).
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> wav = jnp.sin(jnp.linspace(0, 700.0, 16000))[None, :]
+    >>> s = dnsmos_proxy(wav)
+    >>> bool((s > 0).all() and (s < 1).all())
+    True
+    """
+    s = srmr(wav, sample_rate=sample_rate, reduction="batch")
+    srmr_term = s / (s + 5.0)
+    # spectral flatness over 32 ms frames
+    frame = int(0.032 * sample_rate)
+    hop = frame // 2
+    n = (wav.shape[1] - frame) // hop + 1
+    idx = jnp.arange(frame)[None, :] + hop * jnp.arange(max(n, 1))[:, None]
+    frames = wav[:, idx] * jnp.hanning(frame)[None, None, :]
+    power = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2 + eps
+    sfm = jnp.exp(jnp.mean(jnp.log(power), axis=-1)) / power.mean(-1)
+    flat_term = 1.0 - sfm.mean(axis=1)
+    score = 0.7 * srmr_term + 0.3 * flat_term
+    if reduction == "mean":
+        return score.mean()
+    return score
