@@ -531,33 +531,30 @@ def distance_diff_loss(predictions, targets, length=None, beta=0.25, reduction="
 
 def ctc_loss_kd(log_probs, targets, input_lens, blank_index, device=None):
     """CTC knowledge distillation: CTC against the teacher's greedy path
-    (reference ``nnet/losses.py:1067``)."""
-    # Teacher targets: argmax path collapsed (repeats+blank removed),
-    # padded to a common length with relative lengths.
+    (reference ``nnet/losses.py:1067``).
+
+    Fixed-shape on-device collapse (jit-compatible): the teacher argmax
+    path has repeats merged and blanks removed by stably compacting the
+    kept frames to the front of a (B, T) target buffer; padding slots
+    hold blank and are excluded through the relative target lengths.
+    """
     t_preds = jnp.argmax(targets, axis=-1)
     B, T = t_preds.shape
-    collapsed = []
-    t_np = np.asarray(t_preds)
-    for row in t_np:
-        seq = [
-            int(v)
-            for i, v in enumerate(row)
-            if (i == 0 or v != row[i - 1]) and v != blank_index
-        ]
-        collapsed.append(seq or [blank_index])
-    U = max(len(s) for s in collapsed)
-    tgt = np.zeros((B, U), np.int32)
-    tgt_lens = np.zeros(B, np.float32)
-    for i, s in enumerate(collapsed):
-        tgt[i, : len(s)] = s
-        tgt_lens[i] = len(s) / U
-    return ctc_loss(
-        log_probs,
-        jnp.asarray(tgt),
-        input_lens,
-        jnp.asarray(tgt_lens),
-        blank_index,
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, t_preds.dtype), t_preds[:, :-1]], axis=1
     )
+    keep = (t_preds != prev) & (t_preds != blank_index)
+    # stable compaction: kept frames keep their index, dropped go last
+    order = jnp.argsort(jnp.where(keep, jnp.arange(T)[None, :], T))
+    tgt = jnp.take_along_axis(
+        jnp.where(keep, t_preds, blank_index), order, axis=1
+    )
+    lens = keep.sum(axis=1)
+    # empty paths degenerate to a single blank target (reference pads
+    # empty collapses with [blank])
+    lens = jnp.maximum(lens, 1)
+    tgt_lens = lens.astype(jnp.float32) / T
+    return ctc_loss(log_probs, tgt, input_lens, tgt_lens, blank_index)
 
 
 def nll_loss_kd(probabilities, targets, rel_lab_lengths):
