@@ -1,12 +1,28 @@
-"""Benchmark harness: conformer training-step throughput on real TPU.
+"""Benchmark harness: conformer training throughput on real TPU.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
-"vs_baseline": N}.
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+ "end_to_end_utt_s": ..., "host_pipeline_utt_s": ..., "mfu": ...,
+ "step_flops": ...}
 
-Metric: utterances/second/chip for the FULL data-parallel training step
-(Fbank frontend + conformer_small-dims joint CTC/attention + optax
-update, bf16 activations) on synthetic fixed-shape 10-second batches —
-the bucketed shapes the real pipeline produces.
+Three measurements (VERDICT round-1 item 3):
+
+1. ``value`` (chip-only utt/s/chip): the FULL data-parallel training
+   step (Fbank frontend + conformer_small-dims joint CTC/attention +
+   optax update, bf16 activations) on device-staged fixed-shape
+   10-second batches — the bucketed shapes the real pipeline produces.
+2. ``end_to_end_utt_s``: disk -> chip. A generated-on-disk FLAC corpus
+   is decoded by the native C++ decoder inside DataPipeline workers,
+   token-budget-bucketed by DynamicBatchSampler, quantized to fixed
+   shapes by BatchShapePolicy, prefetched, transferred and trained
+   with per-batch fit_batch.  NOTE: the dev environment reaches the
+   TPU through a remote-dispatch tunnel that serializes host->device
+   transfers with compute (PERFORMANCE.md item 2) — an artifact no
+   production TPU host has — so ``host_pipeline_utt_s`` additionally
+   reports the host pipeline alone (decode+bucket+collate), which is
+   the honest "can the host keep the chip fed" number.
+3. ``mfu``: model-FLOPs utilization — XLA cost-analysis FLOPs of the
+   jitted train step divided by (step time x chip bf16 peak).
 
 vs_baseline anchors to BASELINE_UTT_S: the reference SpeechBrain
 conformer_small recipe's throughput class on its published hardware
@@ -17,9 +33,22 @@ is an estimate stand-in held FIXED across rounds for comparability.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# published bf16 peak FLOP/s per chip by device kind (jax device_kind)
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6e": 918e12,
+}
 
 
 def _enable_compile_cache():
@@ -35,6 +64,156 @@ def _enable_compile_cache():
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# ---------------------------------------------------------------------------
+# on-disk FLAC corpus
+# ---------------------------------------------------------------------------
+
+CORPUS_DIR = os.environ.get(
+    "SB_BENCH_CORPUS", os.path.join("/tmp", "sb_bench_corpus_v1")
+)
+N_FILES = 192
+SR = 16000
+
+
+def _ensure_corpus():
+    """Generate (once) a FLAC corpus + manifest for the e2e bench."""
+    manifest_path = os.path.join(CORPUS_DIR, "manifest.json")
+    if os.path.exists(manifest_path):
+        return manifest_path
+    sys.path.insert(0, os.path.join(REPO, "tests", "unittests"))
+    from test_native_audio import encode_flac  # in-repo FLAC encoder
+
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    rng = np.random.default_rng(0)
+    manifest = {}
+    for i in range(N_FILES):
+        seconds = float(rng.uniform(6.0, 10.0))
+        n = int(seconds * SR)
+        t = np.arange(n) / SR
+        sig = 0.3 * np.sin(2 * np.pi * rng.uniform(80, 1000) * t)
+        sig += 0.05 * rng.standard_normal(n)
+        pcm = (np.clip(sig, -1, 1) * 32767).astype(int).tolist()
+        path = os.path.join(CORPUS_DIR, f"utt{i:04d}.flac")
+        with open(path, "wb") as f:
+            f.write(bytes(encode_flac([pcm], SR, 16, 4096, "fixed2")))
+        manifest[f"utt{i:04d}"] = {"wav": path, "duration": seconds}
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    return manifest_path
+
+
+def _e2e_dataset(manifest_path, U=40):
+    """DynamicItemDataset producing the conformer brain's batch keys."""
+    from speechbrain_tpu.dataio.dataio import read_audio
+    from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+
+    rng = np.random.default_rng(1)
+    ds = DynamicItemDataset.from_json(manifest_path)
+    import __graft_entry__ as ge
+
+    def pipeline(wav):
+        sig = read_audio(wav)
+        tokens = rng.integers(3, ge.VOCAB, size=(U,))
+        return (
+            sig.astype(np.float32),
+            tokens.astype(np.int64),
+            np.concatenate([[1], tokens]).astype(np.int64),
+            np.concatenate([tokens, [2]]).astype(np.int64),
+        )
+
+    ds.add_dynamic_item(
+        pipeline,
+        takes="wav",
+        provides=["sig", "tokens", "tokens_bos", "tokens_eos"],
+    )
+    ds.set_output_keys(["id", "sig", "tokens", "tokens_bos", "tokens_eos"])
+    return ds
+
+
+def _e2e_loader(manifest_path, num_workers=6):
+    from speechbrain_tpu.dataio.batch import BatchShapePolicy, PaddedBatch
+    from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+    from speechbrain_tpu.dataio.sampler import DynamicBatchSampler
+
+    ds = _e2e_dataset(manifest_path)
+    sampler = DynamicBatchSampler(
+        ds,
+        max_batch_length=320.0,  # seconds budget -> ~B=32 at 10 s
+        num_buckets=2,
+        length_func=lambda row: row["duration"],
+        shuffle=False,
+    )
+    policy = BatchShapePolicy(
+        time_buckets=[8 * SR, 10 * SR],
+        time_keys=("sig",),
+        batch_buckets=[32, 40],
+    )
+    collate = lambda examples: PaddedBatch(  # noqa: E731
+        examples, shape_policy=policy
+    )
+    return SaveableDataLoader(
+        ds,
+        batch_sampler=sampler,
+        collate_fn=collate,
+        num_workers=num_workers,
+        prefetch_batches=4,
+    )
+
+
+def _measure_host_pipeline(manifest_path):
+    """utt/s of decode -> bucket -> collate, no device involved."""
+    loader = _e2e_loader(manifest_path)
+    # warm one epoch (thread spin-up, file cache)
+    n_utts = 0
+    for batch in loader:
+        n_utts += int(np.asarray(batch["batch_mask"]).sum())
+    t0 = time.perf_counter()
+    n_utts = 0
+    for batch in loader:
+        n_utts += int(np.asarray(batch["batch_mask"]).sum())
+    dt = time.perf_counter() - t0
+    return n_utts / dt
+
+
+def _measure_end_to_end(brain, manifest_path, epochs=2):
+    """utt/s of decode -> bucket -> h2d -> fit_batch (full path)."""
+    import jax
+
+    loader = _e2e_loader(manifest_path)
+    brain.loss_sync_interval = 200
+    # warmup epoch: compiles one program per (batch, time) bucket pair
+    for batch in loader:
+        brain.step += 1
+        brain.fit_batch(batch)
+    jax.block_until_ready(brain.train_state["params"])
+    t0 = time.perf_counter()
+    n_utts = 0
+    for _ in range(epochs):
+        for batch in loader:
+            brain.step += 1
+            brain.fit_batch(batch)
+            n_utts += int(np.asarray(batch["batch_mask"]).sum())
+    jax.block_until_ready(brain.train_state["params"])
+    dt = time.perf_counter() - t0
+    return n_utts / dt
+
+
+def _step_flops(brain, device_batch):
+    """XLA cost-analysis FLOPs of the jitted train step (or None)."""
+    try:
+        import jax
+
+        fn = brain._get_jitted("train")
+        rng = jax.random.PRNGKey(0)
+        lowered = fn.lower(brain.train_state, device_batch, rng)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
 
 
 def main():
@@ -82,20 +261,48 @@ def main():
     dt = time.perf_counter() - t0
     n_chips = max(1, len(jax.devices()))
     utt_per_s_chip = (n_steps * B) / dt / n_chips
+    sec_per_step = dt / n_steps
+
+    # --- MFU ---------------------------------------------------------
+    flops = _step_flops(brain, batches[0])
+    kind = jax.devices()[0].device_kind
+    peak = next(
+        (v for k, v in PEAK_BF16.items() if kind.startswith(k)), None
+    )
+    mfu = None
+    if flops and peak:
+        mfu = flops / sec_per_step / peak
+
+    # --- end-to-end: FLAC corpus -> host pipeline -> chip -------------
+    end_to_end = host_rate = None
+    try:
+        manifest = _ensure_corpus()
+        host_rate = _measure_host_pipeline(manifest)
+        e2e_brain = ge._conformer_brain(d_model=144, layers=12)
+        e2e_brain.step = 1
+        end_to_end = _measure_end_to_end(e2e_brain, manifest)
+    except Exception as e:  # keep the primary metric robust
+        print(f"# e2e bench skipped: {e!r}", file=sys.stderr)
 
     # Reference anchor (see module docstring): V100 conformer_small
     # training throughput class on 10s utterances.
     BASELINE_UTT_S = 60.0
-    print(
-        json.dumps(
-            {
-                "metric": "conformer_train_utt_per_sec_per_chip",
-                "value": round(utt_per_s_chip, 2),
-                "unit": "utt/s/chip",
-                "vs_baseline": round(utt_per_s_chip / BASELINE_UTT_S, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "conformer_train_utt_per_sec_per_chip",
+        "value": round(utt_per_s_chip, 2),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(utt_per_s_chip / BASELINE_UTT_S, 3),
+    }
+    if end_to_end is not None:
+        out["end_to_end_utt_s"] = round(end_to_end, 2)
+    if host_rate is not None:
+        out["host_pipeline_utt_s"] = round(host_rate, 2)
+    if flops is not None:
+        out["step_flops"] = flops
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    out["device_kind"] = kind
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -328,7 +328,11 @@ class S2SBeamSearcher(S2SBaseSearcher):
             V = log_probs.shape[-1]
             if self.using_max_attn_shift and attn is not None:
                 attn_peak = jnp.argmax(jnp.asarray(attn), axis=-1).reshape(n)
-                ok = jnp.abs(attn_peak - prev_attn_peak) <= self.max_attn_shift
+                # reference bounds are asymmetric: <= prev+shift but
+                # STRICTLY > prev-shift (seq2seq.py:519-521)
+                ok = (
+                    attn_peak <= prev_attn_peak + self.max_attn_shift
+                ) & (attn_peak > prev_attn_peak - self.max_attn_shift)
                 log_probs = jnp.where(
                     ok[:, None], log_probs, self.minus_inf
                 )
@@ -423,9 +427,14 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 cur_attn = jnp.asarray(attn)[rows]
                 if cur_attn.ndim > 2:
                     coverage = cur_attn.sum(axis=1)
-                elif coverage is None:
-                    coverage = cur_attn
                 else:
+                    # reference quirk kept for exactness: at t == 0 the
+                    # coverage is initialized to cur_attn AND then the
+                    # update still runs (seq2seq.py:829-841), so the
+                    # first step's attention is counted twice (once
+                    # predecessor-permuted).
+                    if coverage is None:
+                        coverage = cur_attn
                     coverage = coverage[rows] + cur_attn
                 penalty = jnp.maximum(coverage, 0.5).sum(-1)
                 penalty = penalty - coverage.shape[-1] * 0.5

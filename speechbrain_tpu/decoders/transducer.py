@@ -130,12 +130,20 @@ class TransducerBeamSearcher:
                 process_hyps = beam_hyps
                 beam_hyps = []
                 while len(beam_hyps) < self.beam_size:
+                    # reference selects by length-normalized score
+                    # (decoders/transducer.py:  logp/len(prediction),
+                    # where prediction includes the initial blank ->
+                    # +1 here since ours stores tokens only)
                     a_best_hyp = max(
-                        process_hyps, key=lambda x: x["logp_score"]
+                        process_hyps,
+                        key=lambda x: x["logp_score"]
+                        / (len(x["prediction"]) + 1),
                     )
                     if beam_hyps:
                         b_best = max(
-                            beam_hyps, key=lambda x: x["logp_score"]
+                            beam_hyps,
+                            key=lambda x: x["logp_score"]
+                            / (len(x["prediction"]) + 1),
                         )
                         if (
                             b_best["logp_score"]
@@ -158,19 +166,24 @@ class TransducerBeamSearcher:
                         if order[0] != self.blank_id
                         else log_probs[order[1]]
                     )
-                    # blank extension -> candidate final hyp at this t
-                    blank_hyp = {
-                        "prediction": list(a_best_hyp["prediction"]),
-                        "logp_score": a_best_hyp["logp_score"]
-                        + float(log_probs[self.blank_id]),
-                        "pred_out": a_best_hyp["pred_out"],
-                        "state": a_best_hyp["state"],
-                        "lm_state": a_best_hyp["lm_state"],
-                    }
-                    beam_hyps.append(blank_hyp)
+                    # reference semantics: ONLY candidates in the topk
+                    # are considered — the blank extension too exists
+                    # only when blank made the topk (transducer.py:
+                    # positions loop)
                     for tok in order[: self.beam_size]:
                         tok = int(tok)
                         if tok == self.blank_id:
+                            blank_hyp = {
+                                "prediction": list(
+                                    a_best_hyp["prediction"]
+                                ),
+                                "logp_score": a_best_hyp["logp_score"]
+                                + float(log_probs[self.blank_id]),
+                                "pred_out": a_best_hyp["pred_out"],
+                                "state": a_best_hyp["state"],
+                                "lm_state": a_best_hyp["lm_state"],
+                            }
+                            beam_hyps.append(blank_hyp)
                             continue
                         if (
                             float(log_probs[tok])
@@ -197,13 +210,13 @@ class TransducerBeamSearcher:
                             new_hyp["lm_state"] = lm_state
                         process_hyps.append(new_hyp)
             beam_hyps.sort(
-                key=lambda x: x["logp_score"] / max(len(x["prediction"]), 1),
+                key=lambda x: x["logp_score"] / (len(x["prediction"]) + 1),
                 reverse=True,
             )
             best = beam_hyps[: self.nbest]
             nbest_hyps.append(best[0]["prediction"])
             nbest_scores.append(
-                best[0]["logp_score"] / max(len(best[0]["prediction"]), 1)
+                best[0]["logp_score"] / (len(best[0]["prediction"]) + 1)
             )
         return nbest_hyps, np.asarray(nbest_scores)
 
