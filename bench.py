@@ -162,17 +162,24 @@ def _e2e_loader(manifest_path, num_workers=6):
     )
 
 
+def _n_real(batch):
+    """Real (non-dummy) examples in a collated batch."""
+    try:
+        return len(batch["id"])
+    except Exception:
+        return int(np.asarray(batch["sig"]).shape[0])
+
+
 def _measure_host_pipeline(manifest_path):
     """utt/s of decode -> bucket -> collate, no device involved."""
     loader = _e2e_loader(manifest_path)
     # warm one epoch (thread spin-up, file cache)
-    n_utts = 0
     for batch in loader:
-        n_utts += int(np.asarray(batch["batch_mask"]).sum())
+        _n_real(batch)
     t0 = time.perf_counter()
     n_utts = 0
     for batch in loader:
-        n_utts += int(np.asarray(batch["batch_mask"]).sum())
+        n_utts += _n_real(batch)
     dt = time.perf_counter() - t0
     return n_utts / dt
 
@@ -194,7 +201,7 @@ def _measure_end_to_end(brain, manifest_path, epochs=2):
         for batch in loader:
             brain.step += 1
             brain.fit_batch(batch)
-            n_utts += int(np.asarray(batch["batch_mask"]).sum())
+            n_utts += _n_real(batch)
     jax.block_until_ready(brain.train_state["params"])
     dt = time.perf_counter() - t0
     return n_utts / dt
@@ -207,7 +214,9 @@ def _step_flops(brain, device_batch):
 
         fn = brain._get_jitted("train")
         rng = jax.random.PRNGKey(0)
-        lowered = fn.lower(brain.train_state, device_batch, rng)
+        lowered = fn.lower(
+            brain.train_state, device_batch, rng, brain.lr
+        )
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

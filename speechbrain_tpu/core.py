@@ -939,9 +939,15 @@ class Brain:
             valid_set = self.make_dataloader(
                 valid_set, Stage.VALID, **valid_loader_kwargs
             )
+        from speechbrain_tpu.dataio.dataloader import (
+            SaveableStreamLoader,
+        )
+
         if (
             self.checkpointer is not None
-            and isinstance(train_set, SaveableDataLoader)
+            and isinstance(
+                train_set, (SaveableDataLoader, SaveableStreamLoader)
+            )
             and "train_loader" not in self.checkpointer.recoverables
         ):
             self.checkpointer.add_recoverable("train_loader", train_set)

@@ -285,6 +285,114 @@ class LoopedLoader:
             self.step = self.epoch_length
 
 
+@register_checkpoint_hooks
+class SaveableStreamLoader:
+    """Batches from an IterableDataset-style stream with the
+    SaveableDataLoader's mid-epoch position semantics.
+
+    The role of the reference's webdataset path in ``make_dataloader``
+    (reference ``dataio/dataloader.py:52-66``): a streaming source
+    (generator function, iterable of example dicts) is either routed
+    through ``iterators.dynamic_bucketed_batch`` (when
+    ``dynamic_batching_kwargs`` is given) or chunked into fixed-size
+    batches, collated (PaddedBatch by default), and checkpointed by
+    batch position so in-epoch recovery skips exactly the batches
+    already trained on (streams must be deterministic across restarts
+    for exact resume, the same contract the reference documents).
+
+    Arguments
+    ---------
+    stream : iterable | callable -> iterable
+        The example-dict source.  A callable is invoked at each epoch
+        start (fresh generator per epoch); a plain iterable is passed
+        through ``iter()`` each epoch.
+    batch_size : int
+        Fixed chunk size when not dynamically batching.
+    collate_fn : callable
+        Applied to each list of examples (default PaddedBatch).
+    dynamic_batching_kwargs : dict, optional
+        Kwargs for ``dynamic_bucketed_batch`` (len_key,
+        max_batch_numel, buffersize, ...); enables pivot bucketing.
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> def corpus():
+    ...     for i in range(5):
+    ...         yield {"id": str(i), "x": np.ones(3) * i}
+    >>> loader = SaveableStreamLoader(corpus, batch_size=2)
+    >>> [len(b["id"]) for b in loader]
+    [2, 2, 1]
+    """
+
+    def __init__(
+        self,
+        stream,
+        batch_size=1,
+        collate_fn=None,
+        dynamic_batching_kwargs=None,
+    ):
+        self.stream = stream
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn or PaddedBatch
+        self.dynamic_batching_kwargs = dynamic_batching_kwargs
+        self._speechbrain_recovery_skip_to = None
+        self._speechbrain_iterator_position = None
+
+    def _batches(self):
+        source = (
+            self.stream() if callable(self.stream) else iter(self.stream)
+        )
+        if self.dynamic_batching_kwargs is not None:
+            from speechbrain_tpu.dataio.iterators import (
+                dynamic_bucketed_batch,
+            )
+
+            yield from dynamic_bucketed_batch(
+                source, self.collate_fn, **self.dynamic_batching_kwargs
+            )
+            return
+        buf = []
+        for example in source:
+            buf.append(example)
+            if len(buf) == self.batch_size:
+                yield self.collate_fn(buf)
+                buf = []
+        if buf:
+            yield self.collate_fn(buf)
+
+    def __iter__(self):
+        skip = 0
+        if self._speechbrain_recovery_skip_to is not None:
+            skip = self._speechbrain_recovery_skip_to
+            self._speechbrain_recovery_skip_to = None
+            logger.info(
+                f"Stream loader skipping {skip} batches after recovery"
+            )
+        self._speechbrain_iterator_position = skip
+        for i, batch in enumerate(self._batches()):
+            if i < skip:
+                continue
+            self._speechbrain_iterator_position = i + 1
+            yield batch
+        self._speechbrain_iterator_position = None
+
+    @mark_as_saver
+    def _save(self, path):
+        pos = self._speechbrain_iterator_position
+        with open(path, "w") as f:
+            f.write(str(pos if pos is not None else -1))
+
+    @mark_as_loader
+    def _recover(self, path, end_of_epoch=True):
+        with open(path) as f:
+            pos = int(f.read())
+        if end_of_epoch or pos < 0:
+            self._speechbrain_recovery_skip_to = None
+        else:
+            self._speechbrain_recovery_skip_to = pos
+
+
 def make_dataloader(dataset, looped_nominal_epoch=None, **loader_kwargs):
     """Make a loader suitable for ``dataset`` (the Brain calls this).
 
@@ -296,6 +404,24 @@ def make_dataloader(dataset, looped_nominal_epoch=None, **loader_kwargs):
         loader_kwargs["collate_fn"] = lambda ex: PaddedBatch(
             ex, **collate_kwargs
         )
+    # Streaming sources (generator function / iterable without
+    # __getitem__) take the reference's webdataset route: stream ->
+    # (dynamic bucketing) -> collate, with saveable position.
+    if callable(dataset) or (
+        hasattr(dataset, "__iter__")
+        and not hasattr(dataset, "__getitem__")
+    ):
+        dataloader = SaveableStreamLoader(
+            dataset,
+            batch_size=loader_kwargs.get("batch_size", 1),
+            collate_fn=loader_kwargs.get("collate_fn"),
+            dynamic_batching_kwargs=loader_kwargs.get(
+                "dynamic_batching_kwargs"
+            ),
+        )
+        if looped_nominal_epoch is not None:
+            dataloader = LoopedLoader(dataloader, looped_nominal_epoch)
+        return dataloader
     dataloader = SaveableDataLoader(dataset, **loader_kwargs)
     if looped_nominal_epoch is not None:
         dataloader = LoopedLoader(dataloader, looped_nominal_epoch)
