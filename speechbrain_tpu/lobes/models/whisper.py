@@ -424,3 +424,145 @@ class HuggingFaceWhisper:
         if self.freeze:
             logits = jax.lax.stop_gradient(logits)
         return logits, attn
+
+
+def load_whisper_hf_params(variables, hf_params):
+    """Transplant a HuggingFace ``FlaxWhisperModel`` parameter tree into
+    the native :class:`Whisper` module's variables.
+
+    The fine-tuning path advertised by the recipe docs
+    (``recipes/LibriSpeech/ASR/transformer/hparams/train_hf_whisper.yaml``):
+    load a local HF Flax checkpoint, transplant, continue training the
+    native module.  HF whisper's k projections carry no bias (the
+    OpenAI convention); the native module's k bias is zeroed.
+
+    Arguments
+    ---------
+    variables : dict
+        Output of ``Whisper(...).init(...)`` (shapes must match the HF
+        config: d_model, layers, heads, ffn, vocab).
+    hf_params : dict
+        ``FlaxWhisperModel(...).params``.
+
+    Returns
+    -------
+    dict
+        New variables with ``params`` replaced by the transplant.
+    """
+    import flax
+
+    hf = flax.traverse_util.flatten_dict(hf_params, sep="/")
+    flat = dict(
+        flax.traverse_util.flatten_dict(variables["params"], sep="/")
+    )
+
+    def put(dst, src_kernel=None, value=None):
+        assert dst in flat, dst
+        v = value if value is not None else hf[src_kernel]
+        assert flat[dst].shape == v.shape, (
+            dst, flat[dst].shape, v.shape,
+        )
+        flat[dst] = v
+
+    put("encoder/conv1/kernel", "encoder/conv1/kernel")
+    put("encoder/conv1/bias", "encoder/conv1/bias")
+    put("encoder/conv2/kernel", "encoder/conv2/kernel")
+    put("encoder/conv2/bias", "encoder/conv2/bias")
+    put("encoder/blocks/norm_out/scale", "encoder/layer_norm/scale")
+    put("encoder/blocks/norm_out/bias", "encoder/layer_norm/bias")
+    put("decoder/blocks/norm_out/scale", "decoder/layer_norm/scale")
+    put("decoder/blocks/norm_out/bias", "decoder/layer_norm/bias")
+    put(
+        "decoder/embed_tokens/embedding",
+        "decoder/embed_tokens/embedding",
+    )
+    n_pos = flat["decoder/embed_positions"].shape[0]
+    put(
+        "decoder/embed_positions",
+        value=hf["decoder/embed_positions/embedding"][:n_pos],
+    )
+
+    def attn(dst_prefix, src_prefix):
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            put(
+                f"{dst_prefix}/{proj}/kernel",
+                f"{src_prefix}/{proj}/kernel",
+            )
+            src_bias = f"{src_prefix}/{proj}/bias"
+            if src_bias in hf:
+                put(f"{dst_prefix}/{proj}/bias", src_bias)
+            else:  # HF whisper k_proj has no bias
+                put(
+                    f"{dst_prefix}/{proj}/bias",
+                    value=jnp.zeros_like(
+                        flat[f"{dst_prefix}/{proj}/bias"]
+                    ),
+                )
+
+    n_enc = len(
+        {k.split("/")[2] for k in hf if k.startswith("encoder/layers/")}
+    )
+    for i in range(n_enc):
+        d = f"encoder/blocks/layer_{i}"
+        s = f"encoder/layers/{i}"
+        attn(f"{d}/MultiheadAttention_0", f"{s}/self_attn")
+        put(f"{d}/LayerNorm_0/scale", f"{s}/self_attn_layer_norm/scale")
+        put(f"{d}/LayerNorm_0/bias", f"{s}/self_attn_layer_norm/bias")
+        put(f"{d}/LayerNorm_1/scale", f"{s}/final_layer_norm/scale")
+        put(f"{d}/LayerNorm_1/bias", f"{s}/final_layer_norm/bias")
+        put(
+            f"{d}/PositionalwiseFeedForward_0/Dense_0/kernel",
+            f"{s}/fc1/kernel",
+        )
+        put(
+            f"{d}/PositionalwiseFeedForward_0/Dense_0/bias",
+            f"{s}/fc1/bias",
+        )
+        put(
+            f"{d}/PositionalwiseFeedForward_0/Dense_1/kernel",
+            f"{s}/fc2/kernel",
+        )
+        put(
+            f"{d}/PositionalwiseFeedForward_0/Dense_1/bias",
+            f"{s}/fc2/bias",
+        )
+
+    n_dec = len(
+        {k.split("/")[2] for k in hf if k.startswith("decoder/layers/")}
+    )
+    for i in range(n_dec):
+        d = f"decoder/blocks/layer_{i}"
+        s = f"decoder/layers/{i}"
+        attn(f"{d}/self_attn", f"{s}/self_attn")
+        attn(f"{d}/cross_attn", f"{s}/encoder_attn")
+        put(f"{d}/LayerNorm_0/scale", f"{s}/self_attn_layer_norm/scale")
+        put(f"{d}/LayerNorm_0/bias", f"{s}/self_attn_layer_norm/bias")
+        put(
+            f"{d}/LayerNorm_1/scale",
+            f"{s}/encoder_attn_layer_norm/scale",
+        )
+        put(
+            f"{d}/LayerNorm_1/bias", f"{s}/encoder_attn_layer_norm/bias"
+        )
+        put(f"{d}/LayerNorm_2/scale", f"{s}/final_layer_norm/scale")
+        put(f"{d}/LayerNorm_2/bias", f"{s}/final_layer_norm/bias")
+        put(
+            f"{d}/PositionalwiseFeedForward_0/Dense_0/kernel",
+            f"{s}/fc1/kernel",
+        )
+        put(
+            f"{d}/PositionalwiseFeedForward_0/Dense_0/bias",
+            f"{s}/fc1/bias",
+        )
+        put(
+            f"{d}/PositionalwiseFeedForward_0/Dense_1/kernel",
+            f"{s}/fc2/kernel",
+        )
+        put(
+            f"{d}/PositionalwiseFeedForward_0/Dense_1/bias",
+            f"{s}/fc2/bias",
+        )
+
+    out = dict(variables)
+    out["params"] = flax.traverse_util.unflatten_dict(flat, sep="/")
+    return out

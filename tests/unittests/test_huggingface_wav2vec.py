@@ -90,3 +90,41 @@ def test_wav2vec2_pretrain_wrapper(tiny_w2v2_dir):
     assert out.projected_quantized_states.shape == (2, 79, 16)
     assert mask.shape == (2, 79) and mask.dtype == bool
     assert bool(mask.any())
+
+
+def test_hf_wav2vec2_checkpoint_round_trip(tiny_w2v2_dir, tmp_path):
+    """Save a tiny Flax wav2vec2 checkpoint WITH weights and reload it
+    through the wrapper: parameters and features must survive the disk
+    round trip exactly (guards the train_hf_wav2vec.yaml loading path,
+    VERDICT round-1 item 10)."""
+    import flax
+    from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
+
+    from speechbrain_tpu.lobes.models.huggingface_wav2vec import (
+        HuggingFaceWav2Vec2,
+    )
+
+    cfg = Wav2Vec2Config.from_pretrained(tiny_w2v2_dir)
+    hf = FlaxWav2Vec2Model(cfg, seed=7)
+    hf.save_pretrained(tmp_path)
+
+    wrapper = HuggingFaceWav2Vec2(str(tmp_path))
+    a = flax.traverse_util.flatten_dict(hf.params, sep="/")
+    b = flax.traverse_util.flatten_dict(wrapper.model.params, sep="/")
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    wav = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 800)), jnp.float32
+    )
+    feats = wrapper(wav)
+    # the wrapper layer-norms the input wav (do_normalize default);
+    # reproduce that for the raw-model comparison
+    mean = wav.mean(axis=1, keepdims=True)
+    var = wav.var(axis=1, keepdims=True)
+    norm_wav = (wav - mean) / jnp.sqrt(var + 1e-5)
+    direct = hf(np.asarray(norm_wav)).last_hidden_state
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(direct), rtol=1e-4, atol=1e-5
+    )

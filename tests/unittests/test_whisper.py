@@ -197,3 +197,91 @@ def test_hf_whisper_wrapper_offline(tmp_path):
     enc, logits, attn = m(wav, ids)
     assert enc.shape == (1, 1500, 16)
     assert logits.shape == (1, 2, 64)
+
+
+def test_hf_checkpoint_round_trip_to_native(tmp_path):
+    """Save a tiny Flax HF whisper checkpoint (with weights), reload it
+    via HuggingFaceWhisper, transplant into the native Whisper, and
+    check encoder/decoder logits parity — the advertised fine-tuning
+    path (VERDICT round-1 item 10)."""
+    transformers = pytest.importorskip("transformers")
+    from transformers import WhisperConfig, FlaxWhisperModel
+
+    from speechbrain_tpu.lobes.models.whisper import (
+        HuggingFaceWhisper,
+        Whisper,
+        load_whisper_hf_params,
+    )
+
+    cfg = WhisperConfig(
+        vocab_size=64,
+        num_mel_bins=80,
+        d_model=16,
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_attention_heads=4,
+        decoder_attention_heads=4,
+        encoder_ffn_dim=32,
+        decoder_ffn_dim=32,
+        max_source_positions=10,
+        max_target_positions=8,
+    )
+    hf = FlaxWhisperModel(cfg, seed=3)
+    hf.save_pretrained(tmp_path)
+
+    # disk round trip through the wrapper
+    wrapper = HuggingFaceWhisper(str(tmp_path))
+    import flax
+
+    a = flax.traverse_util.flatten_dict(hf.params, sep="/")
+    b = flax.traverse_util.flatten_dict(wrapper.model.params, sep="/")
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    # transplant into the native module; compare outputs on the same
+    # mel/enc inputs (drive encoder+decoder through the HF model too)
+    native = Whisper(
+        vocab_size=64,
+        d_model=16,
+        nhead=4,
+        encoder_layers=2,
+        decoder_layers=2,
+        d_ffn=32,
+        n_samples=3200,
+        max_source_positions=10,
+        max_target_positions=8,
+    )
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((1, 3000)), jnp.float32)
+    ids = jnp.asarray([[1, 5, 9]], jnp.int32)
+    variables = native.init(
+        jax.random.PRNGKey(0), wav, ids, train=False
+    )
+    variables = load_whisper_hf_params(variables, wrapper.model.params)
+    enc_n, logits_n, _ = native.apply(variables, wav, ids, train=False)
+
+    # HF forward over the native frontend's mel features
+    from speechbrain_tpu.lobes.models.whisper import (
+        log_mel_spectrogram,
+        mel_filters_slaney,
+        pad_or_trim,
+    )
+
+    mel = log_mel_spectrogram(
+        pad_or_trim(wav, 3200), mel_filters_slaney(80)
+    )
+    out = wrapper.model(
+        input_features=np.asarray(mel).transpose(0, 2, 1),
+        decoder_input_ids=np.asarray(ids),
+    )
+    enc_hf = out.encoder_last_hidden_state
+    dec_hf = out.last_hidden_state
+    emb = variables["params"]["decoder"]["embed_tokens"]["embedding"]
+    logits_hf = np.asarray(dec_hf) @ np.asarray(emb).T
+    np.testing.assert_allclose(
+        np.asarray(enc_n), np.asarray(enc_hf), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_n), logits_hf, rtol=1e-3, atol=1e-4
+    )
