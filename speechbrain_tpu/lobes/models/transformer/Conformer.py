@@ -148,6 +148,10 @@ class ConformerEncoder(nn.Module):
     causal: bool = False
     dropout: float = 0.0
     activation: str = "swish"
+    # rematerialize each layer in the backward pass: saves only the
+    # matmul outputs (dots_with_no_batch_dims_saveable) and recomputes
+    # elementwise chains, trading FLOPs for HBM traffic
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -158,10 +162,20 @@ class ConformerEncoder(nn.Module):
         pos_embs=None,
         train=True,
     ):
+        layer_cls = ConformerEncoderLayer
+        if self.remat:
+            import jax as _jax
+
+            layer_cls = nn.remat(
+                ConformerEncoderLayer,
+                policy=_jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable,
+                static_argnums=(5,),
+            )
         output = src
         attns = []
         for i in range(self.num_layers):
-            output, attn = ConformerEncoderLayer(
+            output, attn = layer_cls(
                 d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,
@@ -172,10 +186,10 @@ class ConformerEncoder(nn.Module):
                 name=f"layer_{i}",
             )(
                 output,
-                src_mask=src_mask,
-                src_key_padding_mask=src_key_padding_mask,
-                pos_embs=pos_embs,
-                train=train,
+                src_mask,
+                src_key_padding_mask,
+                pos_embs,
+                train,
             )
             attns.append(attn)
         return output, attns
