@@ -84,3 +84,54 @@ def test_pretrained_classify_file(saved_model, tmp_path):
     write_audio(wav_path, ex["wav_data"], SR)
     out_probs, score, index, _ = clf.classify_file(wav_path)
     assert int(index[0]) == ex["spk_id"]
+
+
+def test_encoder_decoder_asr_longform(tmp_path):
+    """EncoderDecoderASR: batch detokenization + long-form chunked
+    transcribe_file (overlapped fixed windows, one padded batch)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.dataio.dataio import write_audio
+    from speechbrain_tpu.pretrained.interfaces import EncoderDecoderASR
+
+    class Enc(nn.Module):
+        @nn.compact
+        def __call__(self, x, lens=None, train=False):
+            if x.ndim == 2:
+                x = x[..., None]
+            return nn.Dense(4)(x[:, ::1600])
+
+    class FakeTokenizer:
+        def __call__(self, batch, task="encode"):
+            assert task == "decode_from_list"
+            return [" ".join(f"w{int(t)}" for t in row) for row in batch]
+
+    class FakeSearcher:
+        def __call__(self, enc, lens):
+            B = enc.shape[0]
+            hyps = [[i + 1, i + 2] for i in range(B)]
+            return hyps, np.zeros(B)
+
+    enc = Enc()
+    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    asr = EncoderDecoderASR(
+        modules={"encoder": enc},
+        params={"encoder": params},
+        hparams={
+            "tokenizer": FakeTokenizer(),
+            "make_decoder": lambda iface: FakeSearcher(),
+            "sample_rate": 16000,
+        },
+    )
+    wav = 0.1 * np.sin(np.arange(16000 * 5) / 30.0).astype(np.float32)
+    path = str(tmp_path / "long.wav")
+    write_audio(path, wav, 16000)
+
+    # single pass
+    text = asr.transcribe_file(path)
+    assert text == "w1 w2"
+    # long form: 5 s at 2 s windows -> 3 chunks, one batch, joined
+    text = asr.transcribe_file(path, chunk_size_s=2.0)
+    assert text == "w1 w2 w2 w3 w3 w4"
