@@ -192,6 +192,11 @@ class ConformerEncoder(nn.Module):
                 train,
             )
             attns.append(attn)
+        # final encoder LayerNorm (reference Conformer.py:78,119 —
+        # eps 1e-6, applied after the layer stack)
+        output = nn.LayerNorm(
+            epsilon=1e-6, dtype=output.dtype, name="norm_out"
+        )(output)
         return output, attns
 
 

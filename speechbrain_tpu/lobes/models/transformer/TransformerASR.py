@@ -151,6 +151,14 @@ class TransformerASR(nn.Module):
         enc_out, src_key_padding_mask = self._encode(src, wav_len, train)
         if self.num_decoder_layers == 0:
             return enc_out, None
+        if self.attention_type == "RelPosMHAXL":
+            # reference quirk kept for parity (TransformerASR forward,
+            # the "FIXME we use pos embs also on enc output" branch):
+            # the decoder's fixed abs-sine PE is ALSO added to the
+            # encoder output before cross-attention, and the mutated
+            # tensor is what forward() returns (the training CTC head
+            # sees it; eval-time encode() stays raw).
+            enc_out = enc_out + self.positional_encoding_mod(enc_out)
         tgt_key_padding_mask = jnp.asarray(tgt, jnp.int32) == pad_idx
         tgt_mask = get_lookahead_mask(tgt.shape[1])
         tgt_emb = self.custom_tgt_module(tgt).astype(enc_out.dtype)
@@ -180,6 +188,12 @@ class TransformerASR(nn.Module):
             )
         tgt_emb = self.custom_tgt_module(tgt)
         tgt_emb = tgt_emb + self.positional_encoding_mod(tgt_emb)
+        if self.attention_type == "RelPosMHAXL":
+            # same reference quirk as forward(): decoder PE added to
+            # the encoder states at decode time
+            encoder_out = encoder_out + self.positional_encoding_mod(
+                encoder_out
+            )
         dec_out, _, cross_attns = self.decoder(
             tgt_emb,
             encoder_out,

@@ -913,3 +913,313 @@ def test_grad_conformer_layer(ref, torch):
     _compare_grad_trees(
         o_flat, t_flat, "ConformerEncoderLayer", rtol=5e-3, atol=2e-4
     )
+
+
+def test_grad_conformer_asr_joint_step(ref, torch):
+    """FULL conformer TransformerASR joint CTC/attention train step:
+    transplanted weights, 0.3*CTC + 0.7*label-smoothed-KL objective,
+    loss value + every parameter gradient (the complete RelPosMHAXL +
+    macaron + depthwise-conv backward of the flagship recipe)."""
+    from speechbrain.lobes.models.transformer.TransformerASR import (
+        TransformerASR as Ref,
+    )
+    from speechbrain.nnet.linear import Linear as RefLinear
+    from speechbrain.nnet.losses import (
+        ctc_loss as ref_ctc,
+        kldiv_loss as ref_kld,
+    )
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+        TransformerASR as Ours,
+    )
+    from speechbrain_tpu.nnet.linear import Linear as OursLinear
+    import speechbrain_tpu.nnet.losses as L
+    import flax
+
+    V, E, H, K = 20, 16, 2, 7
+    cfg = dict(
+        tgt_vocab=V,
+        input_size=24,
+        d_model=E,
+        nhead=H,
+        num_encoder_layers=2,
+        num_decoder_layers=1,
+        d_ffn=32,
+        dropout=0.0,
+        encoder_module="conformer",
+        attention_type="RelPosMHAXL",
+        kernel_size=K,
+        positional_encoding="fixed_abs_sine",
+        normalize_before=True,
+        # the reference CLASS defaults to a causal conformer conv; the
+        # recipes (and our class default) use non-causal — pin it
+        causal=False,
+    )
+    theirs_mod = Ref(**cfg)
+    theirs_ctc = RefLinear(input_size=E, n_neurons=V)
+    theirs_seq = RefLinear(input_size=E, n_neurons=V)
+    theirs_mod.train()
+
+    rng = np.random.default_rng(91)
+    B, Tsrc, U = 2, 12, 5
+    src = rng.standard_normal((B, Tsrc, 24)).astype(np.float32)
+    tokens = rng.integers(1, V, (B, U)).astype(np.int64)
+    tokens[1, 4:] = 0
+    bos = np.full((B, 1), V - 1, np.int64)
+    tokens_bos = np.concatenate([bos, tokens[:, :-1]], axis=1)
+    wav_len = np.asarray([1.0, 0.75], dtype=np.float32)
+    tgt_len = np.asarray([1.0, 0.8], dtype=np.float32)
+
+    enc, dec = theirs_mod(
+        torch.tensor(src), torch.tensor(tokens_bos), torch.tensor(wav_len)
+    )
+    p_ctc = torch.log_softmax(theirs_ctc(enc), dim=-1)
+    p_seq = torch.log_softmax(theirs_seq(dec), dim=-1)
+    t_loss = 0.3 * ref_ctc(
+        p_ctc, torch.tensor(tokens), torch.tensor(wav_len),
+        torch.tensor(tgt_len), blank_index=0, reduction="batchmean",
+    ) + 0.7 * ref_kld(
+        p_seq, torch.tensor(tokens), torch.tensor(tgt_len),
+        label_smoothing=0.1, reduction="batchmean",
+    )
+    t_loss.backward()
+
+    named = dict(theirs_mod.named_parameters(prefix="m"))
+    named.update(theirs_ctc.named_parameters(prefix="ctc"))
+    named.update(theirs_seq.named_parameters(prefix="seq"))
+    d_head = E // H
+
+    def build(get):
+        """our flat-key -> value tree from a torch name->tensor getter."""
+        out = {}
+
+        def conformer_layer(i):
+            p = f"m.encoder.layers.{i}"
+
+            def w_i(j):
+                return get(f"{p}.mha_layer.in_proj_weight").reshape(
+                    H, 3, d_head, E
+                )[:, j].reshape(E, E).T
+
+            def ln(prefix, has_norm=True):
+                key = f"{prefix}.norm.weight" if has_norm else f"{prefix}.weight"
+                kb = key.replace("weight", "bias")
+                return {"scale": get(key), "bias": get(kb)}
+
+            return {
+                "LayerNorm_0": ln(f"{p}.ffn_module1.0", has_norm=False),
+                "LayerNorm_1": ln(f"{p}.norm1"),
+                "LayerNorm_2": ln(f"{p}.ffn_module2.0", has_norm=False),
+                "LayerNorm_3": ln(f"{p}.norm2"),
+                "mha": {
+                    "q_proj": {"kernel": w_i(0)},
+                    "k_proj": {"kernel": w_i(1)},
+                    "v_proj": {"kernel": w_i(2)},
+                    "out_proj": {
+                        "kernel": get(f"{p}.mha_layer.out_proj.weight").T,
+                        "bias": get(f"{p}.mha_layer.out_proj.bias"),
+                    },
+                    "pos_proj": {
+                        "kernel": get(f"{p}.mha_layer.linear_pos.weight").T
+                    },
+                    "pos_bias_u": get(f"{p}.mha_layer.pos_bias_u").reshape(
+                        H, d_head
+                    ),
+                    "pos_bias_v": get(f"{p}.mha_layer.pos_bias_v").reshape(
+                        H, d_head
+                    ),
+                },
+                "conv": {
+                    "LayerNorm_0": ln(f"{p}.convolution_module.layer_norm",
+                                      has_norm=False),
+                    "Dense_0": {
+                        "kernel": get(
+                            f"{p}.convolution_module.bottleneck.0.weight"
+                        )[:, :, 0].T,
+                        "bias": get(
+                            f"{p}.convolution_module.bottleneck.0.bias"
+                        ),
+                    },
+                    "depthwise_kernel": get(
+                        f"{p}.convolution_module.conv.weight"
+                    )[:, 0, :].T,
+                    "depthwise_bias": get(
+                        f"{p}.convolution_module.conv.bias"
+                    ),
+                    "LayerNorm_1": ln(f"{p}.convolution_module.after_conv.0",
+                                      has_norm=False),
+                    "Dense_1": {
+                        "kernel": get(
+                            f"{p}.convolution_module.after_conv.2.weight"
+                        ).T,
+                        "bias": get(
+                            f"{p}.convolution_module.after_conv.2.bias"
+                        ),
+                    },
+                },
+                "ffn1": {
+                    "Dense_0": {
+                        "kernel": get(f"{p}.ffn_module1.1.ffn.0.weight").T,
+                        "bias": get(f"{p}.ffn_module1.1.ffn.0.bias"),
+                    },
+                    "Dense_1": {
+                        "kernel": get(f"{p}.ffn_module1.1.ffn.3.weight").T,
+                        "bias": get(f"{p}.ffn_module1.1.ffn.3.bias"),
+                    },
+                },
+                "ffn2": {
+                    "Dense_0": {
+                        "kernel": get(f"{p}.ffn_module2.1.ffn.0.weight").T,
+                        "bias": get(f"{p}.ffn_module2.1.ffn.0.bias"),
+                    },
+                    "Dense_1": {
+                        "kernel": get(f"{p}.ffn_module2.1.ffn.3.weight").T,
+                        "bias": get(f"{p}.ffn_module2.1.ffn.3.bias"),
+                    },
+                },
+            }
+
+        def mha(prefix):
+            w = get(f"{prefix}.att.in_proj_weight")
+            b = get(f"{prefix}.att.in_proj_bias")
+            return {
+                "q_proj": {"kernel": w[:E].T, "bias": b[:E]},
+                "k_proj": {"kernel": w[E:2 * E].T, "bias": b[E:2 * E]},
+                "v_proj": {"kernel": w[2 * E:].T, "bias": b[2 * E:]},
+                "out_proj": {
+                    "kernel": get(f"{prefix}.att.out_proj.weight").T,
+                    "bias": get(f"{prefix}.att.out_proj.bias"),
+                },
+            }
+
+        def ln(prefix):
+            return {
+                "scale": get(f"{prefix}.norm.weight"),
+                "bias": get(f"{prefix}.norm.bias"),
+            }
+
+        def ffn(prefix):
+            return {
+                "Dense_0": {
+                    "kernel": get(f"{prefix}.ffn.0.weight").T,
+                    "bias": get(f"{prefix}.ffn.0.bias"),
+                },
+                "Dense_1": {
+                    "kernel": get(f"{prefix}.ffn.3.weight").T,
+                    "bias": get(f"{prefix}.ffn.3.bias"),
+                },
+            }
+
+        out["asr"] = {
+            "encoder": {
+                "layer_0": conformer_layer(0),
+                "layer_1": conformer_layer(1),
+                "norm_out": ln("m.encoder.norm"),
+            },
+            "decoder": {
+                "layer_0": {
+                    "self_attn": mha("m.decoder.layers.0.self_attn"),
+                    "cross_attn": mha("m.decoder.layers.0.mutihead_attn"),
+                    "PositionalwiseFeedForward_0": ffn(
+                        "m.decoder.layers.0.pos_ffn"
+                    ),
+                    "LayerNorm_0": ln("m.decoder.layers.0.norm1"),
+                    "LayerNorm_1": ln("m.decoder.layers.0.norm2"),
+                    "LayerNorm_2": ln("m.decoder.layers.0.norm3"),
+                },
+                "norm_out": ln("m.decoder.norm"),
+            },
+        }
+        out["ctc_head"] = {
+            "Dense_0": {
+                "kernel": get("ctc.w.weight").T,
+                "bias": get("ctc.w.bias"),
+            }
+        }
+        out["seq_head"] = {
+            "Dense_0": {
+                "kernel": get("seq.w.weight").T,
+                "bias": get("seq.w.bias"),
+            }
+        }
+        return out
+
+    ours = Ours(**cfg)
+    ours_ctc = OursLinear(n_neurons=V)
+    ours_seq = OursLinear(n_neurons=V)
+    init = ours.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(src),
+        jnp.asarray(tokens_bos),
+    )
+    weights = build(lambda n: t2j(named[n].data))
+    init_flat = flax.traverse_util.flatten_dict(init["params"], sep="/")
+    w_flat = flax.traverse_util.flatten_dict(weights["asr"], sep="/")
+    # src-proj keys are structure-dependent: copy from torch by lookup
+    src_keys = [k for k in init_flat if k.startswith("custom_src_module")]
+    kkey = [k for k in src_keys if k.endswith("kernel")][0]
+    bkey = [k for k in src_keys if k.endswith("bias")][0]
+    w_flat[kkey] = t2j(named["m.custom_src_module.layers.0.w.weight"].data).T
+    w_flat[bkey] = t2j(named["m.custom_src_module.layers.0.w.bias"].data)
+    emb_key = [k for k in init_flat if k.startswith("custom_tgt_module")][0]
+    w_flat[emb_key] = t2j(
+        named["m.custom_tgt_module.layers.0.emb.Embedding.weight"].data
+    )
+    assert set(w_flat) == set(init_flat), (
+        sorted(set(init_flat) - set(w_flat))[:6],
+        sorted(set(w_flat) - set(init_flat))[:6],
+    )
+    for k in w_flat:
+        assert np.shape(w_flat[k]) == np.shape(init_flat[k]), k
+
+    params = {
+        "asr": flax.traverse_util.unflatten_dict(w_flat, sep="/"),
+        "ctc_head": weights["ctc_head"],
+        "seq_head": weights["seq_head"],
+    }
+
+    def loss_fn(p):
+        enc_o, dec_o = ours.apply(
+            {"params": p["asr"]},
+            jnp.asarray(src),
+            jnp.asarray(tokens_bos),
+            wav_len=jnp.asarray(wav_len),
+            train=True,
+            rngs={"dropout": jax.random.PRNGKey(4)},
+        )
+        lp_ctc = jax.nn.log_softmax(
+            ours_ctc.apply({"params": p["ctc_head"]}, enc_o), axis=-1
+        )
+        lp_seq = jax.nn.log_softmax(
+            ours_seq.apply({"params": p["seq_head"]}, dec_o), axis=-1
+        )
+        return 0.3 * L.ctc_loss(
+            lp_ctc, tokens, wav_len, tgt_len, blank_index=0,
+            reduction="batchmean",
+        ) + 0.7 * L.kldiv_loss(
+            lp_seq, tokens, tgt_len, label_smoothing=0.1,
+            reduction="batchmean",
+        )
+
+    o_loss, o_grads = jax.value_and_grad(loss_fn)(params)
+    assert_close(
+        o_loss, t_loss, rtol=2e-3, atol=2e-4, what="conformer joint loss"
+    )
+
+    t_grads = build(lambda n: t2j(named[n].grad))
+    # src/tgt module grads
+    tg_flat = flax.traverse_util.flatten_dict(t_grads["asr"], sep="/")
+    tg_flat[kkey] = t2j(named["m.custom_src_module.layers.0.w.weight"].grad).T
+    tg_flat[bkey] = t2j(named["m.custom_src_module.layers.0.w.bias"].grad)
+    tg_flat[emb_key] = t2j(
+        named["m.custom_tgt_module.layers.0.emb.Embedding.weight"].grad
+    )
+    o_flat = flax.traverse_util.flatten_dict(o_grads["asr"], sep="/")
+    _compare_grad_trees(
+        o_flat, tg_flat, "conformer ASR", rtol=1e-2, atol=5e-4
+    )
+    for head in ("ctc_head", "seq_head"):
+        _compare_grad_trees(
+            flax.traverse_util.flatten_dict(o_grads[head], sep="/"),
+            flax.traverse_util.flatten_dict(t_grads[head], sep="/"),
+            head, rtol=1e-2, atol=5e-4,
+        )
