@@ -53,8 +53,13 @@ class PositionalEncoding(nn.Module):
 
 
 def get_key_padding_mask(padded_input_lens, T):
-    """(B,) relative lens -> (B, T) bool, True = PAD (torch convention)."""
-    abs_lens = jnp.asarray(padded_input_lens) * T
+    """(B,) relative lens -> (B, T) bool, True = PAD (torch convention).
+
+    Lengths are rounded like the reference (``TransformerASR.py:227``:
+    ``torch.round(wav_len * T)``) so fractional boundaries resolve to
+    the same frame on both sides.
+    """
+    abs_lens = jnp.round(jnp.asarray(padded_input_lens) * T)
     return jnp.arange(T)[None, :] >= abs_lens[:, None]
 
 
