@@ -99,7 +99,7 @@ class ASR(sb.Brain):
         )
         Us = min(seq_logp.shape[1], tea_seq.shape[1])
         loss_seq_kd = nll_loss_kd(
-            jnp.exp(seq_logp[:, :Us]),
+            seq_logp[:, :Us],  # student LOG-probs (reference recipe)
             tea_seq[:, :Us],
             batch["phn_encoded_eos_lens"] * mask,
         )

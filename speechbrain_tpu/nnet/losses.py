@@ -543,7 +543,11 @@ def ctc_loss_kd(log_probs, targets, input_lens, blank_index, device=None):
     prev = jnp.concatenate(
         [jnp.full((B, 1), -1, t_preds.dtype), t_preds[:, :-1]], axis=1
     )
-    keep = (t_preds != prev) & (t_preds != blank_index)
+    # only frames within the actual input length produce teacher labels
+    # (reference truncates to actual_size before collapsing)
+    abs_in = jnp.round(jnp.asarray(input_lens) * T)
+    in_range = jnp.arange(T)[None, :] < abs_in[:, None]
+    keep = (t_preds != prev) & (t_preds != blank_index) & in_range
     # stable compaction: kept frames keep their index, dropped go last
     order = jnp.argsort(jnp.where(keep, jnp.arange(T)[None, :], T))
     tgt = jnp.take_along_axis(
@@ -558,7 +562,13 @@ def ctc_loss_kd(log_probs, targets, input_lens, blank_index, device=None):
 
 
 def nll_loss_kd(probabilities, targets, rel_lab_lengths):
-    """Sequence KD: CE against teacher posteriors (reference :1143)."""
+    """Sequence KD against teacher posteriors (reference :1143).
+
+    Per frame: ``-(targets * probabilities).sum(-1)`` — the reference's
+    ``ce_kd`` is a plain dot product of whatever is passed; the KD
+    recipes pass the student's LOG-probabilities (making this the
+    cross-entropy) and the teacher's probabilities.
+    """
     probabilities = jnp.asarray(probabilities)
     targets = jnp.asarray(targets)
     B, T, _ = probabilities.shape
@@ -566,7 +576,7 @@ def nll_loss_kd(probabilities, targets, rel_lab_lengths):
     mask = (
         jnp.arange(T)[None, :] < abs_len[:, None]
     ).astype(probabilities.dtype)
-    per = -(targets * jnp.log(jnp.maximum(probabilities, 1e-10))).sum(-1)
+    per = -(targets * probabilities).sum(-1)
     return (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 

@@ -1223,3 +1223,56 @@ def test_grad_conformer_asr_joint_step(ref, torch):
             flax.traverse_util.flatten_dict(t_grads[head], sep="/"),
             head, rtol=1e-2, atol=5e-4,
         )
+
+
+def test_grad_kd_losses(ref, torch):
+    """KD losses vs the reference (values + gradients): ctc_loss_kd
+    distills against the teacher's collapsed greedy path; nll_loss_kd
+    is the reference's plain dot-product ce_kd."""
+    from speechbrain.nnet.losses import (
+        ctc_loss_kd as ref_ctc_kd,
+        nll_loss_kd as ref_nll_kd,
+    )
+    import speechbrain_tpu.nnet.losses as L
+
+    rng = np.random.default_rng(12)
+    B, T, C = 3, 12, 6
+    s_logits = rng.standard_normal((B, T, C)).astype(np.float32)
+    t_post = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((B, T, C)) * 2.0)
+    )
+    t_post = np.asarray(t_post, np.float32)
+    in_lens = np.asarray([1.0, 0.8, 0.6], np.float32)
+
+    def torch_ctc(lg):
+        lp = torch.log_softmax(lg, dim=-1)
+        return ref_ctc_kd(
+            lp, torch.tensor(t_post), torch.tensor(in_lens),
+            blank_index=0, device="cpu",
+        )
+
+    t_loss, t_grad = _torch_grad(torch, torch_ctc, s_logits)
+
+    def jax_ctc(lg):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return L.ctc_loss_kd(lp, t_post, in_lens, blank_index=0)
+
+    o_loss, o_grad = jax.value_and_grad(jax_ctc)(jnp.asarray(s_logits))
+    assert_close(o_loss, t_loss, rtol=1e-4, atol=1e-5, what="ctc_kd")
+    grads_close(o_grad, t_grad, what="ctc_kd grad")
+
+    def torch_nll(lg):
+        lp = torch.log_softmax(lg, dim=-1)
+        return ref_nll_kd(
+            lp, torch.tensor(t_post), torch.tensor(in_lens)
+        )
+
+    t_loss, t_grad = _torch_grad(torch, torch_nll, s_logits)
+
+    def jax_nll(lg):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return L.nll_loss_kd(lp, t_post, in_lens)
+
+    o_loss, o_grad = jax.value_and_grad(jax_nll)(jnp.asarray(s_logits))
+    assert_close(o_loss, t_loss, rtol=1e-4, atol=1e-5, what="nll_kd")
+    grads_close(o_grad, t_grad, what="nll_kd grad")
