@@ -70,9 +70,14 @@ class Transducer(sb.Brain):
             # greedy scan and beam permutation index state leaves by
             # their leading axis; the GRU's hx is (L, B, H).
             if tokens is None:
-                emb = jnp.zeros(
-                    (n, 1, self.hparams.joint_dim), jnp.float32
+                # reference semantics: the initial PN input is the
+                # BLANK token's embedding (decoders/transducer.py
+                # input_PN = blank), which also keeps the lazily
+                # initialized GRU input width = embedding_dim
+                blank_tok = jnp.full(
+                    (n, 1), self.hparams.blank_index, jnp.int32
                 )
+                emb = self.modules.emb(blank_tok)
                 out, hx = self.modules.dec(emb)
             else:
                 emb = self.modules.emb(tokens[:, None])
