@@ -28,6 +28,18 @@ class TransducerBeamSearcher:
     nbest : int
     state_beam, expand_beam : pruning (reference defaults 2.3 / 2.3)
     lm_fn, lm_weight : optional shallow fusion (beam only)
+    max_expand_per_frame : int or None
+        Safety valve the reference lacks: its while-loop only fills the
+        beam through blank extensions, so when blank falls out of the
+        topk on every expansion (typical for an untrained model) the
+        hypothesis list grows forever and the reference never
+        terminates.  After this many expansions on one frame the frame
+        is force-advanced (promoting the best hypotheses if the beam is
+        still empty).  Terminating reference runs use ~1-3x beam_size
+        expansions per frame, far below the default 10x cap, so results
+        on trained models are unchanged.  Default (None) = 10x
+        beam_size; pass ``float("inf")`` for exact reference behavior
+        (including the hang).
     """
 
     def __init__(
@@ -41,7 +53,11 @@ class TransducerBeamSearcher:
         lm_weight=0.0,
         state_beam=2.3,
         expand_beam=2.3,
+        max_expand_per_frame=None,
     ):
+        if max_expand_per_frame is None:
+            max_expand_per_frame = 10 * beam_size
+        self.max_expand_per_frame = max_expand_per_frame
         self.pred_step_fn = decode_fn
         self.joint_fn = joint_fn
         self.blank_id = blank_id
@@ -104,9 +120,21 @@ class TransducerBeamSearcher:
         return hyps, np.asarray(scores)
 
     def transducer_beam_search_decode(self, enc_states, enc_lens=None):
-        """Per-utterance beam search (host loop, reference parity)."""
-        import math
+        """Reference beam search, batched lockstep across utterances.
 
+        Per-utterance semantics are exactly the reference's hypothesis
+        loop (``decoders/transducer.py:10``): length-normalized
+        hypothesis selection, state_beam early stop, topk-gated blank
+        extension, expand_beam pruning.  The difference is purely in
+        scheduling: every lockstep iteration, each still-decoding
+        utterance contributes ONE chosen hypothesis, and all joint-net
+        evaluations (and all prediction-net expansions) across the
+        batch go to the device as single batched dispatches instead of
+        one dispatch per hypothesis per token.  Utterances advance
+        through their frames independently (no idle lockstep waits).
+        All score arithmetic stays row-wise identical, so results match
+        the serial loop.
+        """
         enc_states = np.asarray(enc_states)
         B, T = enc_states.shape[0], enc_states.shape[1]
         if enc_lens is None:
@@ -115,9 +143,15 @@ class TransducerBeamSearcher:
             abs_lens = [
                 int(round(float(l) * T)) for l in np.asarray(enc_lens)
             ]
-        nbest_hyps, nbest_scores = [], []
+
+        def norm_key(x):
+            # reference normalizes by len(prediction) where prediction
+            # includes the initial blank -> +1 (ours stores tokens only)
+            return x["logp_score"] / (len(x["prediction"]) + 1)
+
+        pred_out0, state0 = self.pred_step_fn(None, None, 1)
+        utts = []
         for b in range(B):
-            pred_out0, state0 = self.pred_step_fn(None, None, 1)
             hyp = {
                 "prediction": [],
                 "logp_score": 0.0,
@@ -125,99 +159,161 @@ class TransducerBeamSearcher:
                 "state": state0,
                 "lm_state": None,
             }
-            beam_hyps = [hyp]
-            for t in range(abs_lens[b]):
-                process_hyps = beam_hyps
-                beam_hyps = []
-                while len(beam_hyps) < self.beam_size:
-                    # reference selects by length-normalized score
-                    # (decoders/transducer.py:  logp/len(prediction),
-                    # where prediction includes the initial blank ->
-                    # +1 here since ours stores tokens only)
-                    a_best_hyp = max(
-                        process_hyps,
-                        key=lambda x: x["logp_score"]
-                        / (len(x["prediction"]) + 1),
-                    )
-                    if beam_hyps:
-                        b_best = max(
-                            beam_hyps,
-                            key=lambda x: x["logp_score"]
-                            / (len(x["prediction"]) + 1),
-                        )
+            utts.append(
+                {
+                    "b": b,
+                    "t": -1,
+                    "process": [],
+                    "beam": [hyp],
+                    "done": False,
+                    "nexp": 0,
+                }
+            )
+
+        def next_a_best(u):
+            """Advance one utterance's control flow (frame boundaries,
+            beam-filled / state_beam exits) to its next expansion point;
+            returns the popped a_best hyp, or None when decoding ends."""
+            while True:
+                if u["done"]:
+                    return None
+                advance = (
+                    len(u["beam"]) >= self.beam_size
+                    or not u["process"]
+                    or u["nexp"] >= self.max_expand_per_frame
+                )
+                a_best = None
+                if not advance:
+                    a_best = max(u["process"], key=norm_key)
+                    if u["beam"]:
+                        b_best = max(u["beam"], key=norm_key)
                         if (
                             b_best["logp_score"]
-                            >= self.state_beam + a_best_hyp["logp_score"]
+                            >= self.state_beam + a_best["logp_score"]
                         ):
-                            break
-                    process_hyps.remove(a_best_hyp)
-                    enc_t = jnp.asarray(enc_states[b, t])[None]
-                    logits = self.joint_fn(enc_t, a_best_hyp["pred_out"])
-                    log_probs = np.asarray(
-                        jax.nn.log_softmax(
-                            jnp.asarray(logits, jnp.float32), axis=-1
-                        )
-                    )[0]
-                    if self.lm_fn is not None and self.lm_weight > 0:
-                        lm_scores, lm_state = self._lm_step(a_best_hyp)
-                    order = np.argsort(-log_probs)
-                    best_logp = (
-                        log_probs[order[0]]
-                        if order[0] != self.blank_id
-                        else log_probs[order[1]]
-                    )
-                    # reference semantics: ONLY candidates in the topk
-                    # are considered — the blank extension too exists
-                    # only when blank made the topk (transducer.py:
-                    # positions loop)
-                    for tok in order[: self.beam_size]:
-                        tok = int(tok)
-                        if tok == self.blank_id:
-                            blank_hyp = {
+                            advance = True
+                if advance:
+                    # frame done: beam becomes next frame's process set
+                    if not u["beam"]:
+                        # blank-starved frame (reference would hang):
+                        # promote the best surviving hypotheses
+                        u["beam"] = sorted(
+                            u["process"], key=norm_key, reverse=True
+                        )[: self.beam_size] or u["beam"]
+                    u["t"] += 1
+                    u["nexp"] = 0
+                    if u["t"] >= abs_lens[u["b"]]:
+                        u["done"] = True
+                        return None
+                    u["process"] = u["beam"]
+                    u["beam"] = []
+                    continue
+                u["process"].remove(a_best)
+                u["nexp"] += 1
+                return a_best
+
+        def tree_concat(trees):
+            if len(trees) == 1:
+                return trees[0]
+            return jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *trees
+            )
+
+        def tree_slice(tree, j):
+            return jax.tree_util.tree_map(lambda x: x[j : j + 1], tree)
+
+        use_lm = self.lm_fn is not None and self.lm_weight > 0
+        while True:
+            chosen = []  # (utt_index, a_best_hyp)
+            for b in range(B):
+                h = next_a_best(utts[b])
+                if h is not None:
+                    chosen.append((b, h))
+            if not chosen:
+                break
+            enc_batch = jnp.asarray(
+                np.stack(
+                    [enc_states[b, utts[b]["t"]] for b, _ in chosen]
+                )
+            )
+            pred_batch = tree_concat([h["pred_out"] for _, h in chosen])
+            logits = self.joint_fn(enc_batch, pred_batch)
+            log_probs = np.asarray(
+                jax.nn.log_softmax(
+                    jnp.asarray(logits, jnp.float32), axis=-1
+                )
+            )
+            lm_rows = [None] * len(chosen)
+            if use_lm:
+                lm_rows = [self._lm_step(h) for _, h in chosen]
+            expansions = []  # (utt_index, hyp, tok, chosen_row)
+            for i, (b, a_best_hyp) in enumerate(chosen):
+                lp = log_probs[i]
+                order = np.argsort(-lp)
+                best_logp = (
+                    lp[order[0]]
+                    if order[0] != self.blank_id
+                    else lp[order[1]]
+                )
+                # reference semantics: ONLY candidates in the topk are
+                # considered — the blank extension too exists only when
+                # blank made the topk (transducer.py: positions loop)
+                for tok in order[: self.beam_size]:
+                    tok = int(tok)
+                    if tok == self.blank_id:
+                        utts[b]["beam"].append(
+                            {
                                 "prediction": list(
                                     a_best_hyp["prediction"]
                                 ),
                                 "logp_score": a_best_hyp["logp_score"]
-                                + float(log_probs[self.blank_id]),
+                                + float(lp[self.blank_id]),
                                 "pred_out": a_best_hyp["pred_out"],
                                 "state": a_best_hyp["state"],
                                 "lm_state": a_best_hyp["lm_state"],
                             }
-                            beam_hyps.append(blank_hyp)
-                            continue
-                        if (
-                            float(log_probs[tok])
-                            < best_logp - self.expand_beam
-                        ):
-                            continue
-                        pred_out, state = self.pred_step_fn(
-                            jnp.asarray([tok], jnp.int32),
-                            a_best_hyp["state"],
-                            1,
                         )
-                        new_hyp = {
-                            "prediction": a_best_hyp["prediction"] + [tok],
-                            "logp_score": a_best_hyp["logp_score"]
-                            + float(log_probs[tok]),
-                            "pred_out": pred_out,
-                            "state": state,
-                            "lm_state": a_best_hyp["lm_state"],
-                        }
-                        if self.lm_fn is not None and self.lm_weight > 0:
-                            new_hyp["logp_score"] += (
-                                self.lm_weight * float(lm_scores[tok])
-                            )
-                            new_hyp["lm_state"] = lm_state
-                        process_hyps.append(new_hyp)
-            beam_hyps.sort(
-                key=lambda x: x["logp_score"] / (len(x["prediction"]) + 1),
-                reverse=True,
-            )
+                        continue
+                    if float(lp[tok]) < best_logp - self.expand_beam:
+                        continue
+                    expansions.append((b, a_best_hyp, tok, i))
+            if expansions:
+                tokens = jnp.asarray(
+                    [tok for _, _, tok, _ in expansions], jnp.int32
+                )
+                states = tree_concat(
+                    [h["state"] for _, h, _, _ in expansions]
+                )
+                pred_out, new_state = self.pred_step_fn(
+                    tokens, states, len(expansions)
+                )
+                for j, (b, a_best_hyp, tok, i) in enumerate(expansions):
+                    new_hyp = {
+                        "prediction": a_best_hyp["prediction"] + [tok],
+                        "logp_score": a_best_hyp["logp_score"]
+                        + float(log_probs[i, tok]),
+                        "pred_out": pred_out[j : j + 1],
+                        "state": tree_slice(new_state, j),
+                        "lm_state": a_best_hyp["lm_state"],
+                    }
+                    if use_lm:
+                        lm_scores, lm_state = lm_rows[i]
+                        new_hyp["logp_score"] += self.lm_weight * float(
+                            lm_scores[tok]
+                        )
+                        new_hyp["lm_state"] = lm_state
+                    utts[b]["process"].append(new_hyp)
+
+        nbest_hyps, nbest_scores = [], []
+        for b in range(B):
+            beam_hyps = sorted(utts[b]["beam"], key=norm_key, reverse=True)
+            if not beam_hyps:  # fully starved utterance: empty hyp
+                beam_hyps = [
+                    {"prediction": [], "logp_score": float("-inf")}
+                ]
             best = beam_hyps[: self.nbest]
             nbest_hyps.append(best[0]["prediction"])
-            nbest_scores.append(
-                best[0]["logp_score"] / (len(best[0]["prediction"]) + 1)
-            )
+            nbest_scores.append(norm_key(best[0]))
         return nbest_hyps, np.asarray(nbest_scores)
 
     def _lm_step(self, hyp):

@@ -298,3 +298,37 @@ def test_ctc_prefix_scorer_attention_window():
     # from full scoring but stay finite for real candidates.
     assert not np.allclose(s_nar, np.asarray(s_full), atol=1e-3)
     assert np.isfinite(s_nar[:, 2:]).all()
+
+
+def test_transducer_beam_batch_matches_per_utterance():
+    """The lockstep-batched beam search must give each utterance exactly
+    what a solo (B=1) run gives it — guards the cross-utterance batching
+    of joint/prediction-net dispatches."""
+    rng = np.random.default_rng(7)
+    B, T, V, H = 4, 6, 5, 3
+    blank = 0
+    E = (0.5 * rng.standard_normal((V, H))).astype(np.float32)
+    W = (0.5 * rng.standard_normal((H, V))).astype(np.float32)
+    bias = rng.standard_normal((V,)).astype(np.float32)
+    bias[blank] += 3.0  # keep blank in the topk (reference requirement)
+    enc = (0.7 * rng.standard_normal((B, T, H))).astype(np.float32)
+
+    def pred_step(tokens, state, batch):
+        if tokens is None:
+            return jnp.asarray(E[blank])[None].repeat(batch, 0), None
+        return jnp.asarray(E)[tokens], None
+
+    def joint(enc_t, pred_out):
+        return (enc_t + pred_out) @ jnp.asarray(W) + jnp.asarray(bias)
+
+    beam = TransducerBeamSearcher(
+        decode_fn=pred_step, joint_fn=joint, blank_id=blank, beam_size=3
+    )
+    lens = np.array([1.0, 0.5, 1.0, 5 / 6])
+    hyps, scores = beam.transducer_beam_search_decode(enc, lens)
+    for b in range(B):
+        solo_h, solo_s = beam.transducer_beam_search_decode(
+            enc[b : b + 1], lens[b : b + 1]
+        )
+        assert hyps[b] == solo_h[0], (b, hyps[b], solo_h[0])
+        np.testing.assert_allclose(scores[b], solo_s[0], rtol=1e-5)
