@@ -13,6 +13,7 @@ from speechbrain_tpu.pretrained.interfaces import (  # noqa: F401
     SNREstimator,
     SpeakerRecognition,
     SpectralMaskEnhancement,
+    Tacotron2,
     Tacotron2TTS,
     VAD,
     WaveformEncoder,

@@ -31,6 +31,7 @@ __all__ = [
     "SepformerSeparation",
     "SpectralMaskEnhancement",
     "foreign_class",
+    "Tacotron2",
 ]
 
 
@@ -174,6 +175,10 @@ class EncoderDecoderASR(Pretrained):
         texts = self.tokenizer(list(hyps), task="decode_from_list")
         return texts, hyps
 
+    def forward(self, wavs, wav_lens):
+        """Runs full transcription (reference interfaces.py:642)."""
+        return self.transcribe_batch(wavs, wav_lens)
+
     def transcribe_file(
         self, path, chunk_size_s=None, chunk_overlap_s=0.5
     ):
@@ -257,6 +262,10 @@ class EncoderASR(Pretrained):
         super().__init__(*args, **kwargs)
         self.tokenizer = self.hparams.tokenizer
 
+    def forward(self, wavs, wav_lens):
+        """Runs full transcription (reference interfaces.py:854)."""
+        return self.transcribe_batch(wavs, wav_lens)
+
     def transcribe_file(self, path):
         """Transcribe a single audio file."""
         import jax.numpy as jnp
@@ -306,6 +315,10 @@ class EncoderClassifier(Pretrained):
         if hasattr(self.hparams, "label_encoder"):
             text_lab = self.hparams.label_encoder.decode_ndim(index)
         return out_probs, score, index, text_lab
+
+    def forward(self, wavs, wav_lens=None):
+        """Runs the classification (reference interfaces.py:1016)."""
+        return self.classify_batch(wavs, wav_lens)
 
     def classify_file(self, path):
         """Posteriors + best class for one audio file."""
@@ -898,6 +911,10 @@ class WaveformEncoder(Pretrained):
             wav_lens = jnp.ones(wavs.shape[0])
         return self._apply("encoder", wavs, lengths=wav_lens)
 
+    def forward(self, wavs, wav_lens=None):
+        """Runs the encoder (reference interfaces.py:719)."""
+        return self.encode_batch(wavs, wav_lens)
+
     def encode_file(self, path):
         """Encode a single audio file."""
         import jax.numpy as jnp
@@ -941,6 +958,10 @@ class EndToEndSLU(Pretrained):
         ]
         return texts, hyps
 
+    def forward(self, wavs, wav_lens):
+        """Runs full decoding (reference interfaces.py:523)."""
+        return self.decode_batch(wavs, wav_lens)
+
     def decode_file(self, path):
         """Transcribe a single audio file."""
         import jax.numpy as jnp
@@ -973,6 +994,16 @@ class SNREstimator(Pretrained):
         )
         return out
 
+    def gettrue_snrrange(self, inp):
+        """0-1 range -> true SNR range via hparams snrmin/snrmax
+        (reference ``pretrained/interfaces.py:2692``)."""
+        rnge = self.hparams.snrmax - self.hparams.snrmin
+        return inp * rnge + self.hparams.snrmin
+
+    def forward(self, mix, predictions):
+        """Just run the batch estimate."""
+        return self.estimate_batch(mix, predictions)
+
     def __call__(self, mix, predictions):
         return self.estimate_batch(mix, predictions)
 
@@ -981,6 +1012,37 @@ class GraphemeToPhoneme(Pretrained):
     """Text -> phonemes via a trained G2P model."""
 
     HPARAMS_NEEDED = ["grapheme_encoder", "phoneme_decoder_fn"]
+
+    @property
+    def phonemes(self):
+        """The available phonemes (reference interfaces.py:2478)."""
+        return self.hparams.phonemes
+
+    @property
+    def language(self):
+        """The language this model serves (reference :2483)."""
+        return self.hparams.language
+
+    def load_dependencies(self):
+        """Load any relevant model dependencies declared as a
+        ``deps_pretrainer`` in hparams (reference :2524)."""
+        deps_pretrainer = getattr(self.hparams, "deps_pretrainer", None)
+        if deps_pretrainer:
+            deps_pretrainer.collect_files()
+            deps_pretrainer.load_collected()
+
+    def _update_graphemes(self, model_inputs):
+        """Route the configured grapheme_sequence_mode's encoding to the
+        canonical ``grapheme_encoded`` key (reference :2515)."""
+        mode = getattr(self.hparams, "grapheme_sequence_mode", None)
+        if mode and mode != "raw":
+            key = f"grapheme_encoded_{mode}"
+            if key in model_inputs:
+                model_inputs["grapheme_encoded"] = model_inputs[key]
+
+    def forward(self, text):
+        """Runs the G2P conversion."""
+        return self.g2p(text)
 
     def g2p(self, text):
         """One string (or list of strings) -> phoneme list(s)."""
@@ -1020,6 +1082,10 @@ class WaveformEnhancement(Pretrained):
             "enhance_model", jnp.asarray(noisy), lengths=lengths
         )
 
+    def forward(self, noisy, lengths=None):
+        """Runs enhancement on the noisy input (reference interfaces.py:2548)."""
+        return self.enhance_batch(noisy, lengths)
+
     def enhance_file(self, path, output_path=None):
         """Enhance a single audio file (optionally saving it)."""
         import jax.numpy as jnp
@@ -1037,13 +1103,38 @@ class WaveformEnhancement(Pretrained):
 
 
 class Tacotron2TTS(Pretrained):
-    """Text -> mel spectrogram with a trained Tacotron2."""
+    """Text -> mel spectrogram with a trained Tacotron2.
+
+    Exported as ``Tacotron2`` too, matching the reference interface
+    name (``pretrained/interfaces.py:2700``)."""
 
     MODULES_NEEDED = ["model"]
     HPARAMS_NEEDED = ["text_to_sequence"]
 
+    def text_to_seq(self, txt):
+        """Raw text -> (token id sequence, length) with the bundle's
+        text_to_sequence fn (reference interfaces.py:2740)."""
+        sequence = self.hparams.text_to_sequence(txt)
+        return sequence, len(sequence)
+
+    def encode_batch(self, texts):
+        """Mel spectrograms for a list of texts, which must be sorted
+        by decreasing length (reference interfaces.py:2746)."""
+        lens = [self.text_to_seq(t)[1] for t in texts]
+        assert lens == sorted(
+            lens, reverse=True
+        ), "input lengths must be sorted in decreasing order"
+        return self._encode_texts(texts)
+
+    def forward(self, texts):
+        """Encodes the input texts."""
+        return self.encode_batch(texts)
+
     def encode_text(self, texts):
         """Synthesize mel spectrograms from input texts."""
+        return self._encode_texts(texts)
+
+    def _encode_texts(self, texts):
         import jax.numpy as jnp
         import numpy as np
 
@@ -1076,6 +1167,10 @@ class Tacotron2TTS(Pretrained):
         return self.encode_text(texts)
 
 
+# Reference-named alias (reference interfaces.py:2700).
+Tacotron2 = Tacotron2TTS
+
+
 class HIFIGAN(Pretrained):
     """Mel spectrogram -> waveform with a trained HiFiGAN generator."""
 
@@ -1086,6 +1181,10 @@ class HIFIGAN(Pretrained):
         import jax.numpy as jnp
 
         return self._apply("generator", jnp.asarray(spectrogram))
+
+    def forward(self, spectrogram):
+        """Decodes the input spectrograms (reference interfaces.py:2871)."""
+        return self.decode_batch(spectrogram)
 
     def decode_spectrogram(self, spectrogram):
         """Vocode a single spectrogram to a waveform."""
@@ -1105,6 +1204,10 @@ class SepformerSeparation(Pretrained):
         import jax.numpy as jnp
 
         return self._apply("masknet", jnp.asarray(mix))
+
+    def forward(self, mix):
+        """Runs separation on the input mix (reference interfaces.py:2153)."""
+        return self.separate_batch(mix)
 
     def separate_file(self, path):
         """Separate a single mixture file into sources."""
@@ -1144,6 +1247,10 @@ class SpectralMaskEnhancement(Pretrained):
         return self.hparams.compute_istft(
             masked, sig_length=noisy.shape[1]
         )
+
+    def forward(self, noisy, lengths=None):
+        """Runs enhancement on the noisy input (reference interfaces.py:2616)."""
+        return self.enhance_batch(noisy, lengths)
 
     def enhance_file(self, path, output_path=None):
         """Enhance a single audio file (optionally saving it)."""
