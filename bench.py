@@ -282,6 +282,41 @@ def main():
     if flops and peak:
         mfu = flops / sec_per_step / peak
 
+    # --- large config: transformer-large class (d=512), MXU-bound ----
+    # conformer_small (d=144) is latency-class and structurally ~9% MFU
+    # (PERFORMANCE.md); the reference's headline transformer.yaml class
+    # (d_model=512) is where the MXU saturates — measure it too so the
+    # bench carries one latency-class and one throughput-class number.
+    large_utt_s = large_mfu = None
+    try:
+        lbrain = ge._conformer_brain(d_model=512, layers=12, nhead=8)
+        LB = 16
+        lbatches = [
+            lbrain.prepare_batch(
+                ge._synthetic_batch(B=LB, seconds=SECONDS, U=40, seed=i)
+            )
+            for i in range(4)
+        ]
+        jax.block_until_ready(lbatches)
+        lwindow = lbatches + lbatches  # K=8
+        LK = len(lwindow)
+        lbrain.loss_sync_interval = 200
+        lbrain.step = 1
+        lbrain.fit_batches(lwindow)
+        jax.block_until_ready(lbrain.train_state["params"])
+        t0 = time.perf_counter()
+        for _ in range(2):
+            lbrain.step += LK
+            lbrain.fit_batches(lwindow)
+        jax.block_until_ready(lbrain.train_state["params"])
+        ldt = time.perf_counter() - t0
+        large_utt_s = (2 * LK * LB) / ldt / n_chips
+        lflops = _step_flops(lbrain, lbatches[0])
+        if lflops and peak:
+            large_mfu = lflops / (ldt / (2 * LK)) / peak
+    except Exception as e:
+        print(f"# large bench skipped: {e!r}", file=sys.stderr)
+
     # --- end-to-end: FLAC corpus -> host pipeline -> chip -------------
     end_to_end = host_rate = None
     try:
@@ -310,6 +345,10 @@ def main():
         out["step_flops"] = flops
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
+    if large_utt_s is not None:
+        out["large_d512_utt_s"] = round(large_utt_s, 2)
+    if large_mfu is not None:
+        out["large_d512_mfu"] = round(large_mfu, 4)
     out["device_kind"] = kind
     print(json.dumps(out))
 
