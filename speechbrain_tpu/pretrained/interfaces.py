@@ -245,17 +245,16 @@ class EncoderASR(Pretrained):
         return self._apply("encoder", feats, wav_lens)
 
     def transcribe_batch(self, wavs, wav_lens):
-        """Transcribe a batch of waveforms."""
+        """Transcribe a batch of waveforms (one tokenizer call for the
+        whole batch, matching EncoderDecoderASR's batched
+        detokenization)."""
         from speechbrain_tpu.decoders.ctc import ctc_greedy_decode
 
         logp = self.encode_batch(wavs, wav_lens)
         hyps = ctc_greedy_decode(
             logp, wav_lens, blank_id=self.hparams.blank_index
         )
-        texts = [
-            self.tokenizer([hyp], task="decode_from_list")[0]
-            for hyp in hyps
-        ]
+        texts = self.tokenizer(list(hyps), task="decode_from_list")
         return texts, hyps
 
     def __init__(self, *args, **kwargs):
@@ -266,15 +265,49 @@ class EncoderASR(Pretrained):
         """Runs full transcription (reference interfaces.py:854)."""
         return self.transcribe_batch(wavs, wav_lens)
 
-    def transcribe_file(self, path):
-        """Transcribe a single audio file."""
-        import jax.numpy as jnp
+    def transcribe_file(
+        self, path, chunk_size_s=None, chunk_overlap_s=0.5
+    ):
+        """Transcribe a single audio file.
 
-        audio = self.load_audio(path)
+        ``chunk_size_s`` enables long-form transcription, same scheme
+        as ``EncoderDecoderASR.transcribe_file``: fixed windows with
+        ``chunk_overlap_s`` seconds of left context, decoded as one
+        padded batch (static shapes, single dispatch), texts joined.
+        """
+        import jax.numpy as jnp
+        import numpy as np
+
+        audio = np.asarray(self.load_audio(path), np.float32)
+        if audio.ndim > 1:
+            audio = audio.mean(axis=-1)
+        sr = getattr(self.hparams, "sample_rate", 16000)
+        if chunk_size_s is None or len(audio) <= int(chunk_size_s * sr):
+            texts, _ = self.transcribe_batch(
+                jnp.asarray(audio)[None], jnp.ones(1)
+            )
+            text = texts[0]
+            return " ".join(text) if isinstance(text, list) else text
+        win = int(chunk_size_s * sr)
+        ctx = int(chunk_overlap_s * sr)
+        starts = list(range(0, len(audio), win))
+        chunks = []
+        for s0 in starts:
+            beg = max(0, s0 - (ctx if s0 > 0 else 0))
+            chunks.append(audio[beg : s0 + win])
+        T = max(len(c) for c in chunks)
+        batch = np.zeros((len(chunks), T), np.float32)
+        lens = np.zeros(len(chunks), np.float32)
+        for i, c in enumerate(chunks):
+            batch[i, : len(c)] = c
+            lens[i] = len(c) / T
         texts, _ = self.transcribe_batch(
-            jnp.asarray(audio)[None], jnp.ones(1)
+            jnp.asarray(batch), jnp.asarray(lens)
         )
-        return " ".join(texts[0]) if isinstance(texts[0], list) else texts[0]
+        parts = [
+            " ".join(t) if isinstance(t, list) else t for t in texts
+        ]
+        return " ".join(p for p in parts if p).strip()
 
 
 class EncoderClassifier(Pretrained):

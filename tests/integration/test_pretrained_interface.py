@@ -135,3 +135,63 @@ def test_encoder_decoder_asr_longform(tmp_path):
     # long form: 5 s at 2 s windows -> 3 chunks, one batch, joined
     text = asr.transcribe_file(path, chunk_size_s=2.0)
     assert text == "w1 w2 w2 w3 w3 w4"
+
+
+def test_encoder_asr_longform(tmp_path):
+    """EncoderASR (CTC): batched detokenization + long-form chunked
+    transcribe_file, mirroring the EncoderDecoderASR scheme."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.dataio.dataio import write_audio
+    from speechbrain_tpu.pretrained.interfaces import EncoderASR
+
+    V = 5  # blank=0 plus tokens 1..4
+
+    class Enc(nn.Module):
+        """Log-probs peaked on (chunk-dependent) token = frame sum sign."""
+
+        @nn.compact
+        def __call__(self, x, lens=None, train=False):
+            if x.ndim == 2:
+                x = x[..., None]
+            frames = x[:, ::1600, 0]  # (B, T')
+            # emit token 1 on the first frame, blank elsewhere
+            logits = jnp.full(frames.shape + (V,), -10.0)
+            logits = logits.at[:, 0, 1].set(10.0)
+            logits = logits.at[:, 1:, 0].set(10.0)
+            return jax.nn.log_softmax(logits, -1)
+
+    class FakeTokenizer:
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self, batch, task="encode"):
+            assert task == "decode_from_list"
+            self.calls += 1
+            return [" ".join(f"t{int(t)}" for t in row) for row in batch]
+
+    enc = Enc()
+    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+    tok = FakeTokenizer()
+    asr = EncoderASR(
+        modules={"encoder": enc},
+        params={"encoder": params},
+        hparams={
+            "tokenizer": tok,
+            "blank_index": 0,
+            "sample_rate": 16000,
+        },
+    )
+    wav = 0.1 * np.sin(np.arange(16000 * 5) / 30.0).astype(np.float32)
+    path = str(tmp_path / "long.wav")
+    write_audio(path, wav, 16000)
+
+    text = asr.transcribe_file(path)
+    assert text == "t1"
+    assert tok.calls == 1  # ONE detokenizer call for the whole batch
+    # long form: 5 s at 2 s windows -> 3 chunks, one padded batch
+    text = asr.transcribe_file(path, chunk_size_s=2.0)
+    assert text == "t1 t1 t1"
+    assert tok.calls == 2
