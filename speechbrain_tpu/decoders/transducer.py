@@ -8,6 +8,8 @@ host, calling device-stepped prediction/joint functions (parity first;
 the greedy path is the production one).
 """
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +69,11 @@ class TransducerBeamSearcher:
         self.lm_weight = lm_weight
         self.state_beam = state_beam
         self.expand_beam = expand_beam
+        # Diagnostics for the max_expand_per_frame valve: frames
+        # force-advanced in the most recent decode call (0 on runs that
+        # match reference semantics exactly).
+        self.forced_advance_count = 0
+        self._warned_forced = False
 
     def __call__(self, enc_states, enc_lens=None):
         if self.beam_size == 1:
@@ -149,6 +156,7 @@ class TransducerBeamSearcher:
             # includes the initial blank -> +1 (ours stores tokens only)
             return x["logp_score"] / (len(x["prediction"]) + 1)
 
+        self.forced_advance_count = 0
         pred_out0, state0 = self.pred_step_fn(None, None, 1)
         utts = []
         for b in range(B):
@@ -177,10 +185,15 @@ class TransducerBeamSearcher:
             while True:
                 if u["done"]:
                     return None
+                forced = (
+                    u["nexp"] >= self.max_expand_per_frame
+                    and len(u["beam"]) < self.beam_size
+                    and bool(u["process"])
+                )
                 advance = (
                     len(u["beam"]) >= self.beam_size
                     or not u["process"]
-                    or u["nexp"] >= self.max_expand_per_frame
+                    or forced
                 )
                 a_best = None
                 if not advance:
@@ -193,6 +206,24 @@ class TransducerBeamSearcher:
                         ):
                             advance = True
                 if advance:
+                    if forced or not u["beam"]:
+                        # valve fired: the frame advanced without a
+                        # full beam of blank extensions — observable
+                        # divergence from reference semantics
+                        self.forced_advance_count += 1
+                        if not self._warned_forced:
+                            self._warned_forced = True
+                            warnings.warn(
+                                "TransducerBeamSearcher: a frame was "
+                                "force-advanced by max_expand_per_frame"
+                                " (blank starvation — the reference "
+                                "loop would not terminate here); "
+                                "results may diverge from reference "
+                                "semantics.  See "
+                                "forced_advance_count for how often.",
+                                RuntimeWarning,
+                                stacklevel=3,
+                            )
                     # frame done: beam becomes next frame's process set
                     if not u["beam"]:
                         # blank-starved frame (reference would hang):
@@ -243,9 +274,6 @@ class TransducerBeamSearcher:
                     jnp.asarray(logits, jnp.float32), axis=-1
                 )
             )
-            lm_rows = [None] * len(chosen)
-            if use_lm:
-                lm_rows = [self._lm_step(h) for _, h in chosen]
             expansions = []  # (utt_index, hyp, tok, chosen_row)
             for i, (b, a_best_hyp) in enumerate(chosen):
                 lp = log_probs[i]
@@ -278,6 +306,57 @@ class TransducerBeamSearcher:
                         continue
                     expansions.append((b, a_best_hyp, tok, i))
             if expansions:
+                # LM shallow fusion: one batched _lm step per lockstep
+                # round, computed lazily only for chosen rows that
+                # actually produced a non-blank expansion (blank
+                # extensions never consult the LM).  Rows with no LM
+                # state yet and rows carrying a state are batched
+                # separately (their pytrees cannot be concatenated).
+                lm_scores_row, lm_state_row = {}, {}
+                if use_lm:
+                    rows = sorted({i for _, _, _, i in expansions})
+
+                    def _last_tok(h):
+                        # reference BOS for the LM is blank_id
+                        # (transducer.py:253-257, input_PN init)
+                        return (
+                            h["prediction"][-1]
+                            if h["prediction"]
+                            else self.blank_id
+                        )
+
+                    fresh = [
+                        i
+                        for i in rows
+                        if chosen[i][1]["lm_state"] is None
+                    ]
+                    carry = [i for i in rows if i not in fresh]
+                    for grp in (fresh, carry):
+                        if not grp:
+                            continue
+                        lm_tokens = jnp.asarray(
+                            [_last_tok(chosen[i][1]) for i in grp],
+                            jnp.int32,
+                        )
+                        lm_state_in = (
+                            None
+                            if grp is fresh
+                            else tree_concat(
+                                [
+                                    chosen[i][1]["lm_state"]
+                                    for i in grp
+                                ]
+                            )
+                        )
+                        scores, new_lm_state = self.lm_fn(
+                            lm_tokens, lm_state_in
+                        )
+                        scores = np.asarray(scores)
+                        for j, i in enumerate(grp):
+                            lm_scores_row[i] = scores[j]
+                            lm_state_row[i] = tree_slice(
+                                new_lm_state, j
+                            )
                 tokens = jnp.asarray(
                     [tok for _, _, tok, _ in expansions], jnp.int32
                 )
@@ -297,11 +376,10 @@ class TransducerBeamSearcher:
                         "lm_state": a_best_hyp["lm_state"],
                     }
                     if use_lm:
-                        lm_scores, lm_state = lm_rows[i]
                         new_hyp["logp_score"] += self.lm_weight * float(
-                            lm_scores[tok]
+                            lm_scores_row[i][tok]
                         )
-                        new_hyp["lm_state"] = lm_state
+                        new_hyp["lm_state"] = lm_state_row[i]
                     utts[b]["process"].append(new_hyp)
 
         nbest_hyps, nbest_scores = [], []
@@ -315,10 +393,3 @@ class TransducerBeamSearcher:
             nbest_hyps.append(best[0]["prediction"])
             nbest_scores.append(norm_key(best[0]))
         return nbest_hyps, np.asarray(nbest_scores)
-
-    def _lm_step(self, hyp):
-        tokens = jnp.asarray(
-            [hyp["prediction"][-1] if hyp["prediction"] else 0], jnp.int32
-        )
-        scores, state = self.lm_fn(tokens, hyp["lm_state"])
-        return np.asarray(scores)[0], state

@@ -190,6 +190,13 @@ class EncoderDecoderASR(Pretrained):
         avoid word truncation at the cut), every window is decoded as
         one batch row, and the texts are joined.  None (default)
         decodes the whole file in one pass like the reference.
+
+        Note: attention decoding is not frame-synchronous, so the
+        left-context audio cannot be trimmed from the hypothesis —
+        words spoken inside the overlap region may appear twice at a
+        seam.  Use a small ``chunk_overlap_s`` (or the CTC-based
+        ``EncoderASR``, which trims the overlap exactly) when seam
+        duplication matters.
         """
         import jax.numpy as jnp
         import numpy as np
@@ -274,9 +281,18 @@ class EncoderASR(Pretrained):
         as ``EncoderDecoderASR.transcribe_file``: fixed windows with
         ``chunk_overlap_s`` seconds of left context, decoded as one
         padded batch (static shapes, single dispatch), texts joined.
+
+        Unlike the attention decoder, CTC is frame-synchronous, so the
+        encoder frames that correspond to each window's left-context
+        audio are forced to blank before greedy decoding — every frame
+        of audio is decoded exactly once and overlap-region words are
+        not duplicated at seams (a token whose audio genuinely spans
+        the cut may still surface in both windows).
         """
         import jax.numpy as jnp
         import numpy as np
+
+        from speechbrain_tpu.decoders.ctc import ctc_greedy_decode
 
         audio = np.asarray(self.load_audio(path), np.float32)
         if audio.ndim > 1:
@@ -301,9 +317,24 @@ class EncoderASR(Pretrained):
         for i, c in enumerate(chunks):
             batch[i, : len(c)] = c
             lens[i] = len(c) / T
-        texts, _ = self.transcribe_batch(
-            jnp.asarray(batch), jnp.asarray(lens)
+        logp = np.array(
+            self.encode_batch(jnp.asarray(batch), jnp.asarray(lens))
         )
+        # Trim the left-context region exactly: the encoder frame rate
+        # is uniform (n_frames / T samples), so the frames covered by
+        # the ctx_i prepended samples are forced to emit blank.
+        n_frames = logp.shape[1]
+        blank = self.hparams.blank_index
+        for i, s0 in enumerate(starts):
+            ctx_i = min(ctx, s0)
+            ctx_frames = int(np.floor(n_frames * ctx_i / T))
+            if ctx_frames:
+                logp[i, :ctx_frames, :] = -1e9
+                logp[i, :ctx_frames, blank] = 0.0
+        hyps = ctc_greedy_decode(
+            jnp.asarray(logp), jnp.asarray(lens), blank_id=blank
+        )
+        texts = self.tokenizer(list(hyps), task="decode_from_list")
         parts = [
             " ".join(t) if isinstance(t, list) else t for t in texts
         ]

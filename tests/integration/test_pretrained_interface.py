@@ -150,17 +150,23 @@ def test_encoder_asr_longform(tmp_path):
     V = 5  # blank=0 plus tokens 1..4
 
     class Enc(nn.Module):
-        """Log-probs peaked on (chunk-dependent) token = frame sum sign."""
+        """Alternating tokens per frame: even frames t1, odd frames t2.
+
+        With 1600-sample frames, every audio frame emits exactly one
+        non-blank token, so the long-form path's exact context
+        trimming is observable as "total tokens == total frames"."""
 
         @nn.compact
         def __call__(self, x, lens=None, train=False):
             if x.ndim == 2:
                 x = x[..., None]
             frames = x[:, ::1600, 0]  # (B, T')
-            # emit token 1 on the first frame, blank elsewhere
+            Tf = frames.shape[1]
             logits = jnp.full(frames.shape + (V,), -10.0)
-            logits = logits.at[:, 0, 1].set(10.0)
-            logits = logits.at[:, 1:, 0].set(10.0)
+            tok = 1 + (jnp.arange(Tf) % 2)  # t1, t2, t1, ...
+            logits = logits.at[
+                :, jnp.arange(Tf), tok
+            ].set(10.0)
             return jax.nn.log_softmax(logits, -1)
 
     class FakeTokenizer:
@@ -188,10 +194,19 @@ def test_encoder_asr_longform(tmp_path):
     path = str(tmp_path / "long.wav")
     write_audio(path, wav, 16000)
 
+    # single pass: 50 frames, alternating t1/t2 (repeats never merge)
     text = asr.transcribe_file(path)
-    assert text == "t1"
+    assert text == " ".join(f"t{1 + (f % 2)}" for f in range(50))
     assert tok.calls == 1  # ONE detokenizer call for the whole batch
-    # long form: 5 s at 2 s windows -> 3 chunks, one padded batch
+    # long form: 5 s at 2 s windows, 0.5 s left context -> 3 chunks,
+    # one padded batch (T=40000 -> 25 frames/row).  The CTC path trims
+    # the context frames exactly, so every audio frame is decoded once:
+    # chunk windows (ctx_frames, valid_frames) = (0,20), (5,25), (5,15)
+    # and total tokens == 50 == total frames, no seam duplication.
     text = asr.transcribe_file(path, chunk_size_s=2.0)
-    assert text == "t1 t1 t1"
+    expected = []
+    for ctx_f, valid_f in [(0, 20), (5, 25), (5, 15)]:
+        expected += [f"t{1 + (f % 2)}" for f in range(ctx_f, valid_f)]
+    assert text == " ".join(expected)
+    assert len(text.split()) == 50
     assert tok.calls == 2

@@ -319,3 +319,115 @@ def test_transducer_beam_parity(ref, torch, seed):
         float(to_np(t_score)),
         rtol=1e-4,
     )
+
+
+@pytest.mark.parametrize("seed,lm_weight", [(0, 0.4), (2, 0.8)])
+def test_transducer_beam_lm_fusion_parity(ref, torch, seed, lm_weight):
+    """Transducer beam search with shallow LM fusion: a recurrent toy
+    LM (tanh state) on both sides.  Pins (a) the LM score/state
+    bookkeeping against the reference loop (decoders/transducer.py:
+    313-352, BOS = blank_id) and (b) that our LM runs as BATCHED
+    lockstep dispatches computed lazily only for rows with surviving
+    non-blank expansions — far fewer calls than the reference's
+    one-dispatch-per-chosen-hypothesis."""
+    from speechbrain.nnet.transducer.transducer_joint import (
+        Transducer_joint,
+    )
+    from speechbrain.decoders.transducer import (
+        TransducerBeamSearcher as Ref,
+    )
+    from speechbrain_tpu.decoders.transducer import (
+        TransducerBeamSearcher as Ours,
+    )
+
+    rng = np.random.default_rng(seed)
+    V, H, B, T = 6, 5, 2, 7
+    blank = 0
+    E = (0.5 * rng.standard_normal((V, H))).astype(np.float32)
+    W = (0.5 * rng.standard_normal((H, V))).astype(np.float32)
+    b_out = rng.standard_normal((V,)).astype(np.float32)
+    b_out[blank] += 3.0  # keep blank in the topk (see above)
+    enc = (0.5 * rng.standard_normal((B, T, H))).astype(np.float32)
+    # toy recurrent LM params
+    Elm = (0.5 * rng.standard_normal((V, H))).astype(np.float32)
+    R = (0.5 * rng.standard_normal((H, H))).astype(np.float32)
+    Wl = (0.5 * rng.standard_normal((H, V))).astype(np.float32)
+    bl = (0.3 * rng.standard_normal((V,))).astype(np.float32)
+
+    emb = torch.nn.Embedding(V, H)
+    emb.weight.data = torch.tensor(E)
+    lin = torch.nn.Linear(H, V)
+    lin.weight.data = torch.tensor(W.T)
+    lin.bias.data = torch.tensor(b_out)
+
+    class ToyLM(torch.nn.Module):
+        """h' = tanh(emb[tok] + h R); logits = h' Wl + bl."""
+
+        def forward(self, x, hx=None):
+            tok = int(x.view(-1)[0])
+            h = (
+                torch.zeros(1, H)
+                if hx is None
+                else hx
+            )
+            h = torch.tanh(
+                torch.tensor(Elm[tok])[None] + h @ torch.tensor(R)
+            )
+            logits = h @ torch.tensor(Wl) + torch.tensor(bl)
+            return logits.view(1, 1, V), h
+
+    theirs = Ref(
+        decode_network_lst=[emb],
+        tjoint=Transducer_joint(joint="sum"),
+        classifier_network=[lin],
+        blank_id=blank,
+        beam_size=3,
+        nbest=3,
+        lm_module=ToyLM(),
+        lm_weight=lm_weight,
+    )
+    with torch.no_grad():
+        t_hyps, t_score, _, _ = theirs(torch.tensor(enc))
+
+    def pred_step(tokens, state, n=1):
+        if tokens is None:
+            return jnp.asarray(E[blank])[None], None
+        return jnp.asarray(E)[tokens], None
+
+    def joint(enc_t, pred_out):
+        j = jax.nn.leaky_relu(enc_t + pred_out, 0.01)
+        return j @ jnp.asarray(W) + jnp.asarray(b_out)
+
+    lm_calls = {"n": 0}
+
+    def lm_fn(tokens, state):
+        lm_calls["n"] += 1
+        n = tokens.shape[0]
+        h = jnp.zeros((n, H)) if state is None else state
+        h = jnp.tanh(jnp.asarray(Elm)[tokens] + h @ jnp.asarray(R))
+        logits = h @ jnp.asarray(Wl) + jnp.asarray(bl)
+        return jax.nn.log_softmax(logits, -1), h
+
+    ours = Ours(
+        decode_fn=pred_step,
+        joint_fn=joint,
+        blank_id=blank,
+        beam_size=3,
+        nbest=3,
+        lm_fn=lm_fn,
+        lm_weight=lm_weight,
+    )
+    o_hyps, o_scores = ours.transducer_beam_search_decode(enc)
+    t_hyps = [list(map(int, h)) for h in t_hyps]
+    o_hyps = [list(map(int, h)) for h in o_hyps]
+    assert o_hyps == t_hyps, (o_hyps, t_hyps)
+    np.testing.assert_allclose(
+        float(np.exp(np.asarray(o_scores)).mean()),
+        float(to_np(t_score)),
+        rtol=1e-4,
+    )
+    # Batched-lazy dispatch: at most 2 LM calls (fresh/carry groups)
+    # per lockstep round; the reference pays one per chosen hypothesis
+    # per round.  With B=2, beam=3 over 7 frames the serial count is
+    # O(B * T * beam); ours must stay well under it.
+    assert lm_calls["n"] < B * T * 3, lm_calls["n"]

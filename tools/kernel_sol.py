@@ -86,10 +86,21 @@ def measure(name, fn, args, iters=32, reps=3):
         best = min(best, (time.perf_counter() - t0) / iters)
 
     kind = jax.devices()[0].device_kind
-    peak_f, peak_b = next(
-        (v for k, v in PEAKS.items() if kind.startswith(k)),
-        PEAKS["cpu"],
+    # longest-prefix match so e.g. "TPU v5 lite" beats "TPU v5"
+    # regardless of dict insertion order; warn on unknown devices
+    # instead of silently attributing the nominal cpu peaks
+    matches = sorted(
+        (k for k in PEAKS if kind.startswith(k)), key=len, reverse=True
     )
+    if matches:
+        peak_f, peak_b = PEAKS[matches[0]]
+    else:
+        peak_f, peak_b = PEAKS["cpu"]
+        print(
+            f"WARNING: unknown device_kind {kind!r}; falling back to "
+            "nominal cpu peaks — pct_sol is not meaningful",
+            file=sys.stderr,
+        )
     sol = max(flops / peak_f, byts / peak_b) if (flops or byts) else None
     return {
         "name": name,
