@@ -703,11 +703,19 @@ class Brain:
         """PaddedBatch/host dict -> device-sharded numeric dict.
 
         If the batch dim does not divide the data-parallel axis, dummy
-        all-zero rows are appended: their ``*_lens`` entries are 0 and a
-        ``batch_mask`` key (1 real / 0 dummy) is added.  Losses follow
-        the masked-length convention, so dummy rows contribute nothing
-        (pass ``length=batch["batch_mask"]`` to per-example losses that
-        take no sequence length).
+        rows are appended and a ``batch_mask`` key (1 real / 0 dummy)
+        is added.  Losses follow the masked-length convention, so dummy
+        rows contribute nothing (pass ``length=batch["batch_mask"]`` to
+        per-example losses that take no sequence length).
+
+        Dummy rows are CYCLIC REPLICAS of the real rows, not zeros:
+        batch-coupled statistics (BatchNorm batch stats,
+        InputNormalization updates) then see each real row repeated —
+        exactly the real-row statistics when the pad count is a
+        multiple of the real batch, and a mild reweighting otherwise —
+        instead of being dragged toward silence by all-zero rows.  The
+        reference never pads rows (ragged DynamicBatchSampler batches),
+        so neutral padding is what preserves its semantics.
         """
         if isinstance(batch, PaddedBatch):
             numeric = batch.numeric_dict()
@@ -720,16 +728,22 @@ class Brain:
         else:
             raise TypeError(f"Cannot prepare batch of type {type(batch)}")
         n_shards = self.mesh.shape["data"]
+        if jax.process_count() > 1:
+            # multi-process: the batch here is this host's LOCAL shard
+            # (see parallel.sharding.shard_batch); pad to the local
+            # slice of the data axis.
+            n_shards = max(1, n_shards // jax.process_count())
         sizes = {v.shape[0] for v in numeric.values() if hasattr(v, "shape") and v.ndim > 0}
         if len(sizes) == 1:
             B = sizes.pop()
             remainder = B % n_shards
             if remainder:
                 pad_n = n_shards - remainder
+                pad_idx = np.arange(pad_n) % B
                 padded = {}
                 for k, v in numeric.items():
-                    pad_block = np.zeros((pad_n,) + v.shape[1:], dtype=v.dtype)
-                    padded[k] = np.concatenate([np.asarray(v), pad_block])
+                    v = np.asarray(v)
+                    padded[k] = np.concatenate([v, v[pad_idx]])
                 existing = numeric.get(
                     "batch_mask", np.ones(B, np.float32)
                 )

@@ -36,10 +36,21 @@ def replicated(mesh):
 def shard_batch(mesh, batch):
     """device_put a pytree of host arrays with dim-0 data sharding.
 
-    Batch dim must be divisible by the data-axis size (the bucketed
-    batch policy guarantees this via pad_batch_to).
+    Batch dim must be divisible by the LOCAL data-axis size (the
+    bucketed batch policy guarantees this via pad_batch_to).
+
+    Single process: the leaves are the global batch; a plain
+    ``device_put`` splits dim 0 over the data axis.
+
+    Multi-process (``jax.distributed``): each process passes its OWN
+    per-host shard (the rows its ``DistributedSamplerWrapper`` yielded
+    — the reference's per-rank DDP loading, ``dataio/sampler.py:707``)
+    and the global batch is assembled across processes with
+    ``jax.make_array_from_process_local_data`` — dim 0 of the global
+    array is ``process_count * local_rows``.
     """
     sharding = batch_sharding(mesh)
+    multiprocess = jax.process_count() > 1
 
     def _put(x):
         # Already-placed leaves skip device_put entirely: even a no-op
@@ -47,6 +58,16 @@ def shard_batch(mesh, batch):
         if isinstance(x, jax.Array) and getattr(x, "sharding", None) is not None:
             if x.sharding.is_equivalent_to(sharding, x.ndim):
                 return x
+        if multiprocess:
+            import numpy as np
+
+            local = np.asarray(x)
+            global_shape = (
+                jax.process_count() * local.shape[0],
+            ) + local.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, local, global_shape
+            )
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
