@@ -225,6 +225,165 @@ def _step_flops(brain, device_batch):
         return None
 
 
+def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
+    """Serving/decode path throughput on the flagship conformer config.
+
+    Measures, on-chip:
+    - attention beam search (S2STransformerBeamSearch class, beam=10,
+      joint CTC 0.4) over features -> encoder -> search as ONE jitted
+      while_loop program (the recipe _search_impl structure);
+    - vectorized transducer greedy decode (lax.scan) with a
+      conformer encoder + LSTM prediction net + additive joint.
+
+    The models are untrained; the joint/seq heads get a +4 blank/eos
+    bias so emission behavior (mostly blank / early eos) matches a
+    trained model's decode workload instead of the degenerate
+    never-terminating one.  Returns a dict of utt/s and RTF.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.decoders.seq2seq import (
+        S2STransformerBeamSearch,
+    )
+    from speechbrain_tpu.decoders.transducer import (
+        TransducerBeamSearcher,
+    )
+
+    out = {}
+    brain = ge._conformer_brain(d_model=144, layers=12)
+    batches = [
+        brain.prepare_batch(
+            ge._synthetic_batch(B=B, seconds=seconds, U=40, seed=100 + i)
+        )
+        for i in range(n_batches)
+    ]
+    brain._ensure_initialized(batches[0])
+    state = brain.train_state
+
+    searcher = S2STransformerBeamSearch(
+        decode_fn=lambda prefix, e, el: brain.modules.transformer(
+            prefix, e, el, method="decode"
+        )[0],
+        linear_fn=lambda d: brain.modules.seq_lin(d[:, None])[:, 0],
+        ctc_linear_fn=lambda e: brain.modules.ctc_lin(e),
+        bos_index=1,
+        eos_index=2,
+        blank_index=0,
+        min_decode_ratio=0.0,
+        max_decode_ratio=1.0,
+        beam_size=beam,
+        ctc_weight=0.4,
+        ctc_score_mode="partial",  # O(T*n*2beam) lattice, not O(T*n*V)
+        using_eos_threshold=False,
+        length_normalization=True,
+    )
+
+    def search_impl(params, model_state, extra, sig, sig_lens):
+        rngs = brain._make_step_rngs(jax.random.PRNGKey(0))
+        brain._bind(params, model_state, extra, rngs, train=False)
+        feats = brain.fbank(sig).astype(jnp.bfloat16)
+        src = brain.modules.frontend(feats)
+        enc = brain.modules.transformer(src, sig_lens, method="encode")
+        return searcher.search_device(enc, sig_lens, early_exit=True)
+
+    jitted = jax.jit(search_impl)
+
+    def run_batch(b):
+        return jitted(
+            state["params"], state["model_state"], state["extra"],
+            b["sig"], b["sig_lens"],
+        )
+
+    jax.block_until_ready(run_batch(batches[0]))  # compile
+    t0 = time.perf_counter()
+    for b in batches:
+        res = run_batch(b)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+    out["decode_beam_utt_s"] = round(n_batches * B / dt, 2)
+    out["decode_beam_rtf"] = round(dt / (n_batches * B * seconds), 4)
+
+    # --- transducer greedy ------------------------------------------
+    import flax.linen as nn
+
+    VOCAB = ge.VOCAB
+    H = 144
+
+    class PredNet(nn.Module):
+        @nn.compact
+        def __call__(self, tok, state):
+            emb = nn.Embed(VOCAB, H)(tok)
+            cell = nn.OptimizedLSTMCell(H)
+            if state is None:
+                state = cell.initialize_carry(
+                    jax.random.PRNGKey(0), emb.shape
+                )
+            state, out = cell(state, emb)
+            return out, state
+
+    pred = PredNet()
+    pred_params = pred.init(
+        jax.random.PRNGKey(1), jnp.zeros((2,), jnp.int32), None
+    )
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    Wj = 0.1 * jax.random.normal(k1, (H, VOCAB), jnp.float32)
+    bj = jnp.zeros((VOCAB,)).at[0].set(4.0)  # trained-like blank bias
+
+    def pred_step(tokens, pstate, n=1):
+        if tokens is None:
+            tokens = jnp.zeros((n,), jnp.int32)
+            return pred.apply(pred_params, tokens, None)
+        return pred.apply(pred_params, tokens, pstate)
+
+    def joint(enc_t, pred_out):
+        return jnp.tanh(enc_t + pred_out) @ Wj + bj
+
+    # encoder states from the conformer encoder (reuse the jitted
+    # encode from search_impl's params; simple re-encode here)
+    def encode(params, model_state, extra, sig, sig_lens):
+        rngs = brain._make_step_rngs(jax.random.PRNGKey(0))
+        brain._bind(params, model_state, extra, rngs, train=False)
+        feats = brain.fbank(sig).astype(jnp.bfloat16)
+        src = brain.modules.frontend(feats)
+        return brain.modules.transformer(src, sig_lens, method="encode")
+
+    jenc = jax.jit(encode)
+    enc_batches = [
+        np.asarray(
+            jenc(
+                state["params"], state["model_state"], state["extra"],
+                b["sig"], b["sig_lens"],
+            ),
+            np.float32,
+        )
+        for b in batches
+    ]
+    greedy = TransducerBeamSearcher(
+        decode_fn=pred_step, joint_fn=joint, blank_id=0, beam_size=1
+    )
+    greedy(enc_batches[0])  # warm (compiles the scan)
+    t0 = time.perf_counter()
+    for e in enc_batches:
+        greedy(e)
+    dt = time.perf_counter() - t0
+    out["transducer_greedy_utt_s"] = round(n_batches * B / dt, 2)
+    out["transducer_greedy_rtf"] = round(
+        dt / (n_batches * B * seconds), 4
+    )
+
+    # --- transducer beam (lockstep-batched host loop) ----------------
+    beam_searcher = TransducerBeamSearcher(
+        decode_fn=pred_step, joint_fn=joint, blank_id=0, beam_size=4
+    )
+    beam_searcher(enc_batches[0][:4])  # warm
+    t0 = time.perf_counter()
+    beam_searcher(enc_batches[0])
+    dt = time.perf_counter() - t0
+    out["transducer_beam_utt_s"] = round(B / dt, 2)
+    return out
+
+
 def main():
     import jax
 
@@ -317,6 +476,13 @@ def main():
     except Exception as e:
         print(f"# large bench skipped: {e!r}", file=sys.stderr)
 
+    # --- decode/serving path -----------------------------------------
+    decode_stats = {}
+    try:
+        decode_stats = _measure_decode(ge)
+    except Exception as e:
+        print(f"# decode bench skipped: {e!r}", file=sys.stderr)
+
     # --- end-to-end: FLAC corpus -> host pipeline -> chip -------------
     end_to_end = host_rate = None
     try:
@@ -327,6 +493,18 @@ def main():
         end_to_end = _measure_end_to_end(e2e_brain, manifest)
     except Exception as e:  # keep the primary metric robust
         print(f"# e2e bench skipped: {e!r}", file=sys.stderr)
+
+    # --- padding overhead of the fixed-shape policy (host math) ------
+    padding_overhead = padding_ragged = None
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bucketing_audit import audit_menu, make_durations
+
+        pr = audit_menu(make_durations(2000), 900.0, 200)
+        padding_overhead = round(pr["bucketed_pad_frac"], 4)
+        padding_ragged = round(pr["ragged_pad_frac"], 4)
+    except Exception as e:
+        print(f"# padding audit skipped: {e!r}", file=sys.stderr)
 
     # Reference anchor (see module docstring): V100 conformer_small
     # training throughput class on 10s utterances.
@@ -349,6 +527,10 @@ def main():
         out["large_d512_utt_s"] = round(large_utt_s, 2)
     if large_mfu is not None:
         out["large_d512_mfu"] = round(large_mfu, 4)
+    out.update(decode_stats)
+    if padding_overhead is not None:
+        out["padding_overhead"] = padding_overhead
+        out["padding_overhead_ragged_ref"] = padding_ragged
     out["device_kind"] = kind
     print(json.dumps(out))
 

@@ -147,8 +147,12 @@ class ASR(sb.Brain):
         )
         src = self.modules.frontend(feats)
         enc = self.modules.transformer(src, sig_lens, method="encode")
+        # early_exit=True: the search is a lax.while_loop whose
+        # condition stops once every batch row has a full beam of
+        # finalized hypotheses — typical utterances stop after ~L_tok
+        # steps instead of max_decode_ratio * T_enc.
         return self._searcher.search_device(
-            enc, sig_lens, early_exit=False
+            enc, sig_lens, early_exit=True
         )
 
     def _beam_search(self, batch):

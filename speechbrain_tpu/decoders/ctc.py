@@ -120,7 +120,14 @@ class CTCPrefixScorer:
         r = r.at[:, 1, :].set(jnp.cumsum(blank_lp, axis=1).T)
         psi_prev = jnp.zeros((n,))
         last_token = jnp.full((n,), -1, jnp.int32)
-        return {"r": r, "psi_prev": psi_prev, "last_token": last_token, "step": 0}
+        return {
+            "r": r,
+            "psi_prev": psi_prev,
+            "last_token": last_token,
+            # i32 scalar (not a python int) so the state is a valid
+            # fixed-structure lax.while_loop carry
+            "step": jnp.asarray(0, jnp.int32),
+        }
 
     def forward_step(self, inp_tokens, state, candidates=None, attn=None):
         """Score all vocab candidates for each row's prefix + inp_tokens.

@@ -72,6 +72,21 @@ def _gather_rows(tree, index):
     )
 
 
+def _swap01(tree):
+    """Swap the first two axes of every leaf (layer-major <-> batch-
+    major RNN hidden states).  Searcher memories must be BATCH-major so
+    ``_gather_rows``'s predecessor permutation reorders rows, not
+    layers; RNN cells produce (num_layers, B, H)."""
+    return jax.tree_util.tree_map(
+        lambda x: (
+            jnp.swapaxes(x, 0, 1)
+            if hasattr(x, "ndim") and x.ndim >= 2
+            else x
+        ),
+        tree,
+    )
+
+
 class S2SGreedySearcher(S2SBaseSearcher):
     """Vectorized greedy decoding via lax.scan.
 
@@ -148,8 +163,13 @@ class S2SRNNGreedySearcher(S2SGreedySearcher):
 
     def reset_mem(self, batch_size, enc_states):
         """Initial decoder memory for a fresh search."""
+        # RNN hidden states arrive layer-major (num_layers, B, H);
+        # store them BATCH-major so beam predecessor permutation (a
+        # leading-axis gather) reorders rows, not layers.
         return {
-            "hs": self.rnn_init_fn(batch_size, enc_states.dtype),
+            "hs": _swap01(
+                self.rnn_init_fn(batch_size, enc_states.dtype)
+            ),
             "c": jnp.zeros(
                 (batch_size, self.dec_hidden_size), enc_states.dtype
             ),
@@ -160,13 +180,13 @@ class S2SRNNGreedySearcher(S2SGreedySearcher):
         """One decoder step: scores + updated memory."""
         emb = self.embedding_fn(inp_tokens)
         dec_out, hs, c, w, attn_state = self.decoder_step_fn(
-            emb, memory["hs"], memory["c"], enc_states, enc_lens,
-            memory["attn_state"],
+            emb, _swap01(memory["hs"]), memory["c"], enc_states,
+            enc_lens, memory["attn_state"],
         )
         log_probs = self.linear_fn(dec_out)
         return (
             log_probs,
-            {"hs": hs, "c": c, "attn_state": attn_state},
+            {"hs": _swap01(hs), "c": c, "attn_state": attn_state},
             w,
         )
 
@@ -223,10 +243,30 @@ class S2SBeamSearcher(S2SBaseSearcher):
         # by (1 - ctc_weight); LM and CTC terms are added unscaled
         self.att_weight = 1.0 - ctc_weight
         self.minus_inf = minus_inf
+        # device_loop=True runs the whole search as ONE lax.while_loop
+        # (early exit in the loop condition; jit-cacheable, zero
+        # per-step host dispatch).  Set False to step from the host
+        # (same step_fn, same numerics — useful for debugging).
+        # static_memory marks whether reset_mem produces fixed-shape
+        # pytrees; subclasses with growing memories (Whisper prompts)
+        # clear it and fall back to the host loop.
+        self.device_loop = True
+        # jit_call=True caches jax.jit(search_device) across __call__s
+        # (one compile per (B, T) bucket, then zero trace overhead).
+        # Opt-in because decode_fn typically closes over model params:
+        # the cache is only valid while those params are FROZEN (e.g.
+        # pretrained serving interfaces, which enable it).  Training
+        # loops that evaluate with live params should jit with params
+        # as explicit arguments instead (see
+        # recipes/LibriSpeech/ASR/transformer/train.py:_search_impl).
+        self.jit_call = False
+        self._jit_search_fn = None
         if length_normalization and length_rewarding > 0:
             raise ValueError(
                 "length normalization is not compatible with length rewarding"
             )
+
+    static_memory = True
 
     # -- hooks for subclasses -------------------------------------------
 
@@ -245,7 +285,22 @@ class S2SBeamSearcher(S2SBaseSearcher):
     # -- main loop -------------------------------------------------------
 
     def __call__(self, enc_states, wav_len):
+        if self.jit_call and self.device_loop and self.static_memory:
+            if self._jit_search_fn is None:
+                import functools
+
+                self._jit_search_fn = jax.jit(
+                    functools.partial(self.search_device, early_exit=True)
+                )
+            return self.finalize(
+                *self._jit_search_fn(enc_states, wav_len)
+            )
         return self.finalize(*self.search_device(enc_states, wav_len))
+
+    def clear_jit_cache(self):
+        """Drop the cached jitted search (call after rebinding the
+        params captured by ``decode_fn``/``lm_fn``)."""
+        self._jit_search_fn = None
 
     def search_device(self, enc_states, wav_len, early_exit=True):
         """Device-side search: all jnp, jittable with
@@ -262,6 +317,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
         enc_lens = jnp.asarray(wav_len)
         max_steps = max(1, int(T * self.max_decode_ratio))
         min_steps = int(T * self.min_decode_ratio)
+        # static per (B, T) bucket; lets reset_lm_mem size its buffer
+        self._cur_max_steps = max_steps
 
         # Inflate encoder states to batch*beam.
         enc_states_i = jnp.repeat(enc_states, beam, axis=0)
@@ -297,7 +354,11 @@ class S2SBeamSearcher(S2SBaseSearcher):
         store_score = jnp.full((B, beam + 1), self.minus_inf)
         store_count = jnp.zeros((B,), jnp.int32)
         prev_attn_peak = jnp.zeros((n,), jnp.int32)
-        coverage = None
+        # Coverage state must be fixed-shape for the device loop; it
+        # accumulates attention over encoder frames, so (n, T).
+        coverage = (
+            jnp.zeros((n, T)) if self.coverage_penalty > 0 else None
+        )
         sel_scores = jnp.zeros((B, beam))
 
         def _store(store_seq, store_len, store_score, store_count,
@@ -316,18 +377,48 @@ class S2SBeamSearcher(S2SBaseSearcher):
             )
             return store_seq, store_len, store_score, store_count
 
-        t_final = max_steps
-        for t in range(max_steps):
+        carry0 = {
+            "t": jnp.asarray(0, jnp.int32),
+            "inp": inp,
+            "memory": memory,
+            "lm_memory": lm_memory,
+            "ctc_state": ctc_state,
+            "beam_scores": beam_scores,
+            "finished": finished,
+            "alived_seq": alived_seq,
+            "prev_attn_peak": prev_attn_peak,
+            "coverage": coverage,
+            "sel_scores": sel_scores,
+            "store_seq": store_seq,
+            "store_len": store_len,
+            "store_score": store_score,
+            "store_count": store_count,
+        }
+
+        def step_fn(c):
+            """One search step; every op is traced-t safe so the same
+            body drives both the Python loop and lax.while_loop."""
+            t = c["t"]
+            memory, lm_memory, ctc_state = (
+                c["memory"], c["lm_memory"], c["ctc_state"],
+            )
+            beam_scores, finished = c["beam_scores"], c["finished"]
+            alived_seq = c["alived_seq"]
+            prev_attn_peak, coverage = c["prev_attn_peak"], c["coverage"]
             log_probs, memory, attn = self.forward_step(
-                inp, memory, enc_states_i, enc_lens_i
+                c["inp"], memory, enc_states_i, enc_lens_i
             )
             # reference scales the attention scores ONCE by
             # att_weight = 1 - ctc_weight (seq2seq.py:728); LM/CTC terms
             # are added unscaled afterwards
-            log_probs = self.att_weight * jnp.asarray(log_probs, jnp.float32)
+            log_probs = self.att_weight * jnp.asarray(
+                log_probs, jnp.float32
+            )
             V = log_probs.shape[-1]
             if self.using_max_attn_shift and attn is not None:
-                attn_peak = jnp.argmax(jnp.asarray(attn), axis=-1).reshape(n)
+                attn_peak = jnp.argmax(
+                    jnp.asarray(attn), axis=-1
+                ).reshape(n)
                 # reference bounds are asymmetric: <= prev+shift but
                 # STRICTLY > prev-shift (seq2seq.py:519-521)
                 ok = (
@@ -337,25 +428,25 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     ok[:, None], log_probs, self.minus_inf
                 )
                 prev_attn_peak = attn_peak
-            if t < min_steps:
-                log_probs = log_probs.at[:, self.eos_index].set(
-                    self.minus_inf
-                )
-            elif self.using_eos_threshold:
+            # eos column: -inf before min_steps; optionally gated by the
+            # eos threshold afterwards (reference if/elif collapsed into
+            # where() so ``t`` may be traced)
+            eos_col = log_probs[:, self.eos_index]
+            if self.using_eos_threshold:
                 max_probs = jnp.max(log_probs, axis=-1)
-                eos_probs = log_probs[:, self.eos_index]
-                gate = eos_probs > self.eos_threshold * max_probs
-                log_probs = log_probs.at[:, self.eos_index].set(
-                    jnp.where(gate, eos_probs, self.minus_inf)
-                )
+                gate = eos_col > self.eos_threshold * max_probs
+                eos_col = jnp.where(gate, eos_col, self.minus_inf)
+            log_probs = log_probs.at[:, self.eos_index].set(
+                jnp.where(t < min_steps, self.minus_inf, eos_col)
+            )
             if self.lm_weight > 0:
                 lm_log_probs, lm_memory = self.lm_forward_step(
-                    inp, lm_memory
+                    c["inp"], lm_memory
                 )
                 log_probs = log_probs + self.lm_weight * jnp.asarray(
                     lm_log_probs, jnp.float32
                 )
-            if ctc_scorer is not None:
+            if ctc_state is not None:
                 log_probs = log_probs.at[:, self.blank_index].set(
                     self.minus_inf
                 )
@@ -366,7 +457,8 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     K = min(2 * beam, V)
                     _, cand_k = jax.lax.top_k(log_probs, K)  # (n, K)
                     ctc_scores, ctc_state = ctc_scorer.forward_step(
-                        inp, ctc_state, candidates=cand_k, attn=attn
+                        c["inp"], ctc_state, candidates=cand_k,
+                        attn=attn,
                     )
                     mixed = jnp.full_like(log_probs, self.minus_inf)
                     row_idx = jnp.arange(n)[:, None]
@@ -377,7 +469,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     log_probs = mixed
                 else:
                     ctc_scores, ctc_state = ctc_scorer.forward_step(
-                        inp, ctc_state, attn=attn
+                        c["inp"], ctc_state, attn=attn
                     )
                     log_probs = log_probs + self.ctc_weight * ctc_scores
 
@@ -410,7 +502,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
             memory = _gather_rows(memory, rows)
             if lm_memory is not None:
                 lm_memory = _gather_rows(lm_memory, rows)
-            if ctc_scorer is not None:
+            if ctc_state is not None:
                 ctc_state = ctc_scorer.permute_mem(
                     ctc_state, flat_idx.reshape(-1)
                 )
@@ -432,10 +524,13 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     # coverage is initialized to cur_attn AND then the
                     # update still runs (seq2seq.py:829-841), so the
                     # first step's attention is counted twice (once
-                    # predecessor-permuted).
-                    if coverage is None:
-                        coverage = cur_attn
-                    coverage = coverage[rows] + cur_attn
+                    # predecessor-permuted).  With the zeros init this
+                    # is the extra where() term below.
+                    coverage = (
+                        coverage[rows]
+                        + cur_attn
+                        + jnp.where(t == 0, cur_attn[rows], 0.0)
+                    )
                 penalty = jnp.maximum(coverage, 0.5).sum(-1)
                 penalty = penalty - coverage.shape[-1] * 0.5
                 if self.length_normalization:
@@ -449,19 +544,65 @@ class S2SBeamSearcher(S2SBaseSearcher):
             ).astype(jnp.int32)
             final_scores = sel_scores + self.length_rewarding * (t + 1)
             store_seq, store_len, store_score, store_count = _store(
-                store_seq, store_len, store_score, store_count,
+                c["store_seq"], c["store_len"], c["store_score"],
+                c["store_count"],
                 is_eos_bb, alived_seq.reshape(B, beam, -1),
-                jnp.full((B, beam), t, jnp.int32),  # tokens before eos
+                jnp.broadcast_to(t, (B, beam)).astype(
+                    jnp.int32
+                ),  # tokens before eos
                 final_scores,
             )
             beam_scores = jnp.where(
                 is_eos_bb.astype(bool), self.minus_inf, beam_scores
             )
+            return {
+                "t": t + 1,
+                "inp": tokens_flat,
+                "memory": memory,
+                "lm_memory": lm_memory,
+                "ctc_state": ctc_state,
+                "beam_scores": beam_scores,
+                "finished": finished,
+                "alived_seq": alived_seq,
+                "prev_attn_peak": prev_attn_peak,
+                "coverage": coverage,
+                "sel_scores": sel_scores,
+                "store_seq": store_seq,
+                "store_len": store_len,
+                "store_score": store_score,
+                "store_count": store_count,
+            }
 
-            inp = tokens_flat
-            if early_exit and bool(jnp.all(store_count >= beam)):
-                t_final = t + 1
-                break
+        if self.device_loop and self.static_memory:
+            # ONE compiled program: lax.while_loop with early exit in
+            # the loop condition — no per-step dispatch, no host syncs.
+            def cond_fn(c):
+                more = c["t"] < max_steps
+                if early_exit:
+                    more = more & jnp.logical_not(
+                        jnp.all(c["store_count"] >= beam)
+                    )
+                return more
+
+            carry = jax.lax.while_loop(cond_fn, step_fn, carry0)
+        else:
+            # Host-driven loop (reference-style): used when the memory
+            # pytree changes shape across steps (e.g. Whisper's growing
+            # prompt) or for debugging with device_loop=False.
+            carry = carry0
+            for _ in range(max_steps):
+                carry = step_fn(carry)
+                if early_exit and bool(
+                    jnp.all(carry["store_count"] >= beam)
+                ):
+                    break
+        t_final = carry["t"]
+        alived_seq = carry["alived_seq"]
+        sel_scores = carry["sel_scores"]
+        store_seq, store_len = carry["store_seq"], carry["store_len"]
+        store_score, store_count = (
+            carry["store_score"], carry["store_count"],
+        )
 
         # Fill remaining slots from still-alive beams (reference's
         # end-of-loop all-eos fill, seq2seq.py:889-903) using the LAST
@@ -475,7 +616,7 @@ class S2SBeamSearcher(S2SBaseSearcher):
         store_seq, store_len, store_score, store_count = _store(
             store_seq, store_len, store_score, store_count,
             fill_all, alived_seq.reshape(B, beam, -1),
-            jnp.full((B, beam), t_final, jnp.int32),
+            jnp.broadcast_to(t_final, (B, beam)).astype(jnp.int32),
             final_scores,
         )
         return (
@@ -552,8 +693,13 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
 
     def reset_mem(self, batch_size, enc_states):
         """Initial decoder memory for a fresh search."""
+        # RNN hidden states arrive layer-major (num_layers, B, H);
+        # store them BATCH-major so beam predecessor permutation (a
+        # leading-axis gather) reorders rows, not layers.
         return {
-            "hs": self.rnn_init_fn(batch_size, enc_states.dtype),
+            "hs": _swap01(
+                self.rnn_init_fn(batch_size, enc_states.dtype)
+            ),
             "c": jnp.zeros(
                 (batch_size, self.dec_hidden_size), enc_states.dtype
             ),
@@ -564,14 +710,14 @@ class S2SRNNBeamSearcher(S2SBeamSearcher):
         """One decoder step: scores + updated memory."""
         emb = self.embedding_fn(inp_tokens)
         dec_out, hs, c, w, attn_state = self.decoder_step_fn(
-            emb, memory["hs"], memory["c"], enc_states, enc_lens,
-            memory["attn_state"],
+            emb, _swap01(memory["hs"]), memory["c"], enc_states,
+            enc_lens, memory["attn_state"],
         )
         logits = self.linear_fn(dec_out)
         log_probs = jax.nn.log_softmax(logits / self.temperature, axis=-1)
         return (
             log_probs,
-            {"hs": hs, "c": c, "attn_state": attn_state},
+            {"hs": _swap01(hs), "c": c, "attn_state": attn_state},
             w,
         )
 
@@ -631,45 +777,64 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         self.temperature_lm = temperature_lm
 
     def reset_mem(self, batch_size, enc_states):
-        """Initial decoder memory for a fresh search."""
-        # Empty prefix: every step (including the first, whose
-        # inp_tokens is bos) appends — keeps shapes static per step
-        # with no value-dependent branching (trace-safe).
-        return {"prefix": jnp.zeros((batch_size, 0), jnp.int32)}
+        """Initial decoder memory: a FIXED-size prefix buffer.
+
+        The buffer holds ``max_steps`` token slots plus a write cursor
+        ``len`` — static shapes every step, so the whole search
+        compiles to one ``lax.while_loop`` program.  The decoder runs
+        over the full (padded) buffer each step; with the causal
+        lookahead mask, position ``len`` never attends to the unwritten
+        slots, so the step output is identical to decoding the true
+        growing prefix.
+        """
+        max_steps = max(
+            1, int(enc_states.shape[1] * self.max_decode_ratio)
+        )
+        return {
+            "buf": jnp.zeros((batch_size, max_steps), jnp.int32),
+            "len": jnp.asarray(0, jnp.int32),
+        }
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
         """One decoder step: scores + updated memory."""
-        prefix = memory["prefix"]
-        new_prefix = jnp.concatenate(
-            [prefix, inp_tokens[:, None]], axis=1
-        )
-        dec_out = self.decode_fn(new_prefix, enc_states, enc_lens)
-        logits = self.linear_fn(dec_out[:, -1])
+        buf, ln = memory["buf"], memory["len"]
+        buf = buf.at[:, ln].set(inp_tokens)
+        dec_out = self.decode_fn(buf, enc_states, enc_lens)
+        logits = self.linear_fn(dec_out[:, ln])
         log_probs = jax.nn.log_softmax(
             logits / self.temperature, axis=-1
         )
-        return log_probs, {"prefix": new_prefix}, None
+        return log_probs, {"buf": buf, "len": ln + 1}, None
 
     def reset_lm_mem(self, n):
-        """Initial LM memory for a fresh search."""
-        return {"prefix": jnp.full((n, 1), self.bos_index, jnp.int32)}
+        """Initial LM memory: fixed buffer seeded with bos.
+
+        ``calls`` distinguishes the first LM step (whose input IS bos
+        and must not be appended — reference keeps the prefix at
+        [bos]) from later steps that append their input token.
+        """
+        max_steps = self._cur_max_steps
+        return {
+            "buf": jnp.full((n, max_steps + 1), self.bos_index,
+                            jnp.int32),
+            "len": jnp.asarray(1, jnp.int32),
+            "calls": jnp.asarray(0, jnp.int32),
+        }
 
     def lm_forward_step(self, inp_tokens, memory):
         """One LM step: log-probs + updated LM memory."""
-        prefix = memory["prefix"]
-        if prefix.shape[1] == 1 and bool(
-            jnp.all(inp_tokens == self.bos_index)
-        ):
-            new_prefix = prefix
-        else:
-            new_prefix = jnp.concatenate(
-                [prefix, inp_tokens[:, None]], axis=1
-            )
-        logits = self.lm_fn(new_prefix)
-        log_probs = jax.nn.log_softmax(
-            logits[:, -1] / self.temperature_lm, axis=-1
+        buf, ln, calls = (
+            memory["buf"], memory["len"], memory["calls"],
         )
-        return log_probs, {"prefix": new_prefix}
+        append = calls > 0
+        written = buf.at[:, ln].set(inp_tokens)
+        buf = jnp.where(append, written, buf)
+        ln = ln + append.astype(jnp.int32)
+        logits = self.lm_fn(buf)
+        log_probs = jax.nn.log_softmax(
+            logits[:, ln - 1] / self.temperature_lm, axis=-1
+        )
+        return log_probs, {"buf": buf, "len": ln, "calls": calls + 1}
 
     def ctc_forward_step(self, enc_states):
         """CTC log-probabilities over the encoder states."""
@@ -841,6 +1006,9 @@ class S2SWhisperBeamSearch(_WhisperTokenMixin, S2SBeamSearcher):
     lm_fn : optional (prefix (n, L)) -> (n, L, V) LM logits for shallow
         fusion.
     """
+
+    # the decoder prompt grows every step -> host loop driver
+    static_memory = False
 
     def __init__(
         self,

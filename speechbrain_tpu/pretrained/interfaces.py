@@ -155,6 +155,10 @@ class EncoderDecoderASR(Pretrained):
         super().__init__(*args, **kwargs)
         self.tokenizer = self.hparams.tokenizer
         self.decoder = self.hparams.make_decoder(self)
+        # Serving params are frozen, so the searcher may cache its
+        # jitted program across calls (one compile per shape bucket).
+        if hasattr(self.decoder, "jit_call"):
+            self.decoder.jit_call = True
 
     def encode_batch(self, wavs, wav_lens):
         """Encode a batch of waveforms into embeddings/features."""
@@ -1001,6 +1005,10 @@ class EndToEndSLU(Pretrained):
         super().__init__(*args, **kwargs)
         self.tokenizer = self.hparams.tokenizer
         self.decoder = self.hparams.make_decoder(self)
+        # Serving params are frozen, so the searcher may cache its
+        # jitted program across calls (one compile per shape bucket).
+        if hasattr(self.decoder, "jit_call"):
+            self.decoder.jit_call = True
 
     def encode_batch(self, wavs, wav_lens):
         """Encode a batch of waveforms into embeddings/features."""

@@ -332,3 +332,86 @@ def test_transducer_beam_batch_matches_per_utterance():
         )
         assert hyps[b] == solo_h[0], (b, hyps[b], solo_h[0])
         np.testing.assert_allclose(scores[b], solo_s[0], rtol=1e-5)
+
+
+def test_rnn_beam_hs_predecessor_permutation():
+    """Regression: S2SRNNBeamSearcher must permute LAYER-MAJOR RNN
+    hidden states (num_layers, n, H) by predecessor when beams reorder.
+
+    Before round 3 the raw layer-major state went through the
+    leading-axis gather, which permuted the LAYER axis (silently, via
+    jax's clamped out-of-range gather) and left the batch axis alone —
+    every recipe's beam search carried wrong hidden states.  The oracle
+    here is an independent numpy beam search that tracks one explicit
+    state per hypothesis.
+    """
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.decoders.seq2seq import S2SRNNBeamSearcher
+
+    rng = np.random.default_rng(3)
+    B, V, H, L, T = 2, 5, 4, 2, 4
+    beam = 3
+    eos = V - 1
+    emb_W = rng.standard_normal((V, H)).astype(np.float32)
+    out_W = rng.standard_normal((L * H, V)).astype(np.float32)
+    enc = rng.standard_normal((B, T, H)).astype(np.float32)
+
+    # toy recurrent decoder: hs (L, n, H); hs' = tanh(hs + emb(tok));
+    # logits depend on the WHOLE hs stack, so wrong permutation of
+    # either axis changes the scores.
+    def step_np(tok, hs):
+        hs = np.tanh(hs + emb_W[tok][None])
+        logits = hs.transpose(1, 0, 2).reshape(hs.shape[1], -1) @ out_W
+        logits[:, eos] = -100.0  # never end: pure permutation test
+        return logits, hs
+
+    def decoder_step_fn(emb_tok, hs, c, es, el, ast):
+        tok = jnp.argmax(emb_tok, axis=-1)  # emb = one-hot (below)
+        hs2 = jnp.tanh(hs + jnp.asarray(emb_W)[tok][None])
+        logits = jnp.swapaxes(hs2, 0, 1).reshape(
+            hs2.shape[1], -1
+        ) @ jnp.asarray(out_W)
+        logits = logits.at[:, eos].set(-100.0)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        return log_probs, hs2, c, None, ast
+
+    searcher = S2SRNNBeamSearcher(
+        embedding_fn=lambda t: jax.nn.one_hot(t, V),
+        decoder_step_fn=decoder_step_fn,
+        linear_fn=lambda d: d,  # decoder already returns log-probs
+        dec_hidden_size=H,
+        attn_init_fn=lambda es: jnp.zeros((es.shape[0], 1)),
+        rnn_init_fn=lambda n, dtype: jnp.zeros((L, n, H), dtype),
+        bos_index=0,
+        eos_index=eos,
+        min_decode_ratio=0.0,
+        max_decode_ratio=1.0,
+        beam_size=beam,
+        using_eos_threshold=False,
+        length_normalization=False,
+    )
+    import jax
+
+    got_hyps, _ = searcher(enc, np.ones(B))
+
+    # independent numpy beam search with per-hypothesis states
+    def logsoftmax(x):
+        x = x - x.max(-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+    for b in range(B):
+        hyps = [([], 0.0, np.zeros((L, 1, H), np.float32), 0)]
+        for _ in range(T):
+            cands = []
+            for tokens, score, hs, last in hyps:
+                logits, hs2 = step_np(np.array([last]), hs)
+                lp = logsoftmax(logits)[0]
+                for v in range(V):
+                    cands.append(
+                        (tokens + [v], score + lp[v], hs2, v)
+                    )
+            cands.sort(key=lambda x: -x[1])
+            hyps = cands[:beam]
+        best = max(hyps, key=lambda x: x[1])
+        assert got_hyps[b] == best[0], (b, got_hyps[b], best[0])
