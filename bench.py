@@ -265,6 +265,14 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
         decode_fn=lambda prefix, e, el: brain.modules.transformer(
             prefix, e, el, method="decode"
         )[0],
+        # KV-cached incremental decoding: O(1) projections/FFN per
+        # step instead of re-decoding the whole prefix buffer.
+        cache_init_fn=lambda e, max_steps: brain.modules.transformer(
+            e, max_steps, method="decode_cache_init"
+        ),
+        step_fn=lambda tok, cache, pos, el: brain.modules.transformer(
+            tok, cache, pos, el, method="decode_step"
+        ),
         linear_fn=lambda d: brain.modules.seq_lin(d[:, None])[:, 0],
         ctc_linear_fn=lambda e: brain.modules.ctc_lin(e),
         bos_index=1,
@@ -287,18 +295,29 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
         enc = brain.modules.transformer(src, sig_lens, method="encode")
         return searcher.search_device(enc, sig_lens, early_exit=True)
 
-    jitted = jax.jit(search_impl)
+    def aot(fn, *args):
+        """AOT compile with trace-time constants kept on the HOST.
 
-    def run_batch(b):
-        return jitted(
-            state["params"], state["model_state"], state["extra"],
-            b["sig"], b["sig_lens"],
-        )
+        Tracing eagerly materializes closure constants on the default
+        device; behind the remote-dispatch tunnel, MLIR lowering then
+        pulls each one back with a blocking device_get (measured: tens
+        of minutes for the search program).  Tracing under a cpu
+        default_device keeps them host-side (lowering measured at ~60 s
+        instead)."""
+        cpus = jax.devices("cpu")
+        with jax.default_device(cpus[0]):
+            lowered = jax.jit(fn).lower(*args)
+        return lowered.compile()
 
-    jax.block_until_ready(run_batch(batches[0]))  # compile
+    sargs = lambda b: (  # noqa: E731
+        state["params"], state["model_state"], state["extra"],
+        b["sig"], b["sig_lens"],
+    )
+    compiled_search = aot(search_impl, *sargs(batches[0]))
+    jax.block_until_ready(compiled_search(*sargs(batches[0])))  # warm
     t0 = time.perf_counter()
     for b in batches:
-        res = run_batch(b)
+        res = compiled_search(*sargs(b))
     jax.block_until_ready(res)
     dt = time.perf_counter() - t0
     out["decode_beam_utt_s"] = round(n_batches * B / dt, 2)
@@ -348,16 +367,9 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
         src = brain.modules.frontend(feats)
         return brain.modules.transformer(src, sig_lens, method="encode")
 
-    jenc = jax.jit(encode)
+    jenc = aot(encode, *sargs(batches[0]))
     enc_batches = [
-        np.asarray(
-            jenc(
-                state["params"], state["model_state"], state["extra"],
-                b["sig"], b["sig_lens"],
-            ),
-            np.float32,
-        )
-        for b in batches
+        np.asarray(jenc(*sargs(b)), np.float32) for b in batches
     ]
     greedy = TransducerBeamSearcher(
         decode_fn=pred_step, joint_fn=joint, blank_id=0, beam_size=1

@@ -126,6 +126,15 @@ class ASR(sb.Brain):
             decode_fn=lambda prefix, e, el: self.modules.transformer(
                 prefix, e, el, method="decode"
             )[0],
+            # KV-cached incremental decoding: O(1) projection/FFN work
+            # per step (decode_step), cross K/V precomputed once
+            # (decode_cache_init) — the serving fast path.
+            cache_init_fn=lambda e, max_steps: self.modules.transformer(
+                e, max_steps, method="decode_cache_init"
+            ),
+            step_fn=lambda tok, cache, pos, el: self.modules.transformer(
+                tok, cache, pos, el, method="decode_step"
+            ),
             linear_fn=lambda d: self.modules.seq_lin(d[:, None])[:, 0],
             ctc_linear_fn=lambda e: self.modules.ctc_lin(e),
             bos_index=self.hparams.bos_index,

@@ -766,6 +766,8 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         lm_fn=None,
         temperature=1.0,
         temperature_lm=1.0,
+        step_fn=None,
+        cache_init_fn=None,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -775,21 +777,38 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         self.lm_fn = lm_fn
         self.temperature = temperature
         self.temperature_lm = temperature_lm
+        # KV-cached incremental decoding (the serving fast path):
+        # cache_init_fn(enc_states (n,T,d), max_steps) -> cache pytree
+        #   with leading batch axis on every leaf;
+        # step_fn(tokens (n,), cache, pos, enc_lens) -> (out (n, d),
+        #   cache) — the decoder output at position pos.
+        # Without these, the searcher re-decodes a fixed-size prefix
+        # buffer each step (correct, ~L_max x more decoder FLOPs).
+        self.step_fn = step_fn
+        self.cache_init_fn = cache_init_fn
 
     def reset_mem(self, batch_size, enc_states):
-        """Initial decoder memory: a FIXED-size prefix buffer.
+        """Initial decoder memory.
 
-        The buffer holds ``max_steps`` token slots plus a write cursor
-        ``len`` — static shapes every step, so the whole search
-        compiles to one ``lax.while_loop`` program.  The decoder runs
-        over the full (padded) buffer each step; with the causal
-        lookahead mask, position ``len`` never attends to the unwritten
-        slots, so the step output is identical to decoding the true
-        growing prefix.
+        KV-cache path (``step_fn``/``cache_init_fn`` given): per-layer
+        caches + a position counter; O(1) projections per step.
+
+        Buffer path: a FIXED-size prefix buffer of ``max_steps`` token
+        slots plus a write cursor ``len`` — static shapes every step,
+        so the whole search compiles to one ``lax.while_loop`` program.
+        The decoder runs over the full (padded) buffer each step; with
+        the causal lookahead mask, position ``len`` never attends to
+        the unwritten slots, so the step output is identical to
+        decoding the true growing prefix.
         """
         max_steps = max(
             1, int(enc_states.shape[1] * self.max_decode_ratio)
         )
+        if self.step_fn is not None:
+            return {
+                "cache": self.cache_init_fn(enc_states, max_steps),
+                "len": jnp.asarray(0, jnp.int32),
+            }
         return {
             "buf": jnp.zeros((batch_size, max_steps), jnp.int32),
             "len": jnp.asarray(0, jnp.int32),
@@ -797,8 +816,17 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
 
     def forward_step(self, inp_tokens, memory, enc_states, enc_lens):
         """One decoder step: scores + updated memory."""
-        buf, ln = memory["buf"], memory["len"]
-        buf = buf.at[:, ln].set(inp_tokens)
+        ln = memory["len"]
+        if self.step_fn is not None:
+            out_t, cache = self.step_fn(
+                inp_tokens, memory["cache"], ln, enc_lens
+            )
+            logits = self.linear_fn(out_t)
+            log_probs = jax.nn.log_softmax(
+                logits / self.temperature, axis=-1
+            )
+            return log_probs, {"cache": cache, "len": ln + 1}, None
+        buf = memory["buf"].at[:, ln].set(inp_tokens)
         dec_out = self.decode_fn(buf, enc_states, enc_lens)
         logits = self.linear_fn(dec_out[:, ln])
         log_probs = jax.nn.log_softmax(

@@ -39,7 +39,9 @@ class PositionalEncoding(nn.Module):
     input_size: int
     max_len: int = 2500
 
-    def __call__(self, x):
+    def __call__(self, x, offset=0):
+        """PE for ``x.shape[1]`` positions starting at ``offset``
+        (traced offsets supported — used by incremental decoding)."""
         T = x.shape[1]
         pos = np.arange(self.max_len)[:, None].astype(np.float32)
         div = np.exp(
@@ -49,7 +51,12 @@ class PositionalEncoding(nn.Module):
         pe = np.zeros((self.max_len, self.input_size), np.float32)
         pe[:, 0::2] = np.sin(pos * div)
         pe[:, 1::2] = np.cos(pos * div)
-        return jnp.asarray(pe[None, :T]).astype(x.dtype)
+        if isinstance(offset, int) and offset == 0:
+            return jnp.asarray(pe[None, :T]).astype(x.dtype)
+        sl = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(pe), offset, T, axis=0
+        )
+        return sl[None].astype(x.dtype)
 
 
 def get_key_padding_mask(padded_input_lens, T):
@@ -214,7 +221,16 @@ class TransformerDecoderLayer(nn.Module):
         tgt_key_padding_mask=None,
         memory_key_padding_mask=None,
         train=True,
+        mode="full",
+        cache=None,
+        pos=None,
     ):
+        """``mode="init_cache"``: project ``memory`` into this layer's
+        cross-attention KV cache (returns ``{"ck", "cv"}``).
+        ``mode="step"``: one-token incremental decode against
+        ``cache={"sk","sv","ck","cv"}`` at position ``pos`` — same
+        parameters, same numerics as the full path, O(1) projections
+        and FFN per step.  Default ``"full"`` is the training path."""
         self_attn = MultiheadAttention(
             nhead=self.nhead, d_model=self.d_model, dropout=self.dropout,
             name="self_attn",
@@ -223,10 +239,49 @@ class TransformerDecoderLayer(nn.Module):
             nhead=self.nhead, d_model=self.d_model, dropout=self.dropout,
             name="cross_attn",
         )
+        if mode == "init_cache":
+            ck, cv = cross_attn(None, memory, memory, mode="project_kv")
+            return {"ck": ck, "cv": cv}
         norm1 = nn.LayerNorm(dtype=tgt.dtype)
         norm2 = nn.LayerNorm(dtype=tgt.dtype)
         norm3 = nn.LayerNorm(dtype=tgt.dtype)
         drop = nn.Dropout(rate=self.dropout, deterministic=not train)
+        if mode == "step":
+            x = tgt  # (B, 1, d)
+            residual = x
+            if self.normalize_before:
+                x = norm1(x)
+            out, _, (sk, sv) = self_attn(
+                x, x, x, mode="step",
+                kv_cache=(cache["sk"], cache["sv"]), cache_index=pos,
+            )
+            x = residual + out
+            if not self.normalize_before:
+                x = norm1(x)
+            residual = x
+            if self.normalize_before:
+                x = norm2(x)
+            out, _, _ = cross_attn(
+                x, None, None, mode="step",
+                kv_cache=(cache["ck"], cache["cv"]),
+                key_padding_mask=memory_key_padding_mask,
+            )
+            x = residual + out
+            if not self.normalize_before:
+                x = norm2(x)
+            residual = x
+            if self.normalize_before:
+                x = norm3(x)
+            out = PositionalwiseFeedForward(
+                d_ffn=self.d_ffn, dropout=self.dropout,
+                activation=self.activation,
+            )(x, train=False)
+            x = residual + out
+            if not self.normalize_before:
+                x = norm3(x)
+            return x, {
+                "sk": sk, "sv": sv, "ck": cache["ck"], "cv": cache["cv"],
+            }
 
         x = tgt
         residual = x
@@ -286,11 +341,19 @@ class TransformerDecoder(nn.Module):
         tgt_key_padding_mask=None,
         memory_key_padding_mask=None,
         train=True,
+        mode="full",
+        cache=None,
+        pos=None,
+        max_steps=None,
     ):
-        output = tgt
-        self_attns, cross_attns = [], []
-        for i in range(self.num_layers):
-            output, sa, ca = TransformerDecoderLayer(
+        """``mode="init_cache"``: build the per-layer KV caches for
+        incremental decoding — cross K/V projected once from
+        ``memory``, self caches zero-allocated for ``max_steps``
+        tokens.  ``mode="step"``: one-token decode at ``pos`` against
+        ``cache`` (a list of per-layer dicts); returns
+        ``(out (B, 1, d), new_cache)``."""
+        def make_layer(i):
+            return TransformerDecoderLayer(
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,
                 d_model=self.d_model,
@@ -298,7 +361,43 @@ class TransformerDecoder(nn.Module):
                 activation=self.activation,
                 normalize_before=self.normalize_before,
                 name=f"layer_{i}",
-            )(
+            )
+
+        if mode == "init_cache":
+            B = memory.shape[0]
+            d_head = self.d_model // self.nhead
+            caches = []
+            for i in range(self.num_layers):
+                c = make_layer(i)(None, memory, mode="init_cache")
+                c["sk"] = jnp.zeros(
+                    (B, max_steps, self.nhead, d_head), memory.dtype
+                )
+                c["sv"] = jnp.zeros(
+                    (B, max_steps, self.nhead, d_head), memory.dtype
+                )
+                caches.append(c)
+            return caches
+        if mode == "step":
+            output = tgt
+            new_caches = []
+            for i in range(self.num_layers):
+                output, c = make_layer(i)(
+                    output,
+                    None,
+                    memory_key_padding_mask=memory_key_padding_mask,
+                    mode="step",
+                    cache=cache[i],
+                    pos=pos,
+                )
+                new_caches.append(c)
+            output = nn.LayerNorm(dtype=output.dtype, name="norm_out")(
+                output
+            )
+            return output, new_caches
+        output = tgt
+        self_attns, cross_attns = [], []
+        for i in range(self.num_layers):
+            output, sa, ca = make_layer(i)(
                 output,
                 memory,
                 tgt_mask=tgt_mask,

@@ -178,6 +178,44 @@ class TransformerASR(nn.Module):
         enc_out, _ = self._encode(src, wav_len, train)
         return enc_out
 
+    def decode_cache_init(self, encoder_out, max_steps):
+        """Precompute incremental-decode KV caches: per-layer cross
+        K/V from (PE-augmented, see ``decode``) encoder states plus
+        zero self caches for ``max_steps`` token slots."""
+        if self.attention_type == "RelPosMHAXL":
+            encoder_out = encoder_out + self.positional_encoding_mod(
+                encoder_out
+            )
+        return self.decoder(
+            None, encoder_out, mode="init_cache", max_steps=max_steps
+        )
+
+    def decode_step(self, tgt_t, cache, pos, enc_lens=None, T_enc=None):
+        """One incremental decoder step at position ``pos``.
+
+        tgt_t : (B,) int32 tokens;  cache : from ``decode_cache_init``.
+        Returns ``(out (B, d_model), new_cache)`` — numerically the
+        position-``pos`` output of ``decode`` over the full prefix,
+        at O(1) projection/FFN cost per step (the serving hot path).
+        """
+        memory_key_padding_mask = None
+        if enc_lens is not None:
+            T = T_enc if T_enc is not None else cache[0]["ck"].shape[1]
+            memory_key_padding_mask = get_key_padding_mask(enc_lens, T)
+        tgt_emb = self.custom_tgt_module(tgt_t[:, None])
+        tgt_emb = tgt_emb + self.positional_encoding_mod(
+            tgt_emb, offset=pos
+        )
+        out, new_cache = self.decoder(
+            tgt_emb,
+            None,
+            memory_key_padding_mask=memory_key_padding_mask,
+            mode="step",
+            cache=cache,
+            pos=pos,
+        )
+        return out[:, 0], new_cache
+
     def decode(self, tgt, encoder_out, enc_lens=None, train=False):
         """Decoder forward for beam search; returns (out, last cross-attn)."""
         tgt_mask = get_lookahead_mask(tgt.shape[1])

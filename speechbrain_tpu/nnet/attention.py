@@ -332,8 +332,77 @@ class MultiheadAttention(nn.Module):
         attn_mask=None,
         train=True,
         return_attn_weights=True,
+        mode="full",
+        kv_cache=None,
+        cache_index=None,
     ):
+        """``mode`` selects the serving-path variants (all share the
+        same projection parameters as the ``"full"`` training path):
+
+        - ``"full"``: standard batched attention (default).
+        - ``"project_kv"``: return the projected ``(k, v)`` of
+          ``key``/``value`` as ``(B, T, nhead, d_head)`` — used once
+          per autoregressive search to precompute cross-attention
+          caches.
+        - ``"step"``: one-token query ``(B, 1, d)`` against a KV cache
+          ``kv_cache=(k, v)`` of shape ``(B, L, nhead, d_head)``.  When
+          ``key``/``value`` are given (self-attention), their
+          single-token projection is written at ``cache_index`` first
+          and positions beyond it are causally masked; when None
+          (cross-attention), the cache is attended as-is.  Returns
+          ``(out, attn_weights, (k, v))``.
+        """
         d_head = self.d_model // self.nhead
+        if mode == "project_kv":
+            B, T_k = key.shape[0], key.shape[1]
+            k = nn.Dense(self.d_model, name="k_proj", dtype=key.dtype)(key)
+            v = nn.Dense(self.d_model, name="v_proj", dtype=value.dtype)(
+                value
+            )
+            return (
+                k.reshape(B, T_k, self.nhead, d_head),
+                v.reshape(B, T_k, self.nhead, d_head),
+            )
+        if mode == "step":
+            B = query.shape[0]
+            k_all, v_all = kv_cache
+            L = k_all.shape[1]
+            q = nn.Dense(self.d_model, name="q_proj", dtype=query.dtype)(
+                query
+            ).reshape(B, 1, self.nhead, d_head)
+            if key is not None:
+                k_t = nn.Dense(
+                    self.d_model, name="k_proj", dtype=query.dtype
+                )(key).reshape(B, 1, self.nhead, d_head)
+                v_t = nn.Dense(
+                    self.d_model, name="v_proj", dtype=query.dtype
+                )(value).reshape(B, 1, self.nhead, d_head)
+                k_all = jax.lax.dynamic_update_slice_in_dim(
+                    k_all, k_t.astype(k_all.dtype), cache_index, axis=1
+                )
+                v_all = jax.lax.dynamic_update_slice_in_dim(
+                    v_all, v_t.astype(v_all.dtype), cache_index, axis=1
+                )
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k_all
+            ) / math.sqrt(d_head)
+            if key is not None:
+                causal = (
+                    jnp.arange(L)[None, None, None, :] > cache_index
+                )
+                scores = jnp.where(causal, NEG_FILL, scores)
+            if key_padding_mask is not None:
+                scores = jnp.where(
+                    key_padding_mask[:, None, None, :], NEG_FILL, scores
+                )
+            attn = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_all).reshape(
+                B, 1, self.d_model
+            )
+            out = nn.Dense(
+                self.d_model, name="out_proj", dtype=query.dtype
+            )(out)
+            return out, attn.mean(axis=1), (k_all, v_all)
         B, T_q = query.shape[0], query.shape[1]
         T_k = key.shape[1]
         q = nn.Dense(self.d_model, name="q_proj", dtype=query.dtype)(query)

@@ -415,3 +415,59 @@ def test_rnn_beam_hs_predecessor_permutation():
             hyps = cands[:beam]
         best = max(hyps, key=lambda x: x[1])
         assert got_hyps[b] == best[0], (b, got_hyps[b], best[0])
+
+
+def test_transformer_beam_kv_cache_parity():
+    """The KV-cached incremental decode path (decode_cache_init /
+    decode_step) must produce the same hypotheses and scores as the
+    prefix-buffer path that re-runs the full decoder each step —
+    same parameters, same search configuration."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.decoders.seq2seq import S2STransformerBeamSearch
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+        TransformerASR,
+    )
+
+    rng = np.random.default_rng(0)
+    B, T, F, V, D = 2, 12, 8, 11, 16
+    model = TransformerASR(
+        tgt_vocab=V, input_size=F, d_model=D, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=2, d_ffn=32,
+        dropout=0.0, encoder_module="transformer",
+        attention_type="regularMHA",
+    )
+    src = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+    tgt = jnp.zeros((B, 3), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, tgt, train=False)
+    enc = model.apply(params, src, method="encode")
+    lens = jnp.asarray([1.0, 0.7])
+
+    W_out = jnp.asarray(rng.standard_normal((D, V)), jnp.float32)
+    common = dict(
+        linear_fn=lambda d: d @ W_out,
+        bos_index=1, eos_index=2, blank_index=0,
+        min_decode_ratio=0.0, max_decode_ratio=1.0, beam_size=3,
+        using_eos_threshold=False, length_normalization=True,
+    )
+    slow = S2STransformerBeamSearch(
+        decode_fn=lambda prefix, e, el: model.apply(
+            params, prefix, e, el, method="decode"
+        )[0],
+        **common,
+    )
+    fast = S2STransformerBeamSearch(
+        decode_fn=None,
+        cache_init_fn=lambda e, max_steps: model.apply(
+            params, e, max_steps, method="decode_cache_init"
+        ),
+        step_fn=lambda tok, cache, pos, el: model.apply(
+            params, tok, cache, pos, el, method="decode_step"
+        ),
+        **common,
+    )
+    h_slow, s_slow = slow(enc, lens)
+    h_fast, s_fast = fast(enc, lens)
+    assert h_slow == h_fast, (h_slow, h_fast)
+    np.testing.assert_allclose(s_slow, s_fast, rtol=1e-4, atol=1e-5)
