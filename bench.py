@@ -320,8 +320,66 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
         res = compiled_search(*sargs(b))
     jax.block_until_ready(res)
     dt = time.perf_counter() - t0
+    # WORST CASE by construction: the untrained model never satisfies
+    # the joint-CTC eos condition, so the in-graph early exit never
+    # fires and every search runs the full max_decode_ratio * T_enc
+    # steps.  Trained models finalize beams after ~L_token steps and
+    # decode proportionally faster.  Deterministic -> stable across
+    # rounds.
     out["decode_beam_utt_s"] = round(n_batches * B / dt, 2)
     out["decode_beam_rtf"] = round(dt / (n_batches * B * seconds), 4)
+
+    # Early-exit path on-chip: attention-only scoring with the seq
+    # head biased toward eos — beams finalize within a few steps, so
+    # this measures the while-condition exit + per-search fixed costs
+    # (encode, cache init) rather than the step loop.
+    import flax
+
+    eparams = flax.core.unfreeze(state["params"])
+
+    def _bias_eos(tree):
+        for k, v in list(tree.items()):
+            if isinstance(v, dict):
+                _bias_eos(v)
+            elif k == "bias" and v.shape[-1] == ge.VOCAB:
+                tree[k] = v.at[2].add(6.0)
+
+    _bias_eos(eparams["seq_lin"])
+    esearcher = S2STransformerBeamSearch(
+        decode_fn=searcher.decode_fn,
+        cache_init_fn=searcher.cache_init_fn,
+        step_fn=searcher.step_fn,
+        linear_fn=searcher.linear_fn,
+        bos_index=1, eos_index=2, blank_index=0,
+        min_decode_ratio=0.0, max_decode_ratio=1.0, beam_size=beam,
+        using_eos_threshold=False, length_normalization=True,
+    )
+
+    def esearch_impl(params, model_state, extra, sig, sig_lens):
+        rngs = brain._make_step_rngs(jax.random.PRNGKey(0))
+        brain._bind(params, model_state, extra, rngs, train=False)
+        feats = brain.fbank(sig).astype(jnp.bfloat16)
+        src = brain.modules.frontend(feats)
+        enc = brain.modules.transformer(src, sig_lens, method="encode")
+        return esearcher.search_device(enc, sig_lens, early_exit=True)
+
+    eargs = lambda b: (  # noqa: E731
+        eparams, state["model_state"], state["extra"],
+        b["sig"], b["sig_lens"],
+    )
+    try:
+        compiled_e = aot(esearch_impl, *eargs(batches[0]))
+        jax.block_until_ready(compiled_e(*eargs(batches[0])))
+        t0 = time.perf_counter()
+        for b in batches:
+            res = compiled_e(*eargs(b))
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        out["decode_beam_early_exit_utt_s"] = round(
+            n_batches * B / dt, 2
+        )
+    except Exception as e:
+        print(f"# early-exit bench skipped: {e!r}", file=sys.stderr)
 
     # --- transducer greedy ------------------------------------------
     import flax.linen as nn

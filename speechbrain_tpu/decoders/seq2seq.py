@@ -805,8 +805,20 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
             1, int(enc_states.shape[1] * self.max_decode_ratio)
         )
         if self.step_fn is not None:
+            cache = self.cache_init_fn(enc_states, max_steps)
+            # Cross-attention K/V depend only on the encoder states,
+            # which are identical for every beam of a batch item, and
+            # the predecessor permutation only reorders beams WITHIN a
+            # batch item — so ck/cv are invariant under the gather.
+            # Keeping them out of the carried memory makes them
+            # while_loop constants: the per-step permutation then
+            # touches only the (much smaller) self caches, halving the
+            # search's per-step HBM gather traffic.
+            self._static_cross = [
+                {"ck": c.pop("ck"), "cv": c.pop("cv")} for c in cache
+            ]
             return {
-                "cache": self.cache_init_fn(enc_states, max_steps),
+                "cache": cache,
                 "len": jnp.asarray(0, jnp.int32),
             }
         return {
@@ -818,9 +830,16 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         """One decoder step: scores + updated memory."""
         ln = memory["len"]
         if self.step_fn is not None:
-            out_t, cache = self.step_fn(
-                inp_tokens, memory["cache"], ln, enc_lens
-            )
+            full = [
+                {**dyn, **stat}
+                for dyn, stat in zip(
+                    memory["cache"], self._static_cross
+                )
+            ]
+            out_t, cache = self.step_fn(inp_tokens, full, ln, enc_lens)
+            cache = [
+                {"sk": c["sk"], "sv": c["sv"]} for c in cache
+            ]
             logits = self.linear_fn(out_t)
             log_probs = jax.nn.log_softmax(
                 logits / self.temperature, axis=-1
