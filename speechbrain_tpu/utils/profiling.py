@@ -71,7 +71,112 @@ def profile(brain_or_fn=None, logdir="./profiler_logs", num_steps=None):
     return brain
 
 
-profile_optimiser = profile  # preset alias (reference :471)
+def _scheduled_step_profiler(
+    brain, logdir, wait, warmup, active, detailed
+):
+    """Wrap ``fit_batch``/``evaluate_batch`` with a SCHEDULED
+    jax.profiler capture: steps [0, wait+warmup) run untraced (compile
+    + cache warm), then exactly ``active`` steps are captured, each
+    inside a ``StepTraceAnnotation`` so XProf renders step boundaries.
+
+    ``detailed`` toggles the analyst/optimiser split (reference
+    ``utils/profiling.py:439,471``): analyst pays for host-side Python
+    tracing (callstack attribution); optimiser keeps the capture lean
+    so device timings are undisturbed.
+    """
+    import jax
+
+    state = {"step": 0, "tracing": False, "done": False}
+    start_at = wait + warmup
+    stop_at = start_at + active
+
+    def options():
+        try:
+            opts = jax.profiler.ProfileOptions()
+            opts.python_tracer_level = 1 if detailed else 0
+            opts.host_tracer_level = 2 if detailed else 1
+            return opts
+        except Exception:  # older jax: no options object
+            return None
+
+    def timed(method, name):
+        @functools.wraps(method)
+        def wrapped(*args, **kwargs):
+            step = state["step"]
+            state["step"] += 1
+            if not state["done"] and step == start_at:
+                os.makedirs(logdir, exist_ok=True)
+                opts = options()
+                if opts is not None:
+                    jax.profiler.start_trace(
+                        logdir, profiler_options=opts
+                    )
+                else:
+                    jax.profiler.start_trace(logdir)
+                state["tracing"] = True
+            if state["tracing"]:
+                with jax.profiler.StepTraceAnnotation(
+                    name, step_num=step
+                ):
+                    out = method(*args, **kwargs)
+                try:
+                    jax.block_until_ready(out)
+                except Exception:
+                    pass
+                if step + 1 >= stop_at:
+                    jax.profiler.stop_trace()
+                    state["tracing"] = False
+                    state["done"] = True
+                return out
+            return method(*args, **kwargs)
+
+        return wrapped
+
+    brain.fit_batch = timed(brain.fit_batch, "fit_batch")
+    brain.evaluate_batch = timed(brain.evaluate_batch, "evaluate_batch")
+    brain.profiler_logdir = logdir
+    return brain
+
+
+def profile_analyst(
+    brain_or_fn=None, logdir="./profiler_logs",
+    wait=2, warmup=2, active=2,
+):
+    """Detailed scheduled capture — analyst preset (reference
+    ``utils/profiling.py:439``): skips ``wait+warmup`` steps, records
+    ``active`` steps with host-side Python tracing enabled (callstack
+    attribution; adds overhead — use ``profile_optimiser`` for clean
+    device timings)."""
+    def attach(brain):
+        return _scheduled_step_profiler(
+            brain, logdir, wait, warmup, active, detailed=True
+        )
+
+    if brain_or_fn is None:
+        return attach
+    if callable(brain_or_fn) and not hasattr(brain_or_fn, "fit_batch"):
+        return profile(brain_or_fn, logdir=logdir)
+    return attach(brain_or_fn)
+
+
+def profile_optimiser(
+    brain_or_fn=None, logdir="./profiler_logs",
+    wait=2, warmup=2, active=2,
+):
+    """Lean scheduled capture — optimiser preset (reference
+    ``utils/profiling.py:471``): same schedule as ``profile_analyst``
+    but host/Python tracing off, so the captured device timeline is
+    what production steps actually cost."""
+    def attach(brain):
+        return _scheduled_step_profiler(
+            brain, logdir, wait, warmup, active, detailed=False
+        )
+
+    if brain_or_fn is None:
+        return attach
+    if callable(brain_or_fn) and not hasattr(brain_or_fn, "fit_batch"):
+        return profile(brain_or_fn, logdir=logdir)
+    return attach(brain_or_fn)
 
 
 def report_time(fn=None, n_warmup=1, n_steps=10):
@@ -111,7 +216,6 @@ def report_time(fn=None, n_warmup=1, n_steps=10):
     return deco
 
 
-profile_analyst = profile  # latency-analysis preset alias (reference :439)
 
 
 def report_memory(report=None):
