@@ -88,6 +88,7 @@ class ConformerEncoderLayer(nn.Module):
     causal: bool = False
     dropout: float = 0.0
     activation: str = "swish"
+    use_flash: bool = False  # pallas flash attention for long T (see RelPosMHAXL.use_flash)
 
     @nn.compact
     def __call__(
@@ -111,6 +112,7 @@ class ConformerEncoderLayer(nn.Module):
             embed_dim=self.d_model,
             num_heads=self.nhead,
             dropout=self.dropout,
+            use_flash=self.use_flash,
             name="mha",
         )(
             attn_in, attn_in, attn_in, pos_embs,
@@ -152,6 +154,7 @@ class ConformerEncoder(nn.Module):
     # matmul outputs (dots_with_no_batch_dims_saveable) and recomputes
     # elementwise chains, trading FLOPs for HBM traffic
     remat: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -183,6 +186,7 @@ class ConformerEncoder(nn.Module):
                 causal=self.causal,
                 dropout=self.dropout,
                 activation=self.activation,
+                use_flash=self.use_flash,
                 name=f"layer_{i}",
             )(
                 output,
@@ -368,3 +372,4 @@ class ConformerDecoder(nn.Module):
             attns.append(a)
         output = nn.LayerNorm(dtype=output.dtype, name="norm")(output)
         return output, self_attns, attns
+            

@@ -57,6 +57,9 @@ class TransformerASR(nn.Module):
     normalize_before: bool = False
     kernel_size: int = 31
     causal: bool = False
+    # pallas flash attention in the conformer encoder for long-form
+    # inputs (auto-guarded; see nnet.attention.RelPosMHAXL.use_flash)
+    use_flash: bool = False
     encoder_module: str = "transformer"
     attention_type: str = "regularMHA"
     max_length: int = 2500
@@ -82,6 +85,7 @@ class TransformerASR(nn.Module):
                 causal=self.causal,
                 dropout=self.dropout,
                 activation="swish",
+                use_flash=self.use_flash,
             )
             if self.attention_type != "RelPosMHAXL":
                 raise ValueError(

@@ -213,6 +213,20 @@ def _rel_shift(x):
     return flat.reshape(B, H, T, L - 1)[..., :T]
 
 
+class _BareKernel(nn.Module):
+    """Declares a ``kernel`` parameter at the same tree path a
+    bias-free ``nn.Dense`` would (``<name>/kernel``) without applying
+    it — lets fused projections share parameters (and checkpoints)
+    with the unfused formulation."""
+
+    features: int
+    init: object
+
+    @nn.compact
+    def __call__(self, d_in):
+        return self.param("kernel", self.init, (d_in, self.features))
+
+
 class RelPosMHAXL(nn.Module):
     """Transformer-XL multi-head attention with relative positions.
 
@@ -235,6 +249,15 @@ class RelPosMHAXL(nn.Module):
     num_heads: int
     dropout: float = 0.0
     mask_pos_future: bool = False
+    # Opt-in pallas flash attention for LONG sequences: measured on the
+    # v5e 1.7-1.9x faster fwd+bwd than XLA attention at T >= 1024 with
+    # d_head >= 64 (PERFORMANCE.md round 3), and at parity below that
+    # (round-1 rejection at T=256/d_head=36 stands).  The rel-pos bias
+    # is materialized either way and folded into flash's `ab` operand;
+    # attention WEIGHTS are not available on this path (returned as
+    # None).  Auto-guards: only on TPU, T_q == T_k, T % 128 == 0,
+    # d_head >= 64, attention dropout 0.
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -251,15 +274,33 @@ class RelPosMHAXL(nn.Module):
         B, T_q = query.shape[0], query.shape[1]
         T_k = key.shape[1]
         # reference packs q/k/v into one bias-free in_proj (attention.py:426)
-        q = nn.Dense(
-            self.embed_dim, use_bias=False, name="q_proj", dtype=query.dtype
-        )(query)
-        k = nn.Dense(
-            self.embed_dim, use_bias=False, name="k_proj", dtype=query.dtype
-        )(key)
-        v = nn.Dense(
-            self.embed_dim, use_bias=False, name="v_proj", dtype=query.dtype
-        )(value)
+        if query is key and key is value:
+            # self-attention fast path: ONE fused (d, 3d) matmul
+            # instead of three (d, d) ones — same parameters (the
+            # kernels are concatenated at trace time), fewer + fatter
+            # MXU calls.
+            kern = nn.initializers.lecun_normal()
+            ks = [
+                _BareKernel(
+                    features=self.embed_dim, init=kern, name=nm
+                )(self.embed_dim)
+                for nm in ("q_proj", "k_proj", "v_proj")
+            ]
+            qkv = query @ jnp.concatenate(ks, axis=1).astype(query.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = nn.Dense(
+                self.embed_dim, use_bias=False, name="q_proj",
+                dtype=query.dtype,
+            )(query)
+            k = nn.Dense(
+                self.embed_dim, use_bias=False, name="k_proj",
+                dtype=query.dtype,
+            )(key)
+            v = nn.Dense(
+                self.embed_dim, use_bias=False, name="v_proj",
+                dtype=query.dtype,
+            )(value)
         p = nn.Dense(self.embed_dim, use_bias=False, name="pos_proj", dtype=query.dtype)(
             pos_embs
         )
@@ -277,9 +318,6 @@ class RelPosMHAXL(nn.Module):
         k = k.reshape(B, T_k, self.num_heads, d_head)
         v = v.reshape(B, T_k, self.num_heads, d_head)
         p = p.reshape(p.shape[0], p.shape[1], self.num_heads, d_head)
-        content_score = jnp.einsum(
-            "bqhd,bkhd->bhqk", q + pos_bias_u[None, None], k
-        )
         # NOTE: a gathered-(T_q, T_k, H, D) position formulation was
         # benchmarked and REGRESSES the backward ~3x (gather/scatter
         # VJP); the (B, H, T, 2T-1) einsum + rel_shift is the fast path
@@ -288,6 +326,54 @@ class RelPosMHAXL(nn.Module):
             "bqhd,zlhd->bhql", q + pos_bias_v[None, None], p
         )
         pos_score = _rel_shift(pos_score)
+        flash_ok = (
+            self.use_flash
+            and jax.default_backend() == "tpu"
+            and T_q == T_k
+            and T_q % 128 == 0
+            and d_head >= 64
+            and (self.dropout == 0.0 or not train)
+        )
+        if flash_ok:
+            # Fold every mask into flash's additive `ab` bias; flash
+            # computes softmax((q k^T + ab) * sm_scale) v in one
+            # streaming kernel (no (B, H, T, T) attention matrix in
+            # HBM).
+            # bf16 bias: halves the (B, H, T, T) HBM traffic; flash
+            # upcasts internally for the softmax accumulation
+            ab = jnp.asarray(pos_score, jnp.bfloat16)
+            if attn_mask is not None:
+                ab = jnp.where(attn_mask[None, None], NEG_FILL, ab)
+            if key_padding_mask is not None:
+                ab = jnp.where(
+                    key_padding_mask[:, None, None, :], NEG_FILL, ab
+                )
+            if self.mask_pos_future:
+                causal = (
+                    jnp.arange(T_k)[None, :] > jnp.arange(T_q)[:, None]
+                )
+                ab = jnp.where(causal[None, None], NEG_FILL, ab)
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            out = flash_attention(
+                jnp.swapaxes(q + pos_bias_u[None, None], 1, 2),
+                jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2),
+                ab=ab,
+                sm_scale=1.0 / math.sqrt(self.embed_dim),
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(
+                B, T_q, self.embed_dim
+            )
+            out = nn.Dense(
+                self.embed_dim, name="out_proj", dtype=query.dtype
+            )(out)
+            return out, None
+        content_score = jnp.einsum(
+            "bqhd,bkhd->bhqk", q + pos_bias_u[None, None], k
+        )
         # reference scales by 1/sqrt(embed_dim), NOT per-head dim
         # (attention.py:453: self.scale = 1/math.sqrt(self.embed_dim))
         scores = (content_score + pos_score) / math.sqrt(self.embed_dim)

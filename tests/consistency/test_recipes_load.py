@@ -52,6 +52,10 @@ def test_yaml_loads(yaml_path, tmp_path, monkeypatch):
     overrides = {
         "data_folder": str(tmp_path),
         "output_folder": str(tmp_path / "results"),
+        # dataset-generation configs (LibriParty generate_dataset)
+        "out_folder": str(tmp_path / "out"),
+        "librispeech_root": str(tmp_path),
+        "rirs_noises_root": str(tmp_path),
     }
     with open(yaml_path) as f:
         text = f.read()
