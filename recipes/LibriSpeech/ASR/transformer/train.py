@@ -167,7 +167,11 @@ class ASR(sb.Brain):
     def _beam_search(self, batch):
         if not hasattr(self, "_searcher"):
             self._searcher = self._make_searcher()
-            self._jitted_search = jax.jit(self._search_impl)
+            from speechbrain_tpu.utils.aot import host_traced_jit
+
+            # host-traced: avoids the remote-dispatch constant-fetch
+            # stall at lowering (utils/aot.py)
+            self._jitted_search = host_traced_jit(self._search_impl)
         saved = (
             self._bound_params, self._bound_state,
             self._bound_extra, self._bound_rngs, self._bound_train,
@@ -331,6 +335,14 @@ if __name__ == "__main__":
     from speechbrain_tpu.utils.checkpoints import Checkpointer
 
     checkpointer = Checkpointer(hparams["save_folder"])
+    # The lr schedule is per-OPTIMIZER-STEP state owned by the recipe
+    # (reference convention); without registration a killed run resumes
+    # its parameters but restarts the Noam warmup (caught by the
+    # round-3 kill/resume dress rehearsal: epoch-5 lr fell back to the
+    # epoch-1 value).
+    checkpointer.add_recoverable(
+        "noam_annealing", hparams["noam_annealing"]
+    )
     asr_brain = ASR(
         modules=hparams["modules"],
         opt_class=lambda lr: hparams["opt_class"](learning_rate=lr),

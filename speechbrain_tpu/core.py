@@ -402,7 +402,14 @@ class Brain:
         """Called once before training; recovers checkpoints."""
         self.init_optimizers()
         if self.checkpointer is not None:
-            self.checkpointer.recover_if_possible()
+            # Remember WHICH checkpoint was recovered: the train state
+            # is a lazily-initialized recoverable (params come from the
+            # first batch), so _ensure_initialized must replay this
+            # checkpoint's train_state file after registering it —
+            # otherwise a fresh process recovers its counters but
+            # silently trains from scratch parameters (caught by the
+            # round-3 kill/resume dress rehearsal).
+            self._recovered_ckpt = self.checkpointer.recover_if_possible()
 
     def on_fit_batch_end(self, batch, outputs, loss, should_step):
         """Called after each train batch (host side)."""
@@ -410,7 +417,7 @@ class Brain:
     def on_evaluate_start(self, max_key=None, min_key=None):
         """Called at evaluate() start: recover best checkpoint."""
         if self.checkpointer is not None:
-            self.checkpointer.recover_if_possible(
+            self._recovered_ckpt = self.checkpointer.recover_if_possible(
                 max_key=max_key, min_key=min_key
             )
 
@@ -545,6 +552,30 @@ class Brain:
             self.checkpointer.add_recoverable(
                 "train_state", self._state_recoverable
             )
+            # Replay the already-recovered checkpoint's train state
+            # over the freshly initialized one (lazy init runs AFTER
+            # on_fit_start's recover_if_possible; see on_fit_start).
+            ckpt = getattr(self, "_recovered_ckpt", None)
+            if ckpt is not None:
+                from speechbrain_tpu.utils.checkpoints import (
+                    DEFAULT_LOAD_HOOKS,
+                    get_default_hook,
+                )
+
+                loadpath = ckpt.path / "train_state.ckpt"
+                if loadpath.exists():
+                    hook = get_default_hook(
+                        self._state_recoverable, DEFAULT_LOAD_HOOKS
+                    )
+                    hook(
+                        self._state_recoverable,
+                        loadpath,
+                        ckpt.meta["end-of-epoch"],
+                    )
+                    logger.info(
+                        "Restored train state from "
+                        f"{ckpt.path.name} over the fresh init"
+                    )
 
     def init_extra_state(self, batch):
         """Override: extra mutable state (e.g. InputNormalization stats)."""
@@ -670,27 +701,34 @@ class Brain:
         return loss, aux
 
     def _get_jitted(self, kind):
+        # host_traced_jit = jax.jit semantics with traces running under
+        # a cpu default_device, so trace-time closure constants stay
+        # host-side — behind remote-dispatch TPU links, MLIR lowering
+        # otherwise fetches each device constant with a blocking
+        # device_get (minutes per program; utils/aot.py).
+        from speechbrain_tpu.utils.aot import host_traced_jit
+
         if kind not in self._jit_cache:
             if kind == "train":
-                self._jit_cache[kind] = jax.jit(
+                self._jit_cache[kind] = host_traced_jit(
                     self._train_step, donate_argnums=(0,)
                 )
             elif kind == "train_scan":
-                self._jit_cache[kind] = jax.jit(
+                self._jit_cache[kind] = host_traced_jit(
                     self._train_steps, donate_argnums=(0,)
                 )
             elif kind == "grad":
-                self._jit_cache[kind] = jax.jit(self._grad_step)
+                self._jit_cache[kind] = host_traced_jit(self._grad_step)
             elif kind == "apply":
-                self._jit_cache[kind] = jax.jit(
+                self._jit_cache[kind] = host_traced_jit(
                     self._apply_grads, donate_argnums=(0, 1)
                 )
             elif kind == "valid":
-                self._jit_cache[kind] = jax.jit(
+                self._jit_cache[kind] = host_traced_jit(
                     functools.partial(self._eval_step, stage=Stage.VALID)
                 )
             elif kind == "test":
-                self._jit_cache[kind] = jax.jit(
+                self._jit_cache[kind] = host_traced_jit(
                     functools.partial(self._eval_step, stage=Stage.TEST)
                 )
         return self._jit_cache[kind]
@@ -965,6 +1003,22 @@ class Brain:
             and "train_loader" not in self.checkpointer.recoverables
         ):
             self.checkpointer.add_recoverable("train_loader", train_set)
+        # Auto-register the epoch counter: without it a killed run
+        # recovers its parameters but restarts at epoch 1 (caught by
+        # the round-3 kill/resume dress rehearsal).  The reference
+        # relies on every recipe yaml listing the counter in the
+        # checkpointer's recoverables; registering here covers recipes
+        # that pass a counter straight to fit().
+        from speechbrain_tpu.utils.epoch_loop import EpochCounter
+
+        if (
+            self.checkpointer is not None
+            and isinstance(epoch_counter, EpochCounter)
+            and "epoch_counter" not in self.checkpointer.recoverables
+        ):
+            self.checkpointer.add_recoverable(
+                "epoch_counter", epoch_counter
+            )
         self._accum_grads = None
         self.on_fit_start()
         progressbar = (

@@ -1,0 +1,74 @@
+"""Host-traced jit: AOT compile with trace-time constants on the host.
+
+Tracing a function eagerly materializes its closure constants (masks,
+positional tables, iotas) on the DEFAULT device; when the accelerator
+sits behind a remote-dispatch link, MLIR lowering then pulls every one
+back with a blocking ``device_get`` — measured on the dev TPU tunnel:
+>20 minutes to lower the beam-search program, ~60 s when the trace
+runs under a cpu default_device instead (PERFORMANCE.md round 3).
+
+``host_traced_jit(fn)`` returns a callable with jax.jit semantics for
+positional-array arguments whose traces/lowers run under the host CPU
+device; compiled executables are cached per argument
+(structure, shape, dtype) signature.
+"""
+
+import jax
+
+__all__ = ["host_traced_jit"]
+
+
+def _abstract_sig(args):
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    return (
+        treedef,
+        tuple(
+            (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x))))
+            for x in leaves
+        ),
+    )
+
+
+class _HostTracedJit:
+    def __init__(self, fn, jit_kwargs):
+        self._fn = fn
+        self._jit_kwargs = jit_kwargs
+        self._cache = {}
+
+    def clear_cache(self):
+        """Drop compiled executables (e.g. after rebinding closures)."""
+        self._cache = {}
+
+    def __call__(self, *args):
+        key = _abstract_sig(args)
+        compiled = self._cache.get(key)
+        if compiled is None:
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                cpus = []
+            jitted = jax.jit(self._fn, **self._jit_kwargs)
+            if cpus:
+                with jax.default_device(cpus[0]):
+                    lowered = jitted.lower(*args)
+            else:
+                lowered = jitted.lower(*args)
+            compiled = lowered.compile()
+            self._cache[key] = compiled
+        return compiled(*args)
+
+
+def host_traced_jit(fn, **jit_kwargs):
+    """jax.jit variant that traces under a cpu default_device.
+
+    Accepts jax.jit keyword arguments (``donate_argnums``, ...).
+
+    Example
+    -------
+    >>> import jax.numpy as jnp
+    >>> f = host_traced_jit(lambda x: x * 2 + jnp.ones(3))
+    >>> out = f(jnp.ones(3))
+    >>> [float(v) for v in out]
+    [3.0, 3.0, 3.0]
+    """
+    return _HostTracedJit(fn, jit_kwargs)

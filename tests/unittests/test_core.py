@@ -175,3 +175,165 @@ def test_lazy_loss_sync_interval():
     # synced every 5th step -> 2 float returns
     assert len(floats) == 2
     assert brain.avg_train_loss > 0
+
+
+def test_fit_resume_recovers_epoch_counter(tmp_path):
+    """A killed-and-restarted fit must resume at the NEXT epoch, not
+    epoch 1 (round-3 dress-rehearsal regression: parameters recovered
+    but the epoch counter restarted, silently retraining from epoch 1).
+    fit() now auto-registers the counter with the checkpointer."""
+    import optax
+
+    from speechbrain_tpu.core import Brain
+    from speechbrain_tpu.utils.checkpoints import Checkpointer
+    from speechbrain_tpu.utils.epoch_loop import EpochCounter
+
+    class Tiny(Brain):
+        def compute_forward(self, batch, stage):
+            return self.modules.lin(batch["x"])
+
+        def compute_objectives(self, pred, batch, stage):
+            import jax.numpy as jnp
+
+            return jnp.mean((pred - batch["y"]) ** 2)
+
+        def on_stage_end(self, stage, loss, epoch=None):
+            if stage.name == "TRAIN" and self.checkpointer:
+                self.checkpointer.save_and_keep_only(
+                    meta={"loss": float(loss)}
+                )
+
+    import numpy as np
+
+    from speechbrain_tpu.nnet.linear import Linear
+
+    def make_brain():
+        return Tiny(
+            modules={"lin": Linear(n_neurons=2)},
+            opt_class=lambda lr: optax.sgd(lr),
+            hparams={"lr": 0.1},
+            run_opts={"seed": 0},
+            checkpointer=Checkpointer(tmp_path),
+        )
+
+    from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+
+    def make_loader():
+        return SaveableDataLoader(
+            [
+                {
+                    "x": np.ones((2, 3), np.float32),
+                    "y": np.zeros((2, 2), np.float32),
+                }
+            ],
+            batch_size=1,
+            collate_fn=lambda exs: exs[0],
+        )
+
+    batches = make_loader()
+    b1 = make_brain()
+    c1 = EpochCounter(2)
+    b1.fit(c1, batches)
+    assert c1.current == 2
+
+    # fresh process: same target -> nothing left to do
+    b2 = make_brain()
+    c2 = EpochCounter(2)
+    epochs_run = []
+    orig = b2._fit_train
+
+    def spy(train_set, epoch, progressbar):
+        epochs_run.append(epoch)
+        return orig(train_set, epoch, progressbar)
+
+    b2._fit_train = spy
+    b2.fit(c2, make_loader())
+    assert c2.current == 2
+    assert epochs_run == [], epochs_run
+
+    # fresh process with a HIGHER target resumes at epoch 3
+    b3 = make_brain()
+    c3 = EpochCounter(4)
+    epochs_run3 = []
+    orig3 = b3._fit_train
+
+    def spy3(train_set, epoch, progressbar):
+        epochs_run3.append(epoch)
+        return orig3(train_set, epoch, progressbar)
+
+    b3._fit_train = spy3
+    b3.fit(c3, make_loader())
+    assert epochs_run3 == [3, 4], epochs_run3
+
+
+def test_fresh_process_resume_recovers_train_state(tmp_path):
+    """A FRESH process resuming a checkpointed fit must continue from
+    the trained parameters, not re-initialize them (round-3 dress
+    rehearsal: the train state is a lazily-registered recoverable, so
+    fit-start recovery used to skip it and resumed runs silently
+    trained from scratch with recovered counters)."""
+    import numpy as np
+    import optax
+
+    from speechbrain_tpu.core import Brain
+    from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+    from speechbrain_tpu.nnet.linear import Linear
+    from speechbrain_tpu.utils.checkpoints import Checkpointer
+    from speechbrain_tpu.utils.epoch_loop import EpochCounter
+
+    losses = []
+
+    class Tiny(Brain):
+        def compute_forward(self, batch, stage):
+            return self.modules.lin(batch["x"])
+
+        def compute_objectives(self, pred, batch, stage):
+            import jax.numpy as jnp
+
+            loss = jnp.mean((pred - batch["y"]) ** 2)
+            return loss
+
+        def on_stage_end(self, stage, loss, epoch=None):
+            if stage.name == "TRAIN":
+                losses.append(float(loss))
+                if self.checkpointer:
+                    self.checkpointer.save_and_keep_only(
+                        meta={"loss": float(loss)}
+                    )
+
+    def make_brain():
+        b = Tiny(
+            modules={"lin": Linear(n_neurons=2)},
+            opt_class=lambda lr: optax.sgd(lr),
+            hparams={"lr": 0.2},
+            run_opts={"seed": 0},
+            checkpointer=Checkpointer(tmp_path),
+        )
+        b.loss_sync_interval = 1
+        return b
+
+    rng = np.random.default_rng(0)
+    data = {
+        "x": rng.standard_normal((4, 3)).astype(np.float32),
+        "y": np.zeros((4, 2), np.float32),
+    }
+
+    def make_loader():
+        return SaveableDataLoader(
+            [data], batch_size=1, collate_fn=lambda exs: exs[0]
+        )
+
+    b1 = make_brain()
+    b1.fit(EpochCounter(6), make_loader())
+    scratch_loss, trained_loss = losses[0], losses[-1]
+    assert trained_loss < 0.5 * scratch_loss  # it actually learned
+
+    # fresh process resumes and continues DOWN from the trained loss
+    losses.clear()
+    b2 = make_brain()
+    b2.fit(EpochCounter(8), make_loader())
+    assert len(losses) == 2  # epochs 7, 8 only
+    assert losses[0] <= trained_loss * 1.05, (
+        f"resumed loss {losses[0]} vs trained {trained_loss} "
+        f"(scratch was {scratch_loss}) — train state not recovered"
+    )
