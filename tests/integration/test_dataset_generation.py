@@ -264,3 +264,113 @@ def test_create_whamr_rirs_cli(tmp_path):
     ]
     rir = np.asarray(read_audio(os.path.join(out, "0_0_utt1.wav")))
     assert abs(len(rir) - int(0.15 * 8000)) <= 1
+
+
+def test_aishell1mix_chain(tmp_path):
+    """The four Aishell1Mix scripts end to end on a synthetic corpus:
+    source metadata -> noise metadata -> mixture metadata (native
+    BS.1770 loudness randomization + clip check) -> synthesized
+    mixtures in the reference wav8k/16k min/max layout."""
+    import csv
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            REPO, "recipes", "Aishell1Mix", "separation", "scripts"
+        ),
+    )
+    rng = np.random.default_rng(5)
+
+    # --- synthetic AISHELL-1 layout -----------------------------------
+    ai = tmp_path / "aishell1" / "wav"
+    res = tmp_path / "aishell1" / "resource_aishell"
+    os.makedirs(res)
+    spk_info, trans = [], []
+    for split, spks in [("train", ["S0002", "S0003", "S0004"]),
+                        ("dev", ["S0021", "S0022"]),
+                        ("test", ["S0031", "S0032"])]:
+        for spk in spks:
+            spk_info.append(f"{spk[1:]} {'M' if int(spk[1:]) % 2 else 'F'}")
+            for u in range(2):
+                utt = f"BAC009{spk}W{u:04d}"
+                d = ai / split / spk
+                _write_wav(
+                    str(d / (utt + ".wav")),
+                    0.3 * rng.standard_normal(4 * SR).astype(np.float32),
+                )
+                trans.append(f"{utt} ni hao shi jie {u}")
+    (res / "speaker.info").write_text("\n".join(spk_info) + "\n")
+    (res / "aishell_transcript_v0.8.txt").write_text(
+        "\n".join(trans) + "\n"
+    )
+
+    # --- synthetic WHAM noise -----------------------------------------
+    wham = tmp_path / "wham_noise"
+    for sub, n in [("tr", 3), ("cv", 2), ("tt", 2)]:
+        for i in range(n):
+            _write_wav(
+                str(wham / sub / f"noise{i}.wav"),
+                0.1 * rng.standard_normal(5 * SR).astype(np.float32),
+            )
+
+    import create_aishell1_metadata
+    import create_aishell1mix_from_metadata
+    import create_aishell1mix_metadata
+    import create_wham_metadata
+
+    ai_md = str(tmp_path / "ai_md")
+    wham_md = str(tmp_path / "wham_md")
+    create_aishell1_metadata.main(str(ai), ai_md)
+    create_wham_metadata.main(str(wham), wham_md)
+    with open(os.path.join(ai_md, "train.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 6 and rows[0]["speaker_ID"].startswith("S")
+
+    mix_md = str(tmp_path / "mix_md")
+    create_aishell1mix_metadata.main(
+        str(ai), ai_md, str(wham), wham_md, mix_md, 2
+    )
+    with open(
+        os.path.join(mix_md, "aishell1mix2_train.csv")
+    ) as f:
+        mrows = list(csv.DictReader(f))
+    assert mrows, "no mixtures generated"
+    assert "source_1_gain" in mrows[0] and "noise_gain" in mrows[0]
+
+    out = str(tmp_path / "Aishell1Mix")
+    create_aishell1mix_from_metadata.main(
+        str(ai), str(wham), mix_md, out, 2, ["8k"], ["min"]
+    )
+    from speechbrain_tpu.dataio.dataio import read_audio
+
+    base = os.path.join(out, "wav8k", "min", "train")
+    mid = mrows[0]["mixture_ID"]
+    mix = np.asarray(read_audio(os.path.join(base, "mix_both", mid + ".wav")))
+    s1 = np.asarray(read_audio(os.path.join(base, "s1", mid + ".wav")))
+    s2 = np.asarray(read_audio(os.path.join(base, "s2", mid + ".wav")))
+    nz = np.asarray(read_audio(os.path.join(base, "noise", mid + ".wav")))
+    assert len(mix) == len(s1) == len(s2) == len(nz)
+    np.testing.assert_allclose(mix, s1 + s2 + nz, atol=2e-4)
+    assert np.max(np.abs(mix)) <= 0.95  # clip check applied
+
+
+def test_bs1770_loudness_sanity():
+    """Native BS.1770 meter: a -20 dBFS 997 Hz sine measures close to
+    the BS.1770 reference value, and normalization hits its target."""
+    sys.path.insert(
+        0,
+        os.path.join(
+            REPO, "recipes", "Aishell1Mix", "separation", "scripts"
+        ),
+    )
+    from loudness import integrated_loudness, normalize_loudness
+
+    sr = 16000
+    t = np.arange(10 * sr) / sr
+    sine = 0.1 * np.sin(2 * np.pi * 997 * t)  # -20 dBFS amplitude
+    lufs = integrated_loudness(sine, sr)
+    # BS.1770: a full-scale 997 Hz sine reads ~ -3.01 LUFS, so
+    # -20 dBFS reads ~ -23 LUFS (the K-weighting shelf is ~0 dB there)
+    assert abs(lufs - (-23.0)) < 0.6, lufs
+    scaled, gain = normalize_loudness(sine, sr, -30.0)
+    assert abs(integrated_loudness(scaled, sr) - (-30.0)) < 0.1
