@@ -139,10 +139,17 @@ def _e2e_loader(manifest_path, num_workers=6):
     from speechbrain_tpu.dataio.sampler import DynamicBatchSampler
 
     ds = _e2e_dataset(manifest_path)
+    # Explicit boundaries matched to the corpus (6-10 s): <=8 s ->
+    # B=40, <=10 s -> B=32 under the 320 s token budget.  (The
+    # lognorm-warped auto boundaries assume a real corpus-scale length
+    # distribution; with num_buckets=2 on this narrow synthetic corpus
+    # they degenerated to ~2-utt batches padded to 32 rows, making the
+    # host number measure dummy-row padding instead of real collate —
+    # see PERFORMANCE.md round 4.)
     sampler = DynamicBatchSampler(
         ds,
         max_batch_length=320.0,  # seconds budget -> ~B=32 at 10 s
-        num_buckets=2,
+        bucket_boundaries=[8.0, 10.0],
         length_func=lambda row: row["duration"],
         shuffle=False,
     )
@@ -164,9 +171,15 @@ def _e2e_loader(manifest_path, num_workers=6):
 
 
 def _n_real(batch):
-    """Real (non-dummy) examples in a collated batch."""
+    """Real (non-dummy) examples in a collated batch.
+
+    ``len(PaddedBatch)`` is the pre-padding example count; ``batch["id"]``
+    would also count the dummy rows the shape policy appends (rounds 2-3
+    counted those, inflating host/e2e utt/s ~16x under the degenerate
+    2-real-rows-per-batch sampler config — see PERFORMANCE.md round 4).
+    """
     try:
-        return len(batch["id"])
+        return len(batch)
     except Exception:
         return int(np.asarray(batch["sig"]).shape[0])
 

@@ -21,6 +21,12 @@ import random
 import sys
 from pathlib import Path
 
+# Corpus synthesis is pure host work: pin JAX to CPU before any backend
+# initialization so generation never requires (or grabs) an accelerator.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import speechbrain_tpu as sb

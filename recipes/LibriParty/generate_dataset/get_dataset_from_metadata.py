@@ -16,6 +16,12 @@ import json
 import os
 import sys
 
+# Corpus synthesis is pure host work: pin JAX to CPU before any backend
+# initialization so generation never requires (or grabs) an accelerator.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import speechbrain_tpu as sb
 from speechbrain_tpu.utils.hyperyaml import load_hyperpyyaml
 

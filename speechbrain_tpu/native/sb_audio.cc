@@ -23,66 +23,113 @@
 namespace {
 
 struct BitReader {
+  // 64-bit MSB-aligned bit buffer refilled bytewise: bits()/unary()
+  // run in a handful of ops instead of a per-byte loop (the rice
+  // residual loop is the decode hot path).
   const uint8_t* data;
   size_t size;
-  size_t byte = 0;
-  int bit = 0;  // bits consumed in current byte (0..7), MSB first
+  size_t pos = 0;     // next source byte to load
+  uint64_t buf = 0;   // MSB-aligned pending bits
+  int nbits = 0;      // valid bits in buf
 
-  bool eof() const { return byte >= size; }
+  size_t consumed_bits() const { return pos * 8 - (size_t)nbits; }
+
+  bool eof() const { return consumed_bits() >= size * 8; }
+
+  void refill() {
+    if (nbits > 56) return;
+    if (pos + 8 <= size) {
+      // word-at-a-time: load 8 bytes, byte-swap to MSB-first, splice
+      // the whole-byte prefix that fits above the pending bits
+      uint64_t v;
+      memcpy(&v, data + pos, 8);
+      v = __builtin_bswap64(v);
+      int take = (64 - nbits) & ~7;  // multiple of 8, in [8, 64]
+      uint64_t chunk =
+          take == 64 ? v : (v >> (64 - take)) << (64 - nbits - take);
+      buf |= chunk;
+      nbits += take;
+      pos += take >> 3;
+      return;
+    }
+    while (nbits <= 56 && pos < size) {
+      buf |= (uint64_t)data[pos++] << (56 - nbits);
+      nbits += 8;
+    }
+  }
 
   // n <= 32
   uint32_t bits(int n) {
-    uint32_t v = 0;
-    while (n > 0 && byte < size) {
-      int avail = 8 - bit;
-      int take = n < avail ? n : avail;
-      uint8_t cur = data[byte];
-      v = (v << take) | ((cur >> (avail - take)) & ((1u << take) - 1));
-      bit += take;
-      n -= take;
-      if (bit == 8) {
-        bit = 0;
-        ++byte;
-      }
+    if (n <= 0) return 0;
+    if (n > nbits) refill();
+    if (n <= nbits) {
+      uint32_t v = (uint32_t)(buf >> (64 - n));
+      buf <<= n;
+      nbits -= n;
+      return v;
     }
-    return n > 0 ? v << n : v;  // zero-pad past EOF (caller checks eof)
+    // zero-pad past EOF (caller checks eof)
+    uint32_t v = nbits ? (uint32_t)(buf >> (64 - nbits)) : 0;
+    v <<= (n - nbits);
+    buf = 0;
+    nbits = 0;
+    return v;
   }
 
   int32_t sbits(int n) {
     uint32_t v = bits(n);
-    if (n == 0) return 0;
+    if (n <= 0 || n >= 32) return (int32_t)v;
     if (v & (1u << (n - 1))) return (int32_t)(v | (~0u << n));
     return (int32_t)v;
   }
 
   uint32_t unary() {
     uint32_t q = 0;
-    while (byte < size) {
-      int avail = 8 - bit;
-      uint8_t cur = (uint8_t)(data[byte] << bit);
-      if (cur == 0) {
-        q += avail;
-        bit = 0;
-        ++byte;
+    for (;;) {
+      if (nbits == 0 || buf == 0) {
+        refill();
+        if (nbits == 0) return q;  // EOF
+      }
+      if (buf == 0) {  // buffer all zeros: consume and keep counting
+        q += nbits;
+        nbits = 0;
         continue;
       }
-      int lead = __builtin_clz((uint32_t)cur) - 24;
-      q += lead;
-      bit += lead + 1;  // consume the terminating 1
-      if (bit >= 8) {
-        bit -= 8;
-        ++byte;
+      int lead = __builtin_clzll(buf);
+      if (lead >= nbits) {  // zeros run past valid bits
+        q += nbits;
+        buf = 0;
+        nbits = 0;
+        continue;
       }
+      q += lead;
+      buf = (lead + 1 < 64) ? buf << (lead + 1) : 0;
+      nbits -= lead + 1;
       return q;
     }
-    return q;
   }
 
   void align() {
-    if (bit) {
-      bit = 0;
-      ++byte;
+    int r = (int)(consumed_bits() % 8);
+    if (r) {
+      int drop = 8 - r;
+      if (drop > nbits) drop = nbits;
+      buf <<= drop;
+      nbits -= drop;
     }
+  }
+
+  size_t byte_pos() const { return consumed_bits() / 8; }
+
+  // Skip n whole bytes; caller must be byte-aligned.
+  void skip_bytes(size_t n) {
+    size_t from_buf = (size_t)nbits / 8;
+    if (from_buf > n) from_buf = n;
+    int shift = (int)(from_buf * 8);
+    buf = shift < 64 ? buf << shift : 0;
+    nbits -= shift;
+    pos += n - from_buf;
+    if (pos > size) pos = size;
   }
 
   // frame/sample number: UTF-8-style coded integer (up to 56 bits)
@@ -125,8 +172,20 @@ bool decode_residual(BitReader& br, int blocksize, int order,
       for (int i = 0; i < n; ++i) out[idx++] = br.sbits(nbits);
     } else {
       for (int i = 0; i < n; ++i) {
-        uint32_t q = br.unary();
-        uint32_t r = br.bits(param);
+        uint32_t q, r;
+        br.refill();
+        int lead = br.buf ? __builtin_clzll(br.buf) : 64;
+        if (lead + 1 + param <= br.nbits) {
+          // fused fast path: the whole rice code is buffered
+          q = (uint32_t)lead;
+          uint64_t b = (br.buf << lead) << 1;  // drop zeros + stop bit
+          r = param ? (uint32_t)(b >> (64 - param)) : 0;
+          br.buf = b << param;
+          br.nbits -= lead + 1 + param;
+        } else {  // code spans refills / EOF
+          q = br.unary();
+          r = br.bits(param);
+        }
         uint64_t v = ((uint64_t)q << param) | r;
         out[idx++] = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
       }
@@ -143,7 +202,8 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
   int wasted = 0;
   if (br.bits(1)) wasted = br.unary() + 1;
   bps -= wasted;
-  out.assign(blocksize, 0);
+  // avoid re-zeroing: every decode path overwrites all entries
+  if ((int)out.size() != blocksize) out.assign(blocksize, 0);
 
   if (type == 0) {  // constant
     int32_t v = br.sbits(bps);
@@ -154,11 +214,24 @@ bool decode_subframe(BitReader& br, int blocksize, int bps,
     int order = type & 0x07;
     for (int i = 0; i < order; ++i) out[i] = br.sbits(bps);
     if (!decode_residual(br, blocksize, order, out)) return false;
-    for (int i = order; i < blocksize; ++i) {
-      int64_t pred = 0;
-      for (int j = 0; j < order; ++j)
-        pred += (int64_t)kFixedCoef[order][j] * out[i - 1 - j];
-      out[i] += pred;
+    int64_t* o = out.data();
+    switch (order) {  // unrolled: the per-sample j-loop dominates decode
+      case 0:
+        break;
+      case 1:
+        for (int i = 1; i < blocksize; ++i) o[i] += o[i - 1];
+        break;
+      case 2:
+        for (int i = 2; i < blocksize; ++i)
+          o[i] += 2 * o[i - 1] - o[i - 2];
+        break;
+      case 3:
+        for (int i = 3; i < blocksize; ++i)
+          o[i] += 3 * o[i - 1] - 3 * o[i - 2] + o[i - 3];
+        break;
+      default:
+        for (int i = 4; i < blocksize; ++i)
+          o[i] += 4 * o[i - 1] - 6 * o[i - 2] + 4 * o[i - 3] - o[i - 4];
     }
   } else if (type & 0x20) {  // LPC
     int order = (type & 0x1F) + 1;
@@ -205,7 +278,7 @@ int sb_flac_decode(const char* path, float** out_samples,
   if (fsize < 42 || memcmp(buf.data(), "fLaC", 4) != 0) return -3;
 
   BitReader br{buf.data(), buf.size()};
-  br.byte = 4;
+  br.pos = 4;
 
   // ---- metadata blocks (STREAMINFO is mandatory and first) ----
   int sample_rate = 0, channels = 0, bps = 0;
@@ -224,10 +297,10 @@ int sb_flac_decode(const char* path, float** out_samples,
       channels = br.bits(3) + 1;
       bps = br.bits(5) + 1;
       total_samples = ((uint64_t)br.bits(4) << 32) | br.bits(32);
-      br.byte += 16;  // md5
+      br.skip_bytes(16);  // md5
       have_info = true;
     } else {
-      br.byte += blen;
+      br.skip_bytes(blen);
     }
   }
   if (!have_info || channels < 1 || channels > 8 || bps < 4 || bps > 32)
@@ -240,7 +313,7 @@ int sb_flac_decode(const char* path, float** out_samples,
   const double scale = 1.0 / (double)(1ull << (bps - 1));
 
   // ---- frames ----
-  while (br.byte + 2 < br.size) {
+  while (br.byte_pos() + 2 < br.size) {
     if (total_samples && pcm[0].size() >= total_samples) break;
     uint32_t sync = br.bits(14);
     if (sync != 0x3FFE) break;
@@ -298,9 +371,16 @@ int sb_flac_decode(const char* path, float** out_samples,
         chan[1][i] = (mid - side) >> 1;
       }
     }
-    for (int c = 0; c < channels; ++c)
+    for (int c = 0; c < channels; ++c) {
+      auto& dst = pcm[c];
+      const int64_t* src = chan[c].data();
+      size_t base = dst.size();
+      dst.resize(base + blocksize);
+      float* outp = dst.data() + base;
+      const float fscale = (float)scale;
       for (int i = 0; i < blocksize; ++i)
-        pcm[c].push_back((float)(chan[c][i] * scale));
+        outp[i] = (float)src[i] * fscale;
+    }
   }
 
   uint64_t n = pcm[0].size();
@@ -308,8 +388,12 @@ int sb_flac_decode(const char* path, float** out_samples,
   if (n == 0) return -8;
   float* out = (float*)malloc(sizeof(float) * n * channels);
   if (!out) return -9;
-  for (uint64_t i = 0; i < n; ++i)
-    for (int c = 0; c < channels; ++c) out[i * channels + c] = pcm[c][i];
+  if (channels == 1) {
+    memcpy(out, pcm[0].data(), sizeof(float) * n);
+  } else {
+    for (uint64_t i = 0; i < n; ++i)
+      for (int c = 0; c < channels; ++c) out[i * channels + c] = pcm[c][i];
+  }
   *out_samples = out;
   *out_frames = (int64_t)n;
   *out_channels = channels;

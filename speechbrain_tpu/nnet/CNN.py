@@ -509,12 +509,15 @@ class Conv2dWithConstraint(nn.Module):
     stride: tuple = (1, 1)
     dilation: tuple = (1, 1)
     padding: str = "same"
+    padding_mode: str = "reflect"
     bias: bool = True
     max_norm: float = 1.0
 
     @nn.compact
     def __call__(self, x):
-        kh, kw = self.kernel_size
+        # Same axis quirk as Conv2d (reference nnet/CNN.py:633-686):
+        # kernel_size[0]/stride[0]/dilation[0] act on the FREQUENCY axis.
+        kw, kh = self.kernel_size
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel",
@@ -522,8 +525,8 @@ class Conv2dWithConstraint(nn.Module):
             (kh, kw, in_ch, self.out_channels),
         )
         kernel = _max_norm(kernel, self.max_norm, axes=(0, 1, 2))
-        sh, sw = self.stride
-        dh, dw = self.dilation
+        sw, sh = self.stride
+        dw, dh = self.dilation
         if self.padding == "same":
             y = _pad2d_same(x, kh, kw, sh, sw, dh, dw, self.padding_mode)
             pad = "VALID"

@@ -124,7 +124,9 @@ def test_libriparty_generation(tmp_path):
         f.write(base)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # Dataset generation is pure host work: force CPU regardless of the
+    # image's preset platform (an accelerator runtime must not be required).
+    env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
         [
             sys.executable,

@@ -390,3 +390,42 @@ def test_ligru_bidirectional_shared_weights_parity(ref, torch, x8):
     assert_close(
         ours_out, theirs, rtol=1e-4, atol=1e-5, what="LiGRU bidir shared"
     )
+
+
+def test_conv2d_with_constraint_parity(ref, torch):
+    """Transplant parity vs reference Conv2dWithConstraint
+    (reference nnet/CNN.py:723): max-norm renorm per output channel,
+    same-padding, non-square kernel exercising the (freq, time) axis
+    quirk inherited from Conv2d."""
+    from speechbrain.nnet.CNN import Conv2dWithConstraint as RefConv
+    from speechbrain_tpu.nnet.CNN import Conv2dWithConstraint
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4, 20, 16, 3)).astype(np.float32)
+
+    theirs_mod = RefConv(
+        in_channels=3, out_channels=5, kernel_size=(7, 3), max_norm=1.0
+    )
+    # Scale up the torch weight so the max-norm constraint actually binds
+    # for some output channels (fresh init norms are typically < 1).
+    with torch.no_grad():
+        theirs_mod.conv.weight.mul_(3.0)
+    ours = Conv2dWithConstraint(
+        out_channels=5, kernel_size=(7, 3), max_norm=1.0
+    )
+    _ = ours.init(jax.random.PRNGKey(0), x)
+    # torch weight (Cout, Cin, kH=freq, kW=time) -> flax (kh=time, kw=freq,
+    # Cin, Cout): same swap-spatial transplant as the CRDNN Conv2d test.
+    p = {
+        "params": {
+            "kernel": jnp.transpose(t2j(theirs_mod.conv.weight), (3, 2, 1, 0)),
+            "bias": t2j(theirs_mod.conv.bias),
+        }
+    }
+    assert_close(
+        ours.apply(p, x),
+        theirs_mod(torch.tensor(x)),
+        rtol=1e-4,
+        atol=1e-5,
+        what="Conv2dWithConstraint",
+    )
