@@ -464,8 +464,102 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
     t0 = time.perf_counter()
     beam_searcher(enc_batches[0])
     dt = time.perf_counter() - t0
-    out["transducer_beam_utt_s"] = round(B / dt, 2)
+    out["transducer_beam_host_utt_s"] = round(B / dt, 2)
+
+    # --- transducer beam, device path (production): ONE while_loop ---
+    # program per batch (parity vs the host oracle pinned by
+    # tests/unittests/test_decoders.py::test_transducer_beam_device_*)
+    try:
+        dev_beam = aot(
+            lambda e: beam_searcher.transducer_beam_search_device(
+                e, max_symbols=100
+            ),
+            jnp.asarray(enc_batches[0]),
+        )
+        jax.block_until_ready(dev_beam(jnp.asarray(enc_batches[0])))
+        t0 = time.perf_counter()
+        for e in enc_batches:
+            res = dev_beam(jnp.asarray(e))
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        out["transducer_beam_utt_s"] = round(n_batches * B / dt, 2)
+    except Exception as e:
+        print(
+            f"# transducer device beam skipped: {e!r}", file=sys.stderr
+        )
+        out["transducer_beam_utt_s"] = out[
+            "transducer_beam_host_utt_s"
+        ]
     return out
+
+
+# metrics where smaller is better (everything else: bigger is better)
+_LOWER_BETTER = {
+    "decode_beam_rtf",
+    "transducer_greedy_rtf",
+    "padding_overhead",
+    "padding_overhead_ragged_ref",
+    "reference_cpu_utt_s",
+}
+
+
+def _prev_bench():
+    """Latest driver-recorded BENCH_r*.json (name, metrics dict)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    for f in reversed(files):
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+            d = d.get("parsed", d)
+            if isinstance(d, dict) and "value" in d:
+                return os.path.basename(f), d
+        except Exception:
+            continue
+    return None, None
+
+
+def _deltas_vs_prev(out):
+    """Per-metric % deltas vs the previous round's driver JSON.
+
+    A regression can never ship silently again (VERDICT round 3): every
+    shared numeric metric is compared, drops > 5% are flagged on stderr,
+    and the deltas ride along in the bench JSON.
+    """
+    prev_name, prev = _prev_bench()
+    if not prev:
+        return None
+    deltas = {"vs": prev_name}
+    for k, v in out.items():
+        pv = prev.get(k)
+        if not isinstance(v, (int, float)) or not isinstance(
+            pv, (int, float)
+        ):
+            continue
+        if pv == 0:
+            continue
+        pct = (v - pv) / abs(pv) * 100.0
+        deltas[k] = round(pct, 1)
+        worse = pct < -5.0 if k not in _LOWER_BETTER else pct > 5.0
+        if worse:
+            print(
+                f"# REGRESSION {k}: {pv} -> {v} ({pct:+.1f}% "
+                f"vs {prev_name})",
+                file=sys.stderr,
+            )
+    for k in prev:
+        if (
+            k not in out
+            and isinstance(prev[k], (int, float))
+            and k not in ("n",)
+        ):
+            print(
+                f"# MISSING metric {k} (present in {prev_name})",
+                file=sys.stderr,
+            )
+            deltas.setdefault("missing", []).append(k)
+    return deltas
 
 
 def main():
@@ -633,6 +727,9 @@ def main():
         out["padding_overhead"] = padding_overhead
         out["padding_overhead_ragged_ref"] = padding_ragged
     out["device_kind"] = kind
+    deltas = _deltas_vs_prev(out)
+    if deltas:
+        out["deltas_vs_prev"] = deltas
     print(json.dumps(out))
 
 

@@ -446,6 +446,13 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 log_probs = log_probs + self.lm_weight * jnp.asarray(
                     lm_log_probs, jnp.float32
                 )
+            # Candidate selection in COMPACT per-row form: stage-1 topk
+            # within each of the n rows, stage-2 topk over the B x
+            # (beam * K_row) survivors.  Exactly equivalent to one topk
+            # over the dense (B, beam * V) table (the global top-beam
+            # is a subset of every row's top-beam) but ~V/beam x less
+            # sort work — the dense topk was a measured chunk of the
+            # 1.45 ms/step search bookkeeping (PERFORMANCE.md round 3).
             if ctc_state is not None:
                 log_probs = log_probs.at[:, self.blank_index].set(
                     self.minus_inf
@@ -460,32 +467,42 @@ class S2SBeamSearcher(S2SBaseSearcher):
                         c["inp"], ctc_state, candidates=cand_k,
                         attn=attn,
                     )
-                    mixed = jnp.full_like(log_probs, self.minus_inf)
-                    row_idx = jnp.arange(n)[:, None]
-                    mixed = mixed.at[row_idx, cand_k].set(
+                    row_scores = (
                         jnp.take_along_axis(log_probs, cand_k, axis=1)
                         + self.ctc_weight * ctc_scores
-                    )
-                    log_probs = mixed
+                    )  # (n, K) over tokens cand_k
+                    row_tokens = cand_k
                 else:
                     ctc_scores, ctc_state = ctc_scorer.forward_step(
                         c["inp"], ctc_state, attn=attn
                     )
-                    log_probs = log_probs + self.ctc_weight * ctc_scores
+                    mixed = (
+                        log_probs + self.ctc_weight * ctc_scores
+                    )
+                    K = min(beam, V)
+                    row_scores, row_tokens = jax.lax.top_k(mixed, K)
+            else:
+                K = min(beam, V)
+                row_scores, row_tokens = jax.lax.top_k(log_probs, K)
 
             # Finished rows are out of the search (reference fills their
             # sequence_scores with -inf): all their candidates are -inf.
-            log_probs = jnp.where(
-                finished[:, None], self.minus_inf, log_probs
+            row_scores = jnp.where(
+                finished[:, None], self.minus_inf, row_scores
             )
 
-            cand = beam_scores.reshape(n, 1) + log_probs  # (n, V)
+            cand = beam_scores.reshape(n, 1) + row_scores  # (n, K)
             if self.length_normalization:
                 cand = cand / (t + 1)
-            cand = cand.reshape(B, beam * V)
-            sel_scores, flat_idx = jax.lax.top_k(cand, beam)  # (B, beam)
-            pred_beam = flat_idx // V  # (B, beam)
-            tokens = (flat_idx % V).astype(jnp.int32)
+            cand = cand.reshape(B, beam * K)
+            sel_scores, idx2 = jax.lax.top_k(cand, beam)  # (B, beam)
+            pred_beam = idx2 // K  # (B, beam)
+            tokens = jnp.take_along_axis(
+                row_tokens.reshape(B, beam * K),
+                pred_beam * K + (idx2 % K),
+                axis=1,
+            ).astype(jnp.int32)
+            flat_idx = pred_beam * V + tokens
             rows = (
                 jnp.arange(B)[:, None] * beam + pred_beam
             ).reshape(-1)  # (n,)

@@ -126,6 +126,327 @@ class TransducerBeamSearcher:
         ]
         return hyps, np.asarray(scores)
 
+    # ------------------------------------------------------------------
+    # Device-side beam search: ONE fixed-shape lax.while_loop per batch
+    # ------------------------------------------------------------------
+
+    def transducer_beam_search_device(
+        self, enc_states, enc_lens=None, max_symbols=100
+    ):
+        """Beam search as one compiled program (no-LM path).
+
+        Same hypothesis semantics as the host lockstep loop
+        (`transducer_beam_search_decode`, itself the reference
+        ``decoders/transducer.py:10`` oracle): length-normalized a_best
+        selection, raw-score state_beam gate, topk-gated blank
+        extension, expand_beam pruning, and the max_expand_per_frame
+        starvation valve — but with masked fixed-shape hypothesis
+        tensors inside a single ``lax.while_loop`` per utterance,
+        vmapped over the batch.  Traceable: wrap in jit/AOT for
+        dispatch-free decoding.
+
+        Arguments
+        ---------
+        enc_states : (B, T, H) encoder states
+        enc_lens : optional (B,) relative lengths
+        max_symbols : int
+            Token-buffer capacity per hypothesis; emissions beyond it
+            are dropped (scores still accumulate).
+
+        Returns
+        -------
+        (tokens (B, max_symbols) i32 padded with blank_id,
+         lengths (B,) i32, norm_scores (B,) f32)
+        """
+        if self.lm_fn is not None and self.lm_weight > 0:
+            raise NotImplementedError(
+                "device beam path does not support LM fusion; use the "
+                "host lockstep loop"
+            )
+        enc_states = jnp.asarray(enc_states)
+        B, T = enc_states.shape[0], enc_states.shape[1]
+        if enc_lens is None:
+            abs_lens = jnp.full((B,), T, jnp.int32)
+        else:
+            abs_lens = jnp.round(
+                jnp.asarray(enc_lens) * T
+            ).astype(jnp.int32)
+        pred_out0, state0 = self.pred_step_fn(None, None, B)
+        search = jax.vmap(
+            lambda enc, n, p0, s0: self._beam_device_single(
+                enc, n, p0, s0, max_symbols
+            )
+        )
+        return search(
+            enc_states,
+            abs_lens,
+            pred_out0,
+            state0,
+        )
+
+    def _beam_device_single(self, enc, abs_len, pred_out0, state0, U):
+        """Single-utterance while_loop beam search (vmapped by caller).
+
+        enc: (T, He); pred_out0: (Hp,) initial prediction output;
+        state0: pytree of per-row prediction-net state (leading dim
+        stripped by vmap).
+        """
+        K = self.beam_size
+        max_expand = int(min(self.max_expand_per_frame, 1_000_000))
+        P = K + max_expand * K  # process-set capacity (worst case)
+        T = enc.shape[0]
+        NEG = jnp.float32(-1e30)
+
+        def store(n, template):
+            """(n, ...) zero storage shaped like one entry."""
+            return jax.tree_util.tree_map(
+                lambda x: jnp.zeros((n,) + x.shape, x.dtype), template
+            )
+
+        entry0 = {
+            "tok": jnp.full((U,), self.blank_id, jnp.int32),
+            "len": jnp.int32(0),
+            "score": jnp.float32(0.0),
+            "pred_out": pred_out0,
+            "state": state0,
+        }
+
+        def put(storage, i, entry):
+            return jax.tree_util.tree_map(
+                lambda s, e: s.at[i].set(e), storage, entry
+            )
+
+        def get(storage, i):
+            return jax.tree_util.tree_map(lambda s: s[i], storage)
+
+        beam = store(K, entry0)
+        beam_mask = jnp.zeros((K,), bool)
+        proc = store(P, entry0)
+        proc_mask = jnp.zeros((P,), bool).at[0].set(True)
+        proc = put(proc, 0, entry0)
+
+        def norm_scores(st, mask):
+            return jnp.where(
+                mask,
+                st["score"] / (st["len"].astype(jnp.float32) + 1.0),
+                NEG,
+            )
+
+        carry0 = {
+            "t": jnp.int32(0),
+            "done": abs_len <= 0,
+            "nexp": jnp.int32(0),
+            "iter": jnp.int32(0),
+            "beam": beam,
+            "beam_mask": beam_mask,
+            "proc": proc,
+            "proc_mask": proc_mask,
+        }
+
+        def cond(c):
+            return (~c["done"]) & (
+                c["iter"] < T * (max_expand + 2) + 4
+            )
+
+        def advance_frame(c):
+            """Frame boundary: promote if starved, move beam->process."""
+            starved = ~jnp.any(c["beam_mask"])
+            # promote: top-K of process by normalized score
+            pnorm = norm_scores(c["proc"], c["proc_mask"])
+            _, top_idx = jax.lax.top_k(pnorm, K)
+            promoted = jax.tree_util.tree_map(
+                lambda s: s[top_idx], c["proc"]
+            )
+            promoted_mask = c["proc_mask"][top_idx]
+            new_beam = jax.tree_util.tree_map(
+                lambda p, b: jnp.where(
+                    jnp.reshape(starved, (1,) * p.ndim), p, b
+                ),
+                promoted,
+                c["beam"],
+            )
+            new_beam_mask = jnp.where(
+                starved, promoted_mask, c["beam_mask"]
+            )
+            t1 = c["t"] + 1
+            done = t1 >= abs_len
+            # process := beam (pad beam storage K -> P)
+            pad = P - K
+            proc1 = jax.tree_util.tree_map(
+                lambda b, p: jnp.concatenate(
+                    [b, p[K:]], axis=0
+                ),
+                new_beam,
+                c["proc"],
+            )
+            proc_mask1 = jnp.concatenate(
+                [new_beam_mask, jnp.zeros((pad,), bool)]
+            )
+            return {
+                "t": t1,
+                "done": done,
+                "nexp": jnp.int32(0),
+                "iter": c["iter"] + 1,
+                "beam": new_beam,
+                "beam_mask": jnp.where(
+                    done, new_beam_mask, jnp.zeros((K,), bool)
+                ),
+                "proc": proc1,
+                "proc_mask": jnp.where(
+                    done, jnp.zeros((P,), bool), proc_mask1
+                ),
+            }
+
+        def expand(c, a_idx):
+            """Pop process[a_idx], run joint, append blank + expansions."""
+            a = get(c["proc"], a_idx)
+            proc_mask = c["proc_mask"].at[a_idx].set(False)
+            enc_t = jax.lax.dynamic_index_in_dim(
+                enc, c["t"], keepdims=False
+            )
+            logits = self.joint_fn(enc_t, a["pred_out"])
+            lp = jax.nn.log_softmax(
+                jnp.asarray(logits, jnp.float32), axis=-1
+            )
+            top_lp, top_tok = jax.lax.top_k(lp, K)
+            is_blank = top_tok == self.blank_id
+            blank_in_topk = jnp.any(is_blank)
+            # best non-blank logp among ALL tokens (reference: top-1 or
+            # top-2, which is exactly the best non-blank)
+            best_logp = jnp.max(
+                jnp.where(
+                    jnp.arange(lp.shape[-1]) == self.blank_id, NEG, lp
+                )
+            )
+            # ---- blank extension: append a_best + blank score to beam
+            free_b = jnp.argmin(c["beam_mask"])  # expansion implies room
+            blank_entry = {
+                **a,
+                "score": a["score"] + lp[self.blank_id],
+            }
+            beam = jax.tree_util.tree_map(
+                lambda s, e: s.at[free_b].set(
+                    jnp.where(
+                        jnp.broadcast_to(
+                            blank_in_topk, jnp.shape(s[free_b])
+                        ),
+                        e,
+                        s[free_b],
+                    )
+                ),
+                c["beam"],
+                blank_entry,
+            )
+            beam_mask = c["beam_mask"].at[free_b].set(
+                blank_in_topk | c["beam_mask"][free_b]
+            )
+            # ---- non-blank expansions: step the prediction net once
+            accept = (
+                (~is_blank)
+                & (top_lp >= best_logp - self.expand_beam)
+            )
+            state_k = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(
+                    x[None], (K,) + x.shape
+                ),
+                a["state"],
+            )
+            new_pred_out, new_state = self.pred_step_fn(
+                top_tok, state_k, K
+            )
+            tok_buf = jnp.where(
+                (jnp.arange(U) == a["len"])[None, :],
+                top_tok[:, None],
+                a["tok"][None, :],
+            )
+            cand = {
+                "tok": tok_buf,
+                "len": jnp.broadcast_to(
+                    jnp.minimum(a["len"] + 1, U), (K,)
+                ),
+                "score": a["score"] + top_lp,
+                "pred_out": new_pred_out,
+                "state": new_state,
+            }
+            # scatter accepted candidates into free process slots:
+            # free-slot rank r(i) over storage; candidate rank j over
+            # accepted; slot i receives accepted candidate of rank r(i)
+            cand_rank = jnp.cumsum(accept) - 1  # (K,)
+            n_acc = jnp.sum(accept)
+            # perm[j] = candidate index with rank j (non-accepted
+            # candidates scatter out of bounds and are dropped)
+            perm = jnp.zeros((K,), jnp.int32)
+            perm = perm.at[jnp.where(accept, cand_rank, K)].set(
+                jnp.arange(K, dtype=jnp.int32),
+                mode="drop",
+            )
+            free_rank = jnp.cumsum(~proc_mask) - 1  # (P,)
+            takes = (~proc_mask) & (free_rank < n_acc)
+            src = perm[jnp.clip(free_rank, 0, K - 1)]  # (P,)
+            picked = jax.tree_util.tree_map(
+                lambda s: s[src], cand
+            )
+            proc = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(
+                    jnp.reshape(
+                        takes, (P,) + (1,) * (old.ndim - 1)
+                    ),
+                    new,
+                    old,
+                ),
+                c["proc"],
+                picked,
+            )
+            proc_mask = proc_mask | takes
+            return {
+                "t": c["t"],
+                "done": c["done"],
+                "nexp": c["nexp"] + 1,
+                "iter": c["iter"] + 1,
+                "beam": beam,
+                "beam_mask": beam_mask,
+                "proc": proc,
+                "proc_mask": proc_mask,
+            }
+
+        def body(c):
+            beam_n = jnp.sum(c["beam_mask"])
+            proc_any = jnp.any(c["proc_mask"])
+            forced = (
+                (c["nexp"] >= max_expand) & (beam_n < K) & proc_any
+            )
+            advance = (beam_n >= K) | (~proc_any) | forced
+            # a_best (only meaningful when not advancing)
+            pnorm = norm_scores(c["proc"], c["proc_mask"])
+            a_idx = jnp.argmax(pnorm)
+            a_raw = c["proc"]["score"][a_idx]
+            bnorm = norm_scores(c["beam"], c["beam_mask"])
+            b_idx = jnp.argmax(bnorm)
+            b_raw = c["beam"]["score"][b_idx]
+            state_beam_stop = jnp.any(c["beam_mask"]) & (
+                b_raw >= self.state_beam + a_raw
+            )
+            advance = advance | state_beam_stop
+            return jax.lax.cond(
+                advance,
+                advance_frame,
+                lambda cc: expand(cc, a_idx),
+                c,
+            )
+
+        final = jax.lax.while_loop(cond, body, carry0)
+        fnorm = norm_scores(final["beam"], final["beam_mask"])
+        best = jnp.argmax(fnorm)
+        any_beam = jnp.any(final["beam_mask"])
+        tokens = jnp.where(
+            any_beam,
+            final["beam"]["tok"][best],
+            jnp.full((U,), self.blank_id, jnp.int32),
+        )
+        length = jnp.where(any_beam, final["beam"]["len"][best], 0)
+        score = jnp.where(any_beam, fnorm[best], NEG)
+        return tokens, length, score
+
     def transducer_beam_search_decode(self, enc_states, enc_lens=None):
         """Reference beam search, batched lockstep across utterances.
 

@@ -227,6 +227,26 @@ class _BareKernel(nn.Module):
         return self.param("kernel", self.init, (d_in, self.features))
 
 
+class _BareDense(nn.Module):
+    """``kernel`` + ``bias`` at the tree paths an ``nn.Dense`` of the
+    same name would create, without applying them — the biased
+    counterpart of ``_BareKernel`` for fused projections."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, d_in):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (d_in, self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        return kernel, bias
+
+
 class RelPosMHAXL(nn.Module):
     """Transformer-XL multi-head attention with relative positions.
 
@@ -453,16 +473,40 @@ class MultiheadAttention(nn.Module):
             B = query.shape[0]
             k_all, v_all = kv_cache
             L = k_all.shape[1]
-            q = nn.Dense(self.d_model, name="q_proj", dtype=query.dtype)(
-                query
-            ).reshape(B, 1, self.nhead, d_head)
+            if key is not None and key is query and value is query:
+                # Fused self-attention step: ONE (d, 3d) matmul instead
+                # of three (d, d) ones — at decode-step shapes each MXU
+                # call is latency-bound, so fewer + fatter ops win
+                # (PERFORMANCE.md round 3); parameters stay at the
+                # q_proj/k_proj/v_proj paths of the unfused path.
+                d_in = query.shape[-1]
+                kb = [
+                    _BareDense(features=self.d_model, name=nm)(d_in)
+                    for nm in ("q_proj", "k_proj", "v_proj")
+                ]
+                w = jnp.concatenate(
+                    [x[0] for x in kb], axis=1
+                ).astype(query.dtype)
+                b = jnp.concatenate([x[1] for x in kb]).astype(
+                    query.dtype
+                )
+                qkv = query @ w + b  # (B, 1, 3d)
+                q, k_t, v_t = (
+                    x.reshape(B, 1, self.nhead, d_head)
+                    for x in jnp.split(qkv, 3, axis=-1)
+                )
+            else:
+                q = nn.Dense(
+                    self.d_model, name="q_proj", dtype=query.dtype
+                )(query).reshape(B, 1, self.nhead, d_head)
+                if key is not None:
+                    k_t = nn.Dense(
+                        self.d_model, name="k_proj", dtype=query.dtype
+                    )(key).reshape(B, 1, self.nhead, d_head)
+                    v_t = nn.Dense(
+                        self.d_model, name="v_proj", dtype=query.dtype
+                    )(value).reshape(B, 1, self.nhead, d_head)
             if key is not None:
-                k_t = nn.Dense(
-                    self.d_model, name="k_proj", dtype=query.dtype
-                )(key).reshape(B, 1, self.nhead, d_head)
-                v_t = nn.Dense(
-                    self.d_model, name="v_proj", dtype=query.dtype
-                )(value).reshape(B, 1, self.nhead, d_head)
                 k_all = jax.lax.dynamic_update_slice_in_dim(
                     k_all, k_t.astype(k_all.dtype), cache_index, axis=1
                 )

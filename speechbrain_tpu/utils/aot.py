@@ -19,14 +19,17 @@ __all__ = ["host_traced_jit"]
 
 
 def _abstract_sig(args):
+    # jax.Array leaves carry a precomputed hashable ShapedArray aval —
+    # ~16x cheaper per call than building (shape, str(dtype)) tuples
+    # (dispatch-path cost at train-state leaf counts: 2.2 ms -> 0.13 ms).
     leaves, treedef = jax.tree_util.tree_flatten(args)
-    return (
-        treedef,
-        tuple(
-            (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x))))
-            for x in leaves
-        ),
-    )
+    sig = []
+    for x in leaves:
+        aval = getattr(x, "aval", None)
+        if aval is None:
+            aval = (getattr(x, "shape", ()), str(getattr(x, "dtype", type(x))))
+        sig.append(aval)
+    return (treedef, tuple(sig))
 
 
 class _HostTracedJit:
@@ -39,21 +42,29 @@ class _HostTracedJit:
         """Drop compiled executables (e.g. after rebinding closures)."""
         self._cache = {}
 
+    def lower(self, *args):
+        """AOT ``jax.jit(...).lower`` with host-side trace constants.
+
+        Exposes the jax.stages surface (``.compile()``,
+        ``.cost_analysis()`` via the compiled object) so callers like
+        bench.py's ``_step_flops`` can treat this like a ``jax.jit``
+        wrapper.
+        """
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = []
+        jitted = jax.jit(self._fn, **self._jit_kwargs)
+        if cpus:
+            with jax.default_device(cpus[0]):
+                return jitted.lower(*args)
+        return jitted.lower(*args)
+
     def __call__(self, *args):
         key = _abstract_sig(args)
         compiled = self._cache.get(key)
         if compiled is None:
-            try:
-                cpus = jax.devices("cpu")
-            except RuntimeError:
-                cpus = []
-            jitted = jax.jit(self._fn, **self._jit_kwargs)
-            if cpus:
-                with jax.default_device(cpus[0]):
-                    lowered = jitted.lower(*args)
-            else:
-                lowered = jitted.lower(*args)
-            compiled = lowered.compile()
+            compiled = self.lower(*args).compile()
             self._cache[key] = compiled
         return compiled(*args)
 

@@ -471,3 +471,94 @@ def test_transformer_beam_kv_cache_parity():
     h_fast, s_fast = fast(enc, lens)
     assert h_slow == h_fast, (h_slow, h_fast)
     np.testing.assert_allclose(s_slow, s_fast, rtol=1e-4, atol=1e-5)
+
+
+def test_transducer_beam_device_matches_host():
+    """The fixed-shape while_loop device beam search must reproduce the
+    host lockstep loop (itself reference-oracle-tested) — predictions
+    exactly, normalized scores to f32 tolerance.  Exercises a stateful
+    prediction net so per-hypothesis state routing through the masked
+    process tensors is covered."""
+    rng = np.random.default_rng(11)
+    B, T, V, H = 4, 8, 6, 4
+    blank = 0
+    E = (0.5 * rng.standard_normal((V, H))).astype(np.float32)
+    U = (0.3 * rng.standard_normal((H, H))).astype(np.float32)
+    W = (0.5 * rng.standard_normal((H, V))).astype(np.float32)
+    bias = rng.standard_normal((V,)).astype(np.float32)
+    bias[blank] += 3.0  # trained-like: blank stays in the topk
+    enc = (0.7 * rng.standard_normal((B, T, H))).astype(np.float32)
+
+    def pred_step(tokens, state, batch):
+        # simple recurrent state: h' = tanh(h @ U + emb(tok))
+        if tokens is None:
+            h = jnp.zeros((batch, H))
+            return jnp.asarray(E[blank])[None].repeat(batch, 0), h
+        h = jnp.tanh(state @ jnp.asarray(U) + jnp.asarray(E)[tokens])
+        return h, h
+
+    def joint(enc_t, pred_out):
+        return (enc_t + pred_out) @ jnp.asarray(W) + jnp.asarray(bias)
+
+    beam = TransducerBeamSearcher(
+        decode_fn=pred_step, joint_fn=joint, blank_id=blank, beam_size=3
+    )
+    lens = np.array([1.0, 0.5, 1.0, 7 / 8])
+    host_hyps, host_scores = beam.transducer_beam_search_decode(enc, lens)
+    toks, tok_lens, dev_scores = jax.jit(
+        lambda e, l: beam.transducer_beam_search_device(
+            e, l, max_symbols=16
+        )
+    )(enc, lens)
+    toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
+    for b in range(B):
+        dev_hyp = [int(t) for t in toks[b, : tok_lens[b]]]
+        assert dev_hyp == host_hyps[b], (b, dev_hyp, host_hyps[b])
+    np.testing.assert_allclose(
+        np.asarray(dev_scores), host_scores, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_transducer_beam_device_starved_terminates():
+    """Blank-starved logits (reference loop would hang): the device
+    valve must terminate and agree with the host valve's promote
+    semantics."""
+    rng = np.random.default_rng(5)
+    B, T, V, H = 2, 4, 5, 3
+    blank = 0
+    E = (0.5 * rng.standard_normal((V, H))).astype(np.float32)
+    W = (0.5 * rng.standard_normal((H, V))).astype(np.float32)
+    bias = rng.standard_normal((V,)).astype(np.float32)
+    bias[blank] -= 8.0  # blank never in the topk
+    enc = (0.7 * rng.standard_normal((B, T, H))).astype(np.float32)
+
+    def pred_step(tokens, state, batch):
+        if tokens is None:
+            return jnp.asarray(E[blank])[None].repeat(batch, 0), None
+        return jnp.asarray(E)[tokens], None
+
+    def joint(enc_t, pred_out):
+        return (enc_t + pred_out) @ jnp.asarray(W) + jnp.asarray(bias)
+
+    beam = TransducerBeamSearcher(
+        decode_fn=pred_step,
+        joint_fn=joint,
+        blank_id=blank,
+        beam_size=2,
+        max_expand_per_frame=6,
+    )
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        host_hyps, host_scores = beam.transducer_beam_search_decode(enc)
+    toks, tok_lens, dev_scores = beam.transducer_beam_search_device(
+        enc, max_symbols=64
+    )
+    toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
+    for b in range(B):
+        dev_hyp = [int(t) for t in toks[b, : tok_lens[b]]]
+        assert dev_hyp == host_hyps[b], (b, dev_hyp, host_hyps[b])
+    np.testing.assert_allclose(
+        np.asarray(dev_scores), host_scores, rtol=1e-4, atol=1e-5
+    )
