@@ -34,6 +34,61 @@ def _layer_norm(x, axes):
     return (x - mean) / jnp.sqrt(var + 1e-5)
 
 
+class _HFOutput:
+    """Duck-typed stand-in for the transformers model output."""
+
+    def __init__(self, last_hidden_state, hidden_states=None):
+        self.last_hidden_state = last_hidden_state
+        self.hidden_states = hidden_states
+
+
+class _NativeHFBackend:
+    """transformers-free backend with the ``FlaxWav2Vec2Model`` calling
+    convention, over ``lobes/models/wav2vec2_flax.py``."""
+
+    def __init__(self, source, config_only=False, seed=0):
+        import os
+
+        import jax as _jax
+
+        from speechbrain_tpu.lobes.models.wav2vec2_flax import (
+            FlaxWav2Vec2Module,
+            Wav2Vec2Config,
+            load_hf_wav2vec2,
+        )
+
+        if config_only:
+            self.config = Wav2Vec2Config.from_json(
+                os.path.join(source, "config.json")
+            )
+            self.module = FlaxWav2Vec2Module(self.config)
+            dummy = jnp.zeros((1, 2048), jnp.float32)
+            self.params = self.module.init(
+                _jax.random.PRNGKey(seed), dummy
+            )["params"]
+        else:
+            self.module, self.params = load_hf_wav2vec2(source)
+            self.config = self.module.config
+
+    def __call__(
+        self,
+        wav,
+        attention_mask=None,
+        params=None,
+        train=False,
+        output_hidden_states=False,
+        freeze_feature_encoder=False,
+    ):
+        out, hiddens = self.module.apply(
+            {"params": params if params is not None else self.params},
+            wav,
+            attention_mask=attention_mask,
+            output_hidden_states=output_hidden_states,
+            freeze_feature_encoder=freeze_feature_encoder,
+        )
+        return _HFOutput(out, hiddens)
+
+
 class HuggingFaceWav2Vec2:
     """wav2vec2 feature-extraction / fine-tuning wrapper
     (reference ``huggingface_wav2vec.py:56``).
@@ -73,25 +128,39 @@ class HuggingFaceWav2Vec2:
         config_only=False,
         seed=0,
     ):
-        try:
-            from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "transformers (with Flax) is required for HuggingFaceWav2Vec2"
-            ) from e
         self.output_norm = output_norm
         self.freeze = freeze
         self.freeze_feature_extractor = freeze_feature_extractor
         self.output_all_hiddens = output_all_hiddens
-        if config_only:
-            config = Wav2Vec2Config.from_pretrained(source)
-            config.apply_spec_augment = apply_spec_augment
-            self.model = FlaxWav2Vec2Model(config, seed=seed)
-        else:
-            self.model = FlaxWav2Vec2Model.from_pretrained(
-                source, local_files_only=True
+        # Primary backend: the from-scratch HF-layout module
+        # (lobes/models/wav2vec2_flax.py) loads config.json +
+        # flax_model.msgpack with no transformers dependency — and,
+        # unlike transformers' Flax port, supports the post-norm (base)
+        # layout.  Numerical parity between the two backends is pinned
+        # by tests/unittests/test_huggingface_wav2vec.py.  transformers
+        # remains the fallback for checkpoints the native loader cannot
+        # read (e.g. torch-only weight files, via from_pt).
+        try:
+            self.model = _NativeHFBackend(
+                source, config_only=config_only, seed=seed
             )
-            self.model.config.apply_spec_augment = apply_spec_augment
+        except Exception as native_err:
+            try:
+                from transformers import (
+                    FlaxWav2Vec2Model,
+                    Wav2Vec2Config,
+                )
+            except ImportError:
+                raise native_err
+            if config_only:
+                config = Wav2Vec2Config.from_pretrained(source)
+                config.apply_spec_augment = apply_spec_augment
+                self.model = FlaxWav2Vec2Model(config, seed=seed)
+            else:
+                self.model = FlaxWav2Vec2Model.from_pretrained(
+                    source, local_files_only=True
+                )
+                self.model.config.apply_spec_augment = apply_spec_augment
         self.normalize_wav = self._do_normalize(source)
         if freeze:
             logger.warning("HuggingFaceWav2Vec2 - wav2vec 2.0 is frozen.")
@@ -108,7 +177,16 @@ class HuggingFaceWav2Vec2:
             )
             return bool(fe.do_normalize)
         except Exception:
-            return True
+            import json
+            import os
+
+            try:
+                with open(
+                    os.path.join(source, "preprocessor_config.json")
+                ) as f:
+                    return bool(json.load(f).get("do_normalize", True))
+            except Exception:
+                return True
 
     @property
     def params(self):

@@ -8,11 +8,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-transformers = pytest.importorskip("transformers")
+# transformers-dependent tests skip individually (via this fixture);
+# the transformers-FREE fixture tests at the bottom always execute.
 
 
 @pytest.fixture(scope="module")
 def tiny_w2v2_dir(tmp_path_factory):
+    pytest.importorskip("transformers")
     from transformers import Wav2Vec2Config
 
     cfg = Wav2Vec2Config(
@@ -98,6 +100,8 @@ def test_hf_wav2vec2_checkpoint_round_trip(tiny_w2v2_dir, tmp_path):
     round trip exactly (guards the train_hf_wav2vec.yaml loading path,
     VERDICT round-1 item 10)."""
     import flax
+
+    pytest.importorskip("transformers")
     from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
 
     from speechbrain_tpu.lobes.models.huggingface_wav2vec import (
@@ -109,7 +113,15 @@ def test_hf_wav2vec2_checkpoint_round_trip(tiny_w2v2_dir, tmp_path):
     hf.save_pretrained(tmp_path)
 
     wrapper = HuggingFaceWav2Vec2(str(tmp_path))
-    a = flax.traverse_util.flatten_dict(hf.params, sep="/")
+    # the native backend stores the checkpoint tree in its own module
+    # layout; compare through the same adapter it loads with
+    from speechbrain_tpu.lobes.models.wav2vec2_flax import (
+        _adapt_param_tree,
+    )
+
+    a = flax.traverse_util.flatten_dict(
+        _adapt_param_tree(dict(hf.params)), sep="/"
+    )
     b = flax.traverse_util.flatten_dict(wrapper.model.params, sep="/")
     assert set(a) == set(b)
     for k in a:
@@ -128,3 +140,157 @@ def test_hf_wav2vec2_checkpoint_round_trip(tiny_w2v2_dir, tmp_path):
     np.testing.assert_allclose(
         np.asarray(feats), np.asarray(direct), rtol=1e-4, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# transformers-free HF-layout loading (speechbrain_tpu.lobes.models
+# .wav2vec2_flax): these tests run with or without transformers.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cfg_dict():
+    return dict(
+        vocab_size=32,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        conv_dim=[16, 16],
+        conv_stride=[5, 2],
+        conv_kernel=[10, 3],
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+        do_stable_layer_norm=False,
+        feat_extract_norm="group",
+    )
+
+
+def test_wav2vec2_fixture_loads_without_transformers(tmp_path):
+    """HF-layout fixture (config.json + flax msgpack) built with flax
+    alone drives the from-scratch loader end to end — no transformers
+    import anywhere on this path."""
+    import json as _json
+
+    from flax import serialization
+
+    from speechbrain_tpu.lobes.models.wav2vec2_flax import (
+        FlaxWav2Vec2Module,
+        Wav2Vec2Config,
+        hf_wav2vec2_feat_lengths,
+        load_hf_wav2vec2,
+    )
+
+    cfg = Wav2Vec2Config(**_tiny_cfg_dict())
+    module = FlaxWav2Vec2Module(cfg)
+    wav = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 800)), jnp.float32
+    )
+    params = module.init(jax.random.PRNGKey(0), wav)["params"]
+    d = tmp_path / "w2v2"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps(_tiny_cfg_dict()))
+    (d / "flax_model.msgpack").write_bytes(
+        serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, dict(params))
+        )
+    )
+    model, loaded = load_hf_wav2vec2(str(d))
+    out, _ = model.apply({"params": loaded}, wav)
+    T = int(hf_wav2vec2_feat_lengths(cfg, 800))
+    assert out.shape == (2, T, 32)
+    ref_out, _ = module.apply({"params": params}, wav)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_out), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_wav2vec2_flax_matches_transformers(tmp_path):
+    """The from-scratch module must numerically match
+    transformers.FlaxWav2Vec2Model on a save_pretrained checkpoint
+    (loaded back via the transformers-free loader).  HF's Flax port
+    only implements the ``do_stable_layer_norm=True`` (lv60) layout, so
+    parity is pinned there; the post-norm (base) layout is covered by
+    the fixture round-trip test above."""
+    transformers = pytest.importorskip("transformers")
+    from transformers import FlaxWav2Vec2Model, Wav2Vec2Config as HFCfg
+
+    from speechbrain_tpu.lobes.models.wav2vec2_flax import (
+        load_hf_wav2vec2,
+    )
+
+    stable = True
+    cfg = HFCfg(**{**_tiny_cfg_dict(), "do_stable_layer_norm": stable,
+                   "feat_extract_norm": "layer" if stable else "group"})
+    hf = FlaxWav2Vec2Model(cfg, seed=0)
+    d = tmp_path / f"w2v2_{stable}"
+    hf.save_pretrained(str(d))
+    wav = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 1200)), jnp.float32
+    )
+    mask = jnp.asarray([[1] * 1200, [1] * 900 + [0] * 300], jnp.int32)
+    ours_mod, ours_params = load_hf_wav2vec2(str(d))
+    ours, ours_hidden = ours_mod.apply(
+        {"params": ours_params},
+        wav,
+        attention_mask=mask,
+        output_hidden_states=True,
+    )
+    theirs = hf(
+        wav, attention_mask=mask, output_hidden_states=True, train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours),
+        np.asarray(theirs.last_hidden_state),
+        rtol=2e-4,
+        atol=2e-5,
+    )
+    assert len(ours_hidden) == len(theirs.hidden_states)
+    for o, t in zip(ours_hidden, theirs.hidden_states):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(t), rtol=2e-4, atol=2e-5
+        )
+
+
+def test_wav2vec2_wrapper_native_backend(tmp_path, monkeypatch):
+    """HuggingFaceWav2Vec2 must work end to end when transformers is
+    NOT importable: the native backend loads the HF-layout fixture."""
+    import json as _json
+    import sys
+
+    from flax import serialization
+
+    from speechbrain_tpu.lobes.models.wav2vec2_flax import (
+        FlaxWav2Vec2Module,
+        Wav2Vec2Config,
+    )
+
+    cfg = Wav2Vec2Config(**_tiny_cfg_dict())
+    module = FlaxWav2Vec2Module(cfg)
+    wav = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 800)), jnp.float32
+    )
+    params = module.init(jax.random.PRNGKey(0), wav)["params"]
+    d = tmp_path / "w2v2"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps(_tiny_cfg_dict()))
+    (d / "preprocessor_config.json").write_text(
+        _json.dumps({"do_normalize": True})
+    )
+    (d / "flax_model.msgpack").write_bytes(
+        serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, dict(params))
+        )
+    )
+    # make `import transformers` fail inside the wrapper
+    monkeypatch.setitem(sys.modules, "transformers", None)
+
+    from speechbrain_tpu.lobes.models.huggingface_wav2vec import (
+        HuggingFaceWav2Vec2,
+    )
+
+    m = HuggingFaceWav2Vec2(str(d), output_norm=True)
+    out = m(wav, jnp.asarray([1.0, 0.5]))
+    assert out.shape[0] == 2 and out.shape[-1] == 32
+    assert float(jnp.abs(jnp.mean(out, axis=-1)).max()) < 1e-4
+    all_h = HuggingFaceWav2Vec2(str(d), output_all_hiddens=True)(wav)
+    assert all_h.shape[0] == cfg.num_hidden_layers + 1
