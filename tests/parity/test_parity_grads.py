@@ -915,81 +915,14 @@ def test_grad_conformer_layer(ref, torch):
     )
 
 
-def test_grad_conformer_asr_joint_step(ref, torch):
-    """FULL conformer TransformerASR joint CTC/attention train step:
-    transplanted weights, 0.3*CTC + 0.7*label-smoothed-KL objective,
-    loss value + every parameter gradient (the complete RelPosMHAXL +
-    macaron + depthwise-conv backward of the flagship recipe)."""
-    from speechbrain.lobes.models.transformer.TransformerASR import (
-        TransformerASR as Ref,
-    )
-    from speechbrain.nnet.linear import Linear as RefLinear
-    from speechbrain.nnet.losses import (
-        ctc_loss as ref_ctc,
-        kldiv_loss as ref_kld,
-    )
-    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
-        TransformerASR as Ours,
-    )
-    from speechbrain_tpu.nnet.linear import Linear as OursLinear
-    import speechbrain_tpu.nnet.losses as L
-    import flax
-
-    V, E, H, K = 20, 16, 2, 7
-    cfg = dict(
-        tgt_vocab=V,
-        input_size=24,
-        d_model=E,
-        nhead=H,
-        num_encoder_layers=2,
-        num_decoder_layers=1,
-        d_ffn=32,
-        dropout=0.0,
-        encoder_module="conformer",
-        attention_type="RelPosMHAXL",
-        kernel_size=K,
-        positional_encoding="fixed_abs_sine",
-        normalize_before=True,
-        # the reference CLASS defaults to a causal conformer conv; the
-        # recipes (and our class default) use non-causal — pin it
-        causal=False,
-    )
-    theirs_mod = Ref(**cfg)
-    theirs_ctc = RefLinear(input_size=E, n_neurons=V)
-    theirs_seq = RefLinear(input_size=E, n_neurons=V)
-    theirs_mod.train()
-
-    rng = np.random.default_rng(91)
-    B, Tsrc, U = 2, 12, 5
-    src = rng.standard_normal((B, Tsrc, 24)).astype(np.float32)
-    tokens = rng.integers(1, V, (B, U)).astype(np.int64)
-    tokens[1, 4:] = 0
-    bos = np.full((B, 1), V - 1, np.int64)
-    tokens_bos = np.concatenate([bos, tokens[:, :-1]], axis=1)
-    wav_len = np.asarray([1.0, 0.75], dtype=np.float32)
-    tgt_len = np.asarray([1.0, 0.8], dtype=np.float32)
-
-    enc, dec = theirs_mod(
-        torch.tensor(src), torch.tensor(tokens_bos), torch.tensor(wav_len)
-    )
-    p_ctc = torch.log_softmax(theirs_ctc(enc), dim=-1)
-    p_seq = torch.log_softmax(theirs_seq(dec), dim=-1)
-    t_loss = 0.3 * ref_ctc(
-        p_ctc, torch.tensor(tokens), torch.tensor(wav_len),
-        torch.tensor(tgt_len), blank_index=0, reduction="batchmean",
-    ) + 0.7 * ref_kld(
-        p_seq, torch.tensor(tokens), torch.tensor(tgt_len),
-        label_smoothing=0.1, reduction="batchmean",
-    )
-    t_loss.backward()
-
-    named = dict(theirs_mod.named_parameters(prefix="m"))
-    named.update(theirs_ctc.named_parameters(prefix="ctc"))
-    named.update(theirs_seq.named_parameters(prefix="seq"))
+def make_conformer_transplant(E, H, num_encoder_layers):
+    """Factory for the torch->flax conformer ASR weight/grad
+    transplant: returns ``build(get)`` mapping a torch name->tensor
+    getter to our flax param tree (shared by the single-step grad
+    parity test and the K-step trajectory test)."""
     d_head = E // H
 
     def build(get):
-        """our flat-key -> value tree from a torch name->tensor getter."""
         out = {}
 
         def conformer_layer(i):
@@ -1111,8 +1044,10 @@ def test_grad_conformer_asr_joint_step(ref, torch):
 
         out["asr"] = {
             "encoder": {
-                "layer_0": conformer_layer(0),
-                "layer_1": conformer_layer(1),
+                **{
+                    f"layer_{i}": conformer_layer(i)
+                    for i in range(num_encoder_layers)
+                },
                 "norm_out": ln("m.encoder.norm"),
             },
             "decoder": {
@@ -1143,243 +1078,79 @@ def test_grad_conformer_asr_joint_step(ref, torch):
         }
         return out
 
-    ours = Ours(**cfg)
-    ours_ctc = OursLinear(n_neurons=V)
-    ours_seq = OursLinear(n_neurons=V)
-    init = ours.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        jnp.asarray(src),
-        jnp.asarray(tokens_bos),
+    return build
+
+
+def test_grad_conformer_asr_joint_step(ref, torch):
+    """FULL conformer TransformerASR joint CTC/attention train step:
+    transplanted weights, 0.3*CTC + 0.7*label-smoothed-KL objective,
+    loss value + every parameter gradient (the complete RelPosMHAXL +
+    macaron + depthwise-conv backward of the flagship recipe)."""
+    from speechbrain.lobes.models.transformer.TransformerASR import (
+        TransformerASR as Ref,
     )
-    weights = build(lambda n: t2j(named[n].data))
-    init_flat = flax.traverse_util.flatten_dict(init["params"], sep="/")
-    w_flat = flax.traverse_util.flatten_dict(weights["asr"], sep="/")
-    # src-proj keys are structure-dependent: copy from torch by lookup
-    src_keys = [k for k in init_flat if k.startswith("custom_src_module")]
-    kkey = [k for k in src_keys if k.endswith("kernel")][0]
-    bkey = [k for k in src_keys if k.endswith("bias")][0]
-    w_flat[kkey] = t2j(named["m.custom_src_module.layers.0.w.weight"].data).T
-    w_flat[bkey] = t2j(named["m.custom_src_module.layers.0.w.bias"].data)
-    emb_key = [k for k in init_flat if k.startswith("custom_tgt_module")][0]
-    w_flat[emb_key] = t2j(
-        named["m.custom_tgt_module.layers.0.emb.Embedding.weight"].data
-    )
-    assert set(w_flat) == set(init_flat), (
-        sorted(set(init_flat) - set(w_flat))[:6],
-        sorted(set(w_flat) - set(init_flat))[:6],
-    )
-    for k in w_flat:
-        assert np.shape(w_flat[k]) == np.shape(init_flat[k]), k
-
-    params = {
-        "asr": flax.traverse_util.unflatten_dict(w_flat, sep="/"),
-        "ctc_head": weights["ctc_head"],
-        "seq_head": weights["seq_head"],
-    }
-
-    def loss_fn(p):
-        enc_o, dec_o = ours.apply(
-            {"params": p["asr"]},
-            jnp.asarray(src),
-            jnp.asarray(tokens_bos),
-            wav_len=jnp.asarray(wav_len),
-            train=True,
-            rngs={"dropout": jax.random.PRNGKey(4)},
-        )
-        lp_ctc = jax.nn.log_softmax(
-            ours_ctc.apply({"params": p["ctc_head"]}, enc_o), axis=-1
-        )
-        lp_seq = jax.nn.log_softmax(
-            ours_seq.apply({"params": p["seq_head"]}, dec_o), axis=-1
-        )
-        return 0.3 * L.ctc_loss(
-            lp_ctc, tokens, wav_len, tgt_len, blank_index=0,
-            reduction="batchmean",
-        ) + 0.7 * L.kldiv_loss(
-            lp_seq, tokens, tgt_len, label_smoothing=0.1,
-            reduction="batchmean",
-        )
-
-    o_loss, o_grads = jax.value_and_grad(loss_fn)(params)
-    assert_close(
-        o_loss, t_loss, rtol=2e-3, atol=2e-4, what="conformer joint loss"
-    )
-
-    t_grads = build(lambda n: t2j(named[n].grad))
-    # src/tgt module grads
-    tg_flat = flax.traverse_util.flatten_dict(t_grads["asr"], sep="/")
-    tg_flat[kkey] = t2j(named["m.custom_src_module.layers.0.w.weight"].grad).T
-    tg_flat[bkey] = t2j(named["m.custom_src_module.layers.0.w.bias"].grad)
-    tg_flat[emb_key] = t2j(
-        named["m.custom_tgt_module.layers.0.emb.Embedding.weight"].grad
-    )
-    o_flat = flax.traverse_util.flatten_dict(o_grads["asr"], sep="/")
-    _compare_grad_trees(
-        o_flat, tg_flat, "conformer ASR", rtol=1e-2, atol=5e-4
-    )
-    for head in ("ctc_head", "seq_head"):
-        _compare_grad_trees(
-            flax.traverse_util.flatten_dict(o_grads[head], sep="/"),
-            flax.traverse_util.flatten_dict(t_grads[head], sep="/"),
-            head, rtol=1e-2, atol=5e-4,
-        )
-
-
-def test_grad_kd_losses(ref, torch):
-    """KD losses vs the reference (values + gradients): ctc_loss_kd
-    distills against the teacher's collapsed greedy path; nll_loss_kd
-    is the reference's plain dot-product ce_kd."""
-    from speechbrain.nnet.losses import (
-        ctc_loss_kd as ref_ctc_kd,
-        nll_loss_kd as ref_nll_kd,
-    )
-    import speechbrain_tpu.nnet.losses as L
-
-    rng = np.random.default_rng(12)
-    B, T, C = 3, 12, 6
-    s_logits = rng.standard_normal((B, T, C)).astype(np.float32)
-    t_post = jax.nn.softmax(
-        jnp.asarray(rng.standard_normal((B, T, C)) * 2.0)
-    )
-    t_post = np.asarray(t_post, np.float32)
-    in_lens = np.asarray([1.0, 0.8, 0.6], np.float32)
-
-    def torch_ctc(lg):
-        lp = torch.log_softmax(lg, dim=-1)
-        return ref_ctc_kd(
-            lp, torch.tensor(t_post), torch.tensor(in_lens),
-            blank_index=0, device="cpu",
-        )
-
-    t_loss, t_grad = _torch_grad(torch, torch_ctc, s_logits)
-
-    def jax_ctc(lg):
-        lp = jax.nn.log_softmax(lg, axis=-1)
-        return L.ctc_loss_kd(lp, t_post, in_lens, blank_index=0)
-
-    o_loss, o_grad = jax.value_and_grad(jax_ctc)(jnp.asarray(s_logits))
-    assert_close(o_loss, t_loss, rtol=1e-4, atol=1e-5, what="ctc_kd")
-    grads_close(o_grad, t_grad, what="ctc_kd grad")
-
-    def torch_nll(lg):
-        lp = torch.log_softmax(lg, dim=-1)
-        return ref_nll_kd(
-            lp, torch.tensor(t_post), torch.tensor(in_lens)
-        )
-
-    t_loss, t_grad = _torch_grad(torch, torch_nll, s_logits)
-
-    def jax_nll(lg):
-        lp = jax.nn.log_softmax(lg, axis=-1)
-        return L.nll_loss_kd(lp, t_post, in_lens)
-
-    o_loss, o_grad = jax.value_and_grad(jax_nll)(jnp.asarray(s_logits))
-    assert_close(o_loss, t_loss, rtol=1e-4, atol=1e-5, what="nll_kd")
-    grads_close(o_grad, t_grad, what="nll_kd grad")
-
-
-def test_grad_transducer_train_step(ref, torch):
-    """Whole-model transducer train step (the third of the VERDICT
-    triple): CRDNN-lite encoder + embedding/GRU prediction net + sum
-    joint + output head, transplanted weights, transducer loss (torch
-    transcription of the reference CUDA kernel as oracle), loss value
-    + every parameter gradient."""
-    from speechbrain.nnet.RNN import GRU as RefGRU
-    from speechbrain.nnet.embedding import Embedding as RefEmbedding
     from speechbrain.nnet.linear import Linear as RefLinear
-    from speechbrain_tpu.nnet.RNN import GRU
-    from speechbrain_tpu.nnet.embedding import Embedding
-    from speechbrain_tpu.nnet.linear import Linear
-    from speechbrain_tpu.nnet.loss.transducer_loss import TransducerLoss
+    from speechbrain.nnet.losses import (
+        ctc_loss as ref_ctc,
+        kldiv_loss as ref_kld,
+    )
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+        TransformerASR as Ours,
+    )
+    from speechbrain_tpu.nnet.linear import Linear as OursLinear
+    import speechbrain_tpu.nnet.losses as L
     import flax
 
-    rng = np.random.default_rng(13)
-    B, T, F, H, V, U = 2, 10, 12, 8, 6, 4
-    feats = rng.standard_normal((B, T, F)).astype(np.float32)
-    labels = rng.integers(1, V, (B, U)).astype(np.int32)
-    t_lens = np.asarray([10, 8], np.int32)
-    u_lens = np.asarray([4, 3], np.int32)
+    V, E, H, K = 20, 16, 2, 7
+    cfg = dict(
+        tgt_vocab=V,
+        input_size=24,
+        d_model=E,
+        nhead=H,
+        num_encoder_layers=2,
+        num_decoder_layers=1,
+        d_ffn=32,
+        dropout=0.0,
+        encoder_module="conformer",
+        attention_type="RelPosMHAXL",
+        kernel_size=K,
+        positional_encoding="fixed_abs_sine",
+        normalize_before=True,
+        # the reference CLASS defaults to a causal conformer conv; the
+        # recipes (and our class default) use non-causal — pin it
+        causal=False,
+    )
+    theirs_mod = Ref(**cfg)
+    theirs_ctc = RefLinear(input_size=E, n_neurons=V)
+    theirs_seq = RefLinear(input_size=E, n_neurons=V)
+    theirs_mod.train()
 
-    # torch side: Linear encoder + Embedding + GRU prednet + joint head
-    t_enc = RefLinear(input_size=F, n_neurons=H)
-    t_emb = RefEmbedding(num_embeddings=V, embedding_dim=H)
-    t_dec = RefGRU(hidden_size=H, input_size=H, num_layers=1)
-    t_out = RefLinear(input_size=H, n_neurons=V)
+    rng = np.random.default_rng(91)
+    B, Tsrc, U = 2, 12, 5
+    src = rng.standard_normal((B, Tsrc, 24)).astype(np.float32)
+    tokens = rng.integers(1, V, (B, U)).astype(np.int64)
+    tokens[1, 4:] = 0
+    bos = np.full((B, 1), V - 1, np.int64)
+    tokens_bos = np.concatenate([bos, tokens[:, :-1]], axis=1)
+    wav_len = np.asarray([1.0, 0.75], dtype=np.float32)
+    tgt_len = np.asarray([1.0, 0.8], dtype=np.float32)
 
-    blank_tokens = np.concatenate(
-        [np.zeros((B, 1), np.int64), labels.astype(np.int64)], axis=1
+    enc, dec = theirs_mod(
+        torch.tensor(src), torch.tensor(tokens_bos), torch.tensor(wav_len)
     )
-    enc_t = t_enc(torch.tensor(feats))
-    pred_t, _ = t_dec(t_emb(torch.tensor(blank_tokens)))
-    joint_t = torch.tanh(
-        enc_t[:, :, None, :] + pred_t[:, None, :, :]
+    p_ctc = torch.log_softmax(theirs_ctc(enc), dim=-1)
+    p_seq = torch.log_softmax(theirs_seq(dec), dim=-1)
+    t_loss = 0.3 * ref_ctc(
+        p_ctc, torch.tensor(tokens), torch.tensor(wav_len),
+        torch.tensor(tgt_len), blank_index=0, reduction="batchmean",
+    ) + 0.7 * ref_kld(
+        p_seq, torch.tensor(tokens), torch.tensor(tgt_len),
+        label_smoothing=0.1, reduction="batchmean",
     )
-    logits_t = t_out(joint_t)
-    loss_vec = _ref_transducer_torch(
-        torch,
-        logits_t,
-        torch.tensor(labels.astype(np.int64)),
-        t_lens,
-        u_lens,
-        blank=0,
-        normalize=False,
-    )
-    t_loss = loss_vec.mean()
     t_loss.backward()
 
-    named = {}
-    for prefix, mod in (
-        ("enc", t_enc), ("emb", t_emb), ("dec", t_dec), ("out", t_out)
-    ):
-        named.update(mod.named_parameters(prefix=prefix))
+    named = dict(theirs_mod.named_parameters(prefix="m"))
+    named.update(theirs_ctc.named_parameters(prefix="ctc"))
+    named.update(theirs_seq.named_parameters(prefix="seq"))
+    build = make_conformer_transplant(E, H, num_encoder_layers=2)
 
-    def build(get):
-        return {
-            "enc": {"Dense_0": {
-                "kernel": get("enc.w.weight").T,
-                "bias": get("enc.w.bias"),
-            }},
-            "emb": {"Embed_0": {"embedding": get("emb.Embedding.weight")}},
-            "dec": {
-                "l0_wx": {
-                    "kernel": get("dec.rnn.weight_ih_l0").T,
-                    "bias": get("dec.rnn.bias_ih_l0"),
-                },
-                "l0_u": get("dec.rnn.weight_hh_l0").T,
-                "l0_u_bias": get("dec.rnn.bias_hh_l0"),
-            },
-            "out": {"Dense_0": {
-                "kernel": get("out.w.weight").T,
-                "bias": get("out.w.bias"),
-            }},
-        }
-
-    params = build(lambda n: t2j(named[n].data))
-    o_enc = Linear(n_neurons=H)
-    o_emb = Embedding(num_embeddings=V, embedding_dim=H)
-    o_dec = GRU(hidden_size=H, num_layers=1)
-    o_out = Linear(n_neurons=V)
-    tl = TransducerLoss(blank_index=0, use_pallas=False)
-
-    def loss_fn(p):
-        enc = o_enc.apply({"params": p["enc"]}, jnp.asarray(feats))
-        emb = o_emb.apply(
-            {"params": p["emb"]}, jnp.asarray(blank_tokens)
-        )
-        pred, _ = o_dec.apply({"params": p["dec"]}, emb)
-        joint = jnp.tanh(enc[:, :, None, :] + pred[:, None, :, :])
-        logits = o_out.apply({"params": p["out"]}, joint)
-        return tl(logits, labels, t_lens, u_lens).mean()
-
-    o_loss, o_grads = jax.value_and_grad(loss_fn)(params)
-    assert_close(
-        o_loss, t_loss, rtol=1e-3, atol=1e-4, what="transducer step loss"
-    )
-    t_grads = build(lambda n: t2j(named[n].grad))
-    import flax as _f
-
-    _compare_grad_trees(
-        _f.traverse_util.flatten_dict(o_grads, sep="/"),
-        _f.traverse_util.flatten_dict(t_grads, sep="/"),
-        "transducer step", rtol=5e-3, atol=2e-4,
-    )
