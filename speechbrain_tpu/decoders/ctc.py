@@ -216,33 +216,54 @@ class CTCPrefixScorer:
                 self.T, jnp.max(attn_peak) + self.ctc_window_size
             )
 
-        def scan_fn(carry, inputs):
-            r_nb_prev, r_b_prev, psi_acc = carry
-            x_t, xb_t, phi_tm1, t = inputs
-            r_nb = jnp.logaddexp(r_nb_prev, phi_tm1) + x_t
-            r_b = jnp.logaddexp(r_nb_prev, r_b_prev) + xb_t
-            psi_new = jnp.logaddexp(psi_acc, phi_tm1 + x_t)
-            # frames before the recursion start stay -inf / unscored
-            before = t < start
-            r_nb = jnp.where(before, self.minus_inf, r_nb)
-            r_b = jnp.where(before, self.minus_inf, r_b)
-            psi_new = jnp.where(before, psi_acc, psi_new)
-            if win_lo is not None:
-                inside = (t >= win_lo) & (t < win_hi)
-                r_nb = jnp.where(inside, r_nb, self.minus_inf)
-                r_b = jnp.where(inside, r_b, self.minus_inf)
-                psi_new = jnp.where(inside, psi_new, psi_acc)
-            return (r_nb, r_b, psi_new), (r_nb, r_b)
+        # The time recursions are LINEAR in the log semiring
+        # (logaddexp as +, addition as *), so instead of a sequential
+        # T-step lax.scan (250 tiny fused iterations per decode step —
+        # per-iteration overhead dominated the scorer's cost) they run
+        # as parallel associative scans of depth ceil(log2 T):
+        #   r_nb[t] = (r_nb[t-1] * x[t]) + (phi[t-1] * x[t])
+        #     => a[t] = x[t], b[t] = phi[t-1] + x[t]
+        #   r_b[t]  = (r_b[t-1] * xb[t]) + (r_nb[t-1] * xb[t])
+        # Masked frames (t < start, or outside the attention window)
+        # force r[t] = -inf, which is a[t] = b[t] = -inf: both the
+        # frame's own contribution and any propagation through it die,
+        # exactly like the sequential where() masking.
+        t_idx = jnp.arange(1, self.T).reshape(-1, 1, 1)
+        bad = t_idx < start
+        if win_lo is not None:
+            bad = bad | ~((t_idx >= win_lo) & (t_idx < win_hi))
+        xc_t = jnp.where(bad, self.minus_inf, xc[1:])
+        xb_t = jnp.broadcast_to(xb[1:], xc[1:].shape)
+        xb_t = jnp.where(bad, self.minus_inf, xb_t)
+        phix = phi[:-1] + xc[1:]  # phi[t-1] + x[t]
+        b_nb = jnp.where(bad, self.minus_inf, phix)
 
-        # psi = logaddexp over t of phi[t-1] + x[t, c], plus init term
-        psi0 = jnp.logaddexp(psi_init_0, r_nb0)
-        (r_nb_T, r_b_T, psi), (r_nbs, r_bs) = jax.lax.scan(
-            scan_fn,
-            (r_nb0, r_b0, psi0),
-            (xc[1:], xb[1:], phi[:-1], jnp.arange(1, self.T)),
+        def semiring_op(left, right):
+            a1, b1 = left
+            a2, b2 = right
+            return a1 + a2, jnp.logaddexp(b2, a2 + b1)
+
+        _, r_nbs_t = jax.lax.associative_scan(
+            semiring_op, (xc_t, b_nb), axis=0
         )
-        r_nbs = jnp.concatenate([r_nb0[None], r_nbs], axis=0)
-        r_bs = jnp.concatenate([r_b0[None], r_bs], axis=0)
+        r_nb_prev_t = jnp.concatenate(
+            [r_nb0[None], r_nbs_t[:-1]], axis=0
+        )
+        b_b = jnp.where(bad, self.minus_inf, r_nb_prev_t + xb[1:])
+        _, r_bs_t = jax.lax.associative_scan(
+            semiring_op, (xb_t, b_b), axis=0
+        )
+        # psi accumulates logaddexp over valid t of phi[t-1] + x[t]
+        # (+ the -inf init terms): a pure masked logsumexp reduction
+        psi0 = jnp.logaddexp(psi_init_0, r_nb0)
+        psi = jnp.logaddexp(
+            psi0,
+            jax.nn.logsumexp(
+                jnp.where(bad, self.minus_inf, phix), axis=0
+            ),
+        )
+        r_nbs = jnp.concatenate([r_nb0[None], r_nbs_t], axis=0)
+        r_bs = jnp.concatenate([r_b0[None], r_bs_t], axis=0)
 
         # psi currently integrates frames 1..T-1 (+ t=0 via psi0); limit
         # to each row's true length: psi over t < abs_len. Because x is
