@@ -49,11 +49,24 @@ class _HostTracedJit:
         ``.cost_analysis()`` via the compiled object) so callers like
         bench.py's ``_step_flops`` can treat this like a ``jax.jit``
         wrapper.
+
+        Arguments are COMMITTED to their current devices first:
+        uncommitted arrays follow the default device, and under the
+        cpu-default-device trace the whole program would otherwise
+        silently compile for (and run on) the CPU backend.
         """
         try:
             cpus = jax.devices("cpu")
         except RuntimeError:
             cpus = []
+        args = jax.tree_util.tree_map(
+            lambda x: (
+                jax.device_put(x, x.device)
+                if isinstance(x, jax.Array)
+                else x
+            ),
+            args,
+        )
         jitted = jax.jit(self._fn, **self._jit_kwargs)
         if cpus:
             with jax.default_device(cpus[0]):
