@@ -455,7 +455,14 @@ class MultiheadAttention(nn.Module):
           ``key``/``value`` are given (self-attention), their
           single-token projection is written at ``cache_index`` first
           and positions beyond it are causally masked; when None
-          (cross-attention), the cache is attended as-is.  Returns
+          (cross-attention), the cache is attended as-is.  The
+          cross-attention cache may be GROUPED: ``(B_kv, L, nhead,
+          d_head)`` with ``B == B_kv * group`` — consecutive groups of
+          ``group`` query rows share one KV row (beam search: all
+          beams of a batch item attend the same encoder states, so the
+          cache is stored once per item instead of once per beam,
+          cutting its HBM read traffic ``group``x and turning the
+          per-beam matvec into a (group, L) matmul).  Returns
           ``(out, attn_weights, (k, v))``.
         """
         d_head = self.d_model // self.nhead
@@ -512,6 +519,32 @@ class MultiheadAttention(nn.Module):
                 )
                 v_all = jax.lax.dynamic_update_slice_in_dim(
                     v_all, v_t.astype(v_all.dtype), cache_index, axis=1
+                )
+            B_kv = k_all.shape[0]
+            if key is None and B_kv != B:
+                # Grouped cross-attention: one KV row per `group`
+                # consecutive query rows (see docstring).
+                group = B // B_kv
+                qg = q.reshape(B_kv, group, self.nhead, d_head)
+                scores = jnp.einsum(
+                    "bghd,bkhd->bhgk", qg, k_all
+                ) / math.sqrt(d_head)
+                if key_padding_mask is not None:
+                    mg = key_padding_mask.reshape(B_kv, group, L)
+                    scores = jnp.where(
+                        mg[:, None], NEG_FILL, scores
+                    )
+                attn = jax.nn.softmax(scores, axis=-1)
+                out = jnp.einsum(
+                    "bhgk,bkhd->bghd", attn, v_all
+                ).reshape(B, 1, self.d_model)
+                out = nn.Dense(
+                    self.d_model, name="out_proj", dtype=query.dtype
+                )(out)
+                return (
+                    out,
+                    attn.mean(axis=1).reshape(B, 1, L),
+                    (k_all, v_all),
                 )
             scores = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k_all

@@ -50,23 +50,32 @@ class _HostTracedJit:
         bench.py's ``_step_flops`` can treat this like a ``jax.jit``
         wrapper.
 
-        Arguments are COMMITTED to their current devices first:
-        uncommitted arrays follow the default device, and under the
-        cpu-default-device trace the whole program would otherwise
-        silently compile for (and run on) the CPU backend.
+        Accelerator-resident arguments are COMMITTED to their current
+        devices first: uncommitted arrays follow the default device,
+        and under the cpu-default-device trace the whole program would
+        otherwise silently compile for (and run on) the CPU backend.
+        CPU-resident and multi-device (sharded) arrays are left
+        untouched — pinning an uncommitted CPU array to one device
+        would CONFLICT with sharded siblings on a multi-device CPU
+        mesh, and sharded arrays are already committed.
         """
         try:
             cpus = jax.devices("cpu")
         except RuntimeError:
             cpus = []
-        args = jax.tree_util.tree_map(
-            lambda x: (
-                jax.device_put(x, x.device)
-                if isinstance(x, jax.Array)
-                else x
-            ),
-            args,
-        )
+
+        def _commit(x):
+            if not isinstance(x, jax.Array):
+                return x
+            try:
+                d = x.device  # raises for multi-device arrays
+            except Exception:
+                return x
+            if getattr(d, "platform", "cpu") != "cpu":
+                return jax.device_put(x, d)
+            return x
+
+        args = jax.tree_util.tree_map(_commit, args)
         jitted = jax.jit(self._fn, **self._jit_kwargs)
         if cpus:
             with jax.default_device(cpus[0]):
