@@ -284,8 +284,10 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
         cache_init_fn=lambda e, max_steps: brain.modules.transformer(
             e, max_steps, method="decode_cache_init"
         ),
-        step_fn=lambda tok, cache, pos, el: brain.modules.transformer(
-            tok, cache, pos, el, method="decode_step"
+        step_fn=lambda tok, cache, pos, el, rows=None: (
+            brain.modules.transformer(
+                tok, cache, pos, el, rows=rows, method="decode_step"
+            )
         ),
         linear_fn=lambda d: brain.modules.seq_lin(d[:, None])[:, 0],
         ctc_linear_fn=lambda e: brain.modules.ctc_lin(e),

@@ -469,14 +469,16 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     # (2*beam, reference ctc.py:120-146): lattice memory
                     # O(T*n*K) instead of O(T*n*V).
                     K = min(2 * beam, V)
-                    _, cand_k = jax.lax.top_k(log_probs, K)  # (n, K)
+                    # top_k's values ARE take_along(log_probs, cand_k)
+                    # — reusing them drops a (n, V) gather from the
+                    # loop body.
+                    cand_v, cand_k = jax.lax.top_k(log_probs, K)
                     ctc_scores, ctc_state = ctc_scorer.forward_step(
                         c["inp"], ctc_state, candidates=cand_k,
                         attn=attn,
                     )
                     row_scores = (
-                        jnp.take_along_axis(log_probs, cand_k, axis=1)
-                        + self.ctc_weight * ctc_scores
+                        cand_v + self.ctc_weight * ctc_scores
                     )  # (n, K) over tokens cand_k
                     row_tokens = cand_k
                 else:
@@ -523,7 +525,13 @@ class S2SBeamSearcher(S2SBaseSearcher):
                 else sel_scores
             )
 
-            memory = _gather_rows(memory, rows)
+            if getattr(self, "_step_rows", False):
+                # Deferred permutation: the cache gather is fused into
+                # the NEXT step's cache update (ops.pallas.beam_cache);
+                # only the predecessor map is carried.
+                memory = {**memory, "rows": rows}
+            else:
+                memory = _gather_rows(memory, rows)
             if lm_memory is not None:
                 lm_memory = _gather_rows(lm_memory, rows)
             if ctc_state is not None:
@@ -810,6 +818,23 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         # buffer each step (correct, ~L_max x more decoder FLOPs).
         self.step_fn = step_fn
         self.cache_init_fn = cache_init_fn
+        # If step_fn accepts a ``rows`` argument, the beam-predecessor
+        # permutation of the self caches is DEFERRED one step and
+        # fused into the model's cache update (one Pallas pass per
+        # layer: permute + append + attend, see ops.pallas.beam_cache)
+        # instead of a separate whole-cache gather here — the gather
+        # plus its broken-in-place dynamic-update-slice were measured
+        # at 36% of the search program (PERFORMANCE.md round 4).
+        self._step_rows = False
+        if step_fn is not None:
+            try:
+                import inspect
+
+                self._step_rows = (
+                    "rows" in inspect.signature(step_fn).parameters
+                )
+            except (TypeError, ValueError):
+                self._step_rows = False
 
     def reset_mem(self, batch_size, enc_states):
         """Initial decoder memory.
@@ -844,17 +869,21 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
                 cache = self.cache_init_fn(base, max_steps)
                 group = batch_size // base.shape[0]
                 for c in cache:
-                    c["sk"] = jnp.repeat(c["sk"], group, axis=0)
-                    c["sv"] = jnp.repeat(c["sv"], group, axis=0)
+                    c["skv"] = jnp.repeat(c["skv"], group, axis=0)
             else:
                 cache = self.cache_init_fn(enc_states, max_steps)
             self._static_cross = [
                 {"ck": c.pop("ck"), "cv": c.pop("cv")} for c in cache
             ]
-            return {
+            mem = {
                 "cache": cache,
                 "len": jnp.asarray(0, jnp.int32),
             }
+            if self._step_rows:
+                # Deferred-permutation mode: identity predecessors at
+                # the first step.
+                mem["rows"] = jnp.arange(batch_size, dtype=jnp.int32)
+            return mem
         return {
             "buf": jnp.zeros((batch_size, max_steps), jnp.int32),
             "len": jnp.asarray(0, jnp.int32),
@@ -870,15 +899,25 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
                     memory["cache"], self._static_cross
                 )
             ]
-            out_t, cache = self.step_fn(inp_tokens, full, ln, enc_lens)
-            cache = [
-                {"sk": c["sk"], "sv": c["sv"]} for c in cache
-            ]
+            if self._step_rows:
+                out_t, cache = self.step_fn(
+                    inp_tokens, full, ln, enc_lens, memory["rows"]
+                )
+            else:
+                out_t, cache = self.step_fn(
+                    inp_tokens, full, ln, enc_lens
+                )
+            cache = [{"skv": c["skv"]} for c in cache]
             logits = self.linear_fn(out_t)
             log_probs = jax.nn.log_softmax(
                 logits / self.temperature, axis=-1
             )
-            return log_probs, {"cache": cache, "len": ln + 1}, None
+            new_mem = {"cache": cache, "len": ln + 1}
+            if self._step_rows:
+                # Placeholder; the search step overwrites it with this
+                # step's predecessor selection.
+                new_mem["rows"] = memory["rows"]
+            return log_probs, new_mem, None
         buf = memory["buf"].at[:, ln].set(inp_tokens)
         dec_out = self.decode_fn(buf, enc_states, enc_lens)
         logits = self.linear_fn(dec_out[:, ln])

@@ -224,13 +224,17 @@ class TransformerDecoderLayer(nn.Module):
         mode="full",
         cache=None,
         pos=None,
+        rows=None,
     ):
         """``mode="init_cache"``: project ``memory`` into this layer's
         cross-attention KV cache (returns ``{"ck", "cv"}``).
         ``mode="step"``: one-token incremental decode against
-        ``cache={"sk","sv","ck","cv"}`` at position ``pos`` — same
+        ``cache={"skv","ck","cv"}`` at position ``pos`` — same
         parameters, same numerics as the full path, O(1) projections
-        and FFN per step.  Default ``"full"`` is the training path."""
+        and FFN per step; ``skv`` is the merged time-minor self cache
+        (see ``ops.pallas.beam_cache``) and ``rows`` an optional
+        beam-predecessor permutation fused into the cache update.
+        Default ``"full"`` is the training path."""
         self_attn = MultiheadAttention(
             nhead=self.nhead, d_model=self.d_model, dropout=self.dropout,
             name="self_attn",
@@ -251,9 +255,9 @@ class TransformerDecoderLayer(nn.Module):
             residual = x
             if self.normalize_before:
                 x = norm1(x)
-            out, _, (sk, sv) = self_attn(
+            out, _, skv = self_attn(
                 x, x, x, mode="step",
-                kv_cache=(cache["sk"], cache["sv"]), cache_index=pos,
+                kv_cache=cache["skv"], cache_index=pos, rows=rows,
             )
             x = residual + out
             if not self.normalize_before:
@@ -280,7 +284,7 @@ class TransformerDecoderLayer(nn.Module):
             if not self.normalize_before:
                 x = norm3(x)
             return x, {
-                "sk": sk, "sv": sv, "ck": cache["ck"], "cv": cache["cv"],
+                "skv": skv, "ck": cache["ck"], "cv": cache["cv"],
             }
 
         x = tgt
@@ -345,12 +349,15 @@ class TransformerDecoder(nn.Module):
         cache=None,
         pos=None,
         max_steps=None,
+        rows=None,
     ):
         """``mode="init_cache"``: build the per-layer KV caches for
         incremental decoding — cross K/V projected once from
-        ``memory``, self caches zero-allocated for ``max_steps``
-        tokens.  ``mode="step"``: one-token decode at ``pos`` against
-        ``cache`` (a list of per-layer dicts); returns
+        ``memory``, merged time-minor self caches ``skv``
+        (B, d_model, 2*max_steps) zero-allocated.  ``mode="step"``:
+        one-token decode at ``pos`` against ``cache`` (a list of
+        per-layer dicts), optionally fusing the beam-predecessor
+        permutation ``rows`` into every self-cache update; returns
         ``(out (B, 1, d), new_cache)``."""
         def make_layer(i):
             return TransformerDecoderLayer(
@@ -365,15 +372,16 @@ class TransformerDecoder(nn.Module):
 
         if mode == "init_cache":
             B = memory.shape[0]
-            d_head = self.d_model // self.nhead
+            # Time length padded to a lane tile (128): the K half and
+            # the V half of the merged cache then both start at
+            # tile-aligned lane offsets (the fused kernel slices them
+            # statically); the causal pos-mask guards the pad columns.
+            lp = -(-max_steps // 128) * 128
             caches = []
             for i in range(self.num_layers):
                 c = make_layer(i)(None, memory, mode="init_cache")
-                c["sk"] = jnp.zeros(
-                    (B, max_steps, self.nhead, d_head), memory.dtype
-                )
-                c["sv"] = jnp.zeros(
-                    (B, max_steps, self.nhead, d_head), memory.dtype
+                c["skv"] = jnp.zeros(
+                    (B, self.d_model, 2 * lp), memory.dtype
                 )
                 caches.append(c)
             return caches
@@ -388,6 +396,7 @@ class TransformerDecoder(nn.Module):
                     mode="step",
                     cache=cache[i],
                     pos=pos,
+                    rows=rows,
                 )
                 new_caches.append(c)
             output = nn.LayerNorm(dtype=output.dtype, name="norm_out")(

@@ -194,10 +194,14 @@ class TransformerASR(nn.Module):
             None, encoder_out, mode="init_cache", max_steps=max_steps
         )
 
-    def decode_step(self, tgt_t, cache, pos, enc_lens=None, T_enc=None):
+    def decode_step(self, tgt_t, cache, pos, enc_lens=None, T_enc=None,
+                    rows=None):
         """One incremental decoder step at position ``pos``.
 
         tgt_t : (B,) int32 tokens;  cache : from ``decode_cache_init``.
+        ``rows`` : optional (B,) int32 beam-predecessor map — the
+        self-cache permutation is fused into the cache update (see
+        ``ops.pallas.beam_cache``) instead of a separate gather.
         Returns ``(out (B, d_model), new_cache)`` — numerically the
         position-``pos`` output of ``decode`` over the full prefix,
         at O(1) projection/FFN cost per step (the serving hot path).
@@ -217,6 +221,7 @@ class TransformerASR(nn.Module):
             mode="step",
             cache=cache,
             pos=pos,
+            rows=rows,
         )
         return out[:, 0], new_cache
 

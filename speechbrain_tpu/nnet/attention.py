@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.pallas.beam_cache import append_attend, beam_attend_step
+
 __all__ = [
     "ContentBasedAttention",
     "LocationAwareAttention",
@@ -441,6 +443,7 @@ class MultiheadAttention(nn.Module):
         mode="full",
         kv_cache=None,
         cache_index=None,
+        rows=None,
     ):
         """``mode`` selects the serving-path variants (all share the
         same projection parameters as the ``"full"`` training path):
@@ -450,14 +453,22 @@ class MultiheadAttention(nn.Module):
           ``key``/``value`` as ``(B, T, nhead, d_head)`` — used once
           per autoregressive search to precompute cross-attention
           caches.
-        - ``"step"``: one-token query ``(B, 1, d)`` against a KV cache
-          ``kv_cache=(k, v)`` of shape ``(B, L, nhead, d_head)``.  When
-          ``key``/``value`` are given (self-attention), their
-          single-token projection is written at ``cache_index`` first
-          and positions beyond it are causally masked; when None
-          (cross-attention), the cache is attended as-is.  The
-          cross-attention cache may be GROUPED: ``(B_kv, L, nhead,
-          d_head)`` with ``B == B_kv * group`` — consecutive groups of
+        - ``"step"``: one-token incremental decode at ``cache_index``.
+
+          Self-attention (``key``/``value`` given): ``kv_cache`` is a
+          MERGED TIME-MINOR cache ``(B, d_model, 2L)`` — K at lanes
+          [0, L), V at [L, 2L) (see ``ops.pallas.beam_cache``); the
+          single-token K/V projections are written at column
+          ``cache_index`` and later positions are causally masked.
+          With ``rows`` (an ``(B,)`` int32 predecessor map from beam
+          search), the cache is first permuted so output row i
+          descends from cache row ``rows[i]`` — fused with the append
+          and the attention read in one Pallas kernel on TPU.
+          Returns ``(out, None, new_kv_cache)``.
+
+          Cross-attention (``key``/``value`` None): ``kv_cache=(k, v)``
+          of shape ``(B_kv, L, nhead, d_head)``, attended as-is.  May
+          be GROUPED: ``B == B_kv * group`` — consecutive groups of
           ``group`` query rows share one KV row (beam search: all
           beams of a batch item attend the same encoder states, so the
           cache is stored once per item instead of once per beam,
@@ -478,12 +489,11 @@ class MultiheadAttention(nn.Module):
             )
         if mode == "step":
             B = query.shape[0]
-            k_all, v_all = kv_cache
-            L = k_all.shape[1]
-            if key is not None and key is query and value is query:
-                # Fused self-attention step: ONE (d, 3d) matmul instead
-                # of three (d, d) ones — at decode-step shapes each MXU
-                # call is latency-bound, so fewer + fatter ops win
+            if key is not None:
+                # Self-attention step over the merged time-minor cache.
+                # Fused qkv: ONE (d, 3d) matmul instead of three (d, d)
+                # ones — at decode-step shapes each MXU call is
+                # latency-bound, so fewer + fatter ops win
                 # (PERFORMANCE.md round 3); parameters stay at the
                 # q_proj/k_proj/v_proj paths of the unfused path.
                 d_in = query.shape[-1]
@@ -497,29 +507,31 @@ class MultiheadAttention(nn.Module):
                 b = jnp.concatenate([x[1] for x in kb]).astype(
                     query.dtype
                 )
-                qkv = query @ w + b  # (B, 1, 3d)
-                q, k_t, v_t = (
-                    x.reshape(B, 1, self.nhead, d_head)
-                    for x in jnp.split(qkv, 3, axis=-1)
-                )
-            else:
-                q = nn.Dense(
-                    self.d_model, name="q_proj", dtype=query.dtype
-                )(query).reshape(B, 1, self.nhead, d_head)
-                if key is not None:
-                    k_t = nn.Dense(
-                        self.d_model, name="k_proj", dtype=query.dtype
-                    )(key).reshape(B, 1, self.nhead, d_head)
-                    v_t = nn.Dense(
-                        self.d_model, name="v_proj", dtype=query.dtype
-                    )(value).reshape(B, 1, self.nhead, d_head)
-            if key is not None:
-                k_all = jax.lax.dynamic_update_slice_in_dim(
-                    k_all, k_t.astype(k_all.dtype), cache_index, axis=1
-                )
-                v_all = jax.lax.dynamic_update_slice_in_dim(
-                    v_all, v_t.astype(v_all.dtype), cache_index, axis=1
-                )
+                qkv = (query.reshape(B, d_in) @ w) + b  # (B, 3d)
+                q_t, k_t, v_t = jnp.split(qkv, 3, axis=-1)
+                q_t = q_t * (1.0 / math.sqrt(d_head))
+                if rows is not None:
+                    out_t, kv_all = beam_attend_step(
+                        kv_cache, rows, q_t, k_t, v_t, cache_index,
+                        self.nhead,
+                    )
+                else:
+                    out_t, kv_all = append_attend(
+                        kv_cache, cache_index,
+                        q_t.astype(kv_cache.dtype),
+                        k_t.astype(kv_cache.dtype),
+                        v_t.astype(kv_cache.dtype),
+                        self.nhead,
+                    )
+                out = nn.Dense(
+                    self.d_model, name="out_proj", dtype=query.dtype
+                )(out_t.astype(query.dtype).reshape(B, 1, self.d_model))
+                return out, None, kv_all
+            k_all, v_all = kv_cache
+            L = k_all.shape[1]
+            q = nn.Dense(
+                self.d_model, name="q_proj", dtype=query.dtype
+            )(query).reshape(B, 1, self.nhead, d_head)
             B_kv = k_all.shape[0]
             if key is None and B_kv != B:
                 # Grouped cross-attention: one KV row per `group`
@@ -549,11 +561,6 @@ class MultiheadAttention(nn.Module):
             scores = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k_all
             ) / math.sqrt(d_head)
-            if key is not None:
-                causal = (
-                    jnp.arange(L)[None, None, None, :] > cache_index
-                )
-                scores = jnp.where(causal, NEG_FILL, scores)
             if key_padding_mask is not None:
                 scores = jnp.where(
                     key_padding_mask[:, None, None, :], NEG_FILL, scores

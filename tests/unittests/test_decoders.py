@@ -562,3 +562,61 @@ def test_transducer_beam_device_starved_terminates():
     np.testing.assert_allclose(
         np.asarray(dev_scores), host_scores, rtol=1e-4, atol=1e-5
     )
+
+
+def test_transformer_beam_fused_rows_parity():
+    """Deferred-permutation mode (step_fn accepting ``rows``: the beam
+    predecessor gather is fused into the model's cache update, see
+    ``ops.pallas.beam_cache``) must produce the same hypotheses and
+    scores as the eager whole-cache gather path."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.decoders.seq2seq import S2STransformerBeamSearch
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+        TransformerASR,
+    )
+
+    rng = np.random.default_rng(3)
+    B, T, F, V, D = 2, 12, 8, 11, 16
+    model = TransformerASR(
+        tgt_vocab=V, input_size=F, d_model=D, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=2, d_ffn=32,
+        dropout=0.0, encoder_module="transformer",
+        attention_type="regularMHA",
+    )
+    src = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+    tgt = jnp.zeros((B, 3), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, tgt, train=False)
+    enc = model.apply(params, src, method="encode")
+    lens = jnp.asarray([1.0, 0.7])
+
+    W_out = jnp.asarray(rng.standard_normal((D, V)), jnp.float32)
+    common = dict(
+        decode_fn=None,
+        cache_init_fn=lambda e, max_steps: model.apply(
+            params, e, max_steps, method="decode_cache_init"
+        ),
+        linear_fn=lambda d: d @ W_out,
+        bos_index=1, eos_index=2, blank_index=0,
+        min_decode_ratio=0.0, max_decode_ratio=1.0, beam_size=3,
+        using_eos_threshold=False, length_normalization=True,
+    )
+    eager = S2STransformerBeamSearch(
+        step_fn=lambda tok, cache, pos, el: model.apply(
+            params, tok, cache, pos, el, method="decode_step"
+        ),
+        **common,
+    )
+    fused = S2STransformerBeamSearch(
+        step_fn=lambda tok, cache, pos, el, rows: model.apply(
+            params, tok, cache, pos, el, rows=rows,
+            method="decode_step"
+        ),
+        **common,
+    )
+    assert not eager._step_rows and fused._step_rows
+    h_eager, s_eager = eager(enc, lens)
+    h_fused, s_fused = fused(enc, lens)
+    assert h_eager == h_fused, (h_eager, h_fused)
+    np.testing.assert_allclose(s_eager, s_fused, rtol=1e-4, atol=1e-5)
