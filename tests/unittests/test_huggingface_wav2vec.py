@@ -8,13 +8,26 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+def _importorskip_transformers():
+    """importorskip that also skips on non-ImportError failures: this
+    image's transformers can raise ValueError from its dependency
+    version checks at import time, which pytest.importorskip does not
+    catch."""
+    try:
+        import transformers  # noqa: F401
+
+        return transformers
+    except Exception as e:  # pragma: no cover - env-dependent
+        pytest.skip(f"transformers unavailable: {e!r}")
+
 # transformers-dependent tests skip individually (via this fixture);
 # the transformers-FREE fixture tests at the bottom always execute.
 
 
 @pytest.fixture(scope="module")
 def tiny_w2v2_dir(tmp_path_factory):
-    pytest.importorskip("transformers")
+    _importorskip_transformers()
     from transformers import Wav2Vec2Config
 
     cfg = Wav2Vec2Config(
@@ -101,7 +114,7 @@ def test_hf_wav2vec2_checkpoint_round_trip(tiny_w2v2_dir, tmp_path):
     VERDICT round-1 item 10)."""
     import flax
 
-    pytest.importorskip("transformers")
+    _importorskip_transformers()
     from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
 
     from speechbrain_tpu.lobes.models.huggingface_wav2vec import (
@@ -211,7 +224,7 @@ def test_wav2vec2_flax_matches_transformers(tmp_path):
     only implements the ``do_stable_layer_norm=True`` (lv60) layout, so
     parity is pinned there; the post-norm (base) layout is covered by
     the fixture round-trip test above."""
-    transformers = pytest.importorskip("transformers")
+    transformers = _importorskip_transformers()
     from transformers import FlaxWav2Vec2Model, Wav2Vec2Config as HFCfg
 
     from speechbrain_tpu.lobes.models.wav2vec2_flax import (

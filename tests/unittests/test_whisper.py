@@ -10,6 +10,19 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+def _importorskip_transformers():
+    """importorskip that also skips on non-ImportError failures: this
+    image's transformers can raise ValueError from its dependency
+    version checks at import time, which pytest.importorskip does not
+    catch."""
+    try:
+        import transformers  # noqa: F401
+
+        return transformers
+    except Exception as e:  # pragma: no cover - env-dependent
+        pytest.skip(f"transformers unavailable: {e!r}")
+
 from speechbrain_tpu.lobes.models.whisper import (
     Whisper,
     log_mel_spectrogram,
@@ -35,7 +48,7 @@ def _tiny_whisper(vocab=32, **over):
 
 
 def test_mel_filters_match_transformers():
-    transformers = pytest.importorskip("transformers")
+    transformers = _importorskip_transformers()
     from transformers.audio_utils import mel_filter_bank
 
     ref = mel_filter_bank(
@@ -52,7 +65,7 @@ def test_mel_filters_match_transformers():
 
 
 def test_log_mel_matches_whisper_feature_extractor():
-    transformers = pytest.importorskip("transformers")
+    transformers = _importorskip_transformers()
     from transformers import WhisperFeatureExtractor
 
     fe = WhisperFeatureExtractor()
@@ -172,7 +185,7 @@ def test_whisper_greedy_and_beam_search():
 
 
 def test_hf_whisper_wrapper_offline(tmp_path):
-    transformers = pytest.importorskip("transformers")
+    transformers = _importorskip_transformers()
     from transformers import WhisperConfig
 
     from speechbrain_tpu.lobes.models.whisper import HuggingFaceWhisper
@@ -204,7 +217,7 @@ def test_hf_checkpoint_round_trip_to_native(tmp_path):
     via HuggingFaceWhisper, transplant into the native Whisper, and
     check encoder/decoder logits parity — the advertised fine-tuning
     path (VERDICT round-1 item 10)."""
-    transformers = pytest.importorskip("transformers")
+    transformers = _importorskip_transformers()
     from transformers import WhisperConfig, FlaxWhisperModel
 
     from speechbrain_tpu.lobes.models.whisper import (
