@@ -591,7 +591,12 @@ def main():
     # real fit() loop uses via run_opts["steps_per_execute"].  Device
     # work per step is identical to per-batch fit_batch (equivalence
     # pinned by tests/unittests/test_core.py).
-    window = batches + batches  # K=16 over the 8 staged buffers
+    # K=32 over the 8 staged buffers: the tunnel's per-dispatch
+    # overhead (9-59 ms, time-varying — PERFORMANCE.md measurement
+    # model) rides on each fused window; at K=16 it contributed 2-10%
+    # of the wall and most of the round-over-round "value" variance
+    # (device-busy per step has been a stable ~31.5 ms since r02).
+    window = batches * 4
     K = len(window)
     # Deep lazy-loss queue: sync stalls would serialize the windows.
     brain.loss_sync_interval = 200
@@ -637,7 +642,7 @@ def main():
             for i in range(4)
         ]
         jax.block_until_ready(lbatches)
-        lwindow = lbatches + lbatches  # K=8
+        lwindow = lbatches * 4  # K=16 (amortize window dispatch)
         LK = len(lwindow)
         lbrain.loss_sync_interval = 200
         lbrain.step = 1
@@ -713,6 +718,13 @@ def main():
             "different silicon — see mfu for efficiency"
         )
     if end_to_end is not None:
+        # r02/r03 counted BatchShapePolicy dummy rows as utterances
+        # (~16x overcount; PERFORMANCE.md round 4) — deltas vs those
+        # rounds are a metric REDEFINITION, not a regression.
+        out["host_metrics_note"] = (
+            "real utterances only since r04; r02/r03 values counted "
+            "padding dummy rows (~16x)"
+        )
         out["end_to_end_utt_s"] = round(end_to_end, 2)
     if host_rate is not None:
         out["host_pipeline_utt_s"] = round(host_rate, 2)
