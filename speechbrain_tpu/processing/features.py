@@ -135,25 +135,45 @@ class STFT:
             mode = "reflect" if self.pad_mode == "reflect" else "constant"
             x = jnp.pad(x, ((0, 0), (pad, pad)), mode=mode)
         if self.backend == "matmul" and self.onesided:
-            # Fused framing + window + DFT as ONE strided convolution:
-            # kernel[n, k] = window[n] * dft[n, k]; stride = hop.  The
-            # MXU computes the whole spectrogram without materializing
-            # the (B, frames, n_fft) patch tensor.
+            # Fused framing + window + DFT as ONE big MXU matmul.
+            # A strided single-channel convolution expresses the same
+            # math, but XLA lowers C_in=1 large-stride convs as VPU
+            # sliding fusions (measured 14x off the MXU: 746 us vs
+            # ~52 us of matmul math for B=32 x 10 s).  Instead the
+            # signal is cut into hop-sized chunks and each frame is
+            # the concat of m = ceil(n_fft/hop) consecutive chunks
+            # (kernel zero-padded to m*hop): frames (B, T, m*hop) @
+            # kernel (m*hop, 2F) — identical products, MXU-shaped.
             F = self.n_fft // 2 + 1
+            hop = self.hop_length
             kern = jnp.concatenate(
                 [
                     self.window[:, None] * self._dft_re,
                     self.window[:, None] * self._dft_im,
                 ],
                 axis=1,
-            )[:, None, :]  # (n_fft, 1, 2F) HIO
+            )  # (n_fft, 2F)
             conv_dtype = self.mxu_dtype or x.dtype
-            spec2 = jax.lax.conv_general_dilated(
-                x[:, :, None].astype(conv_dtype),
-                kern.astype(conv_dtype),
-                window_strides=(self.hop_length,),
-                padding="VALID",
-                dimension_numbers=("NHC", "HIO", "NHC"),
+            m = -(-self.n_fft // hop)
+            Lk = m * hop
+            xx = x
+            if Lk > self.n_fft:
+                # zero tail: multiplies only the kernel's zero pad
+                xx = jnp.pad(x, ((0, 0), (0, Lk - self.n_fft)))
+            nc = xx.shape[1] // hop
+            chunks = xx[:, : nc * hop].reshape(x.shape[0], nc, hop)
+            n_frames = nc - m + 1
+            frames = jnp.concatenate(
+                [chunks[:, j : j + n_frames] for j in range(m)],
+                axis=-1,
+            )  # (B, n_frames, m*hop)
+            kern_pad = jnp.pad(
+                kern, ((0, Lk - self.n_fft), (0, 0))
+            )
+            spec2 = jax.lax.dot_general(
+                frames.astype(conv_dtype),
+                kern_pad.astype(conv_dtype),
+                (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(x.dtype)  # (B, frames, 2F)
             real, imag = spec2[..., :F], spec2[..., F:]
