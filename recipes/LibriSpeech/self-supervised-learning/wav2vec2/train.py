@@ -4,7 +4,7 @@
     python train.py hparams/wav2vec2_base.yaml --data_folder /data/LibriSpeech
 
 Mirrors the reference
-``recipes/LibriSpeech/self-supervised-learning/wav2vec2/train.py``
+``recipes/LibriSpeech/self-supervised-learning/wav2vec2/train_sb_wav2vec2.py``
 (which drives the native model in ``lobes/models/wav2vec.py``):
 convolutional latent extractor, Gumbel-quantized targets, masked
 transformer encoder, contrastive loss + diversity penalty.  Random

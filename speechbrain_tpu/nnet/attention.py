@@ -490,6 +490,17 @@ class MultiheadAttention(nn.Module):
         if mode == "step":
             B = query.shape[0]
             if key is not None:
+                if key is not query or (
+                    value is not None and value is not query
+                ):
+                    # The fused-QKV step path projects K/V from `query`;
+                    # distinct key/value tensors would be silently
+                    # ignored (advisor r4).
+                    raise NotImplementedError(
+                        "step-mode self-attention requires "
+                        "key is query (and value is query); got "
+                        "distinct tensors"
+                    )
                 # Self-attention step over the merged time-minor cache.
                 # Fused qkv: ONE (d, 3d) matmul instead of three (d, d)
                 # ones — at decode-step shapes each MXU call is

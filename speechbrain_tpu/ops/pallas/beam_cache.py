@@ -31,6 +31,7 @@ Replaces the cache-reordering role of the reference's
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["beam_attend_step", "append_attend"]
 
 _NEG = -1e30
+# Read once at import: under jit the value is baked into the cached
+# trace anyway, so a mid-process env change would be silently ignored
+# — make that explicit (advisor r4).
+_GMAX_ENV = int(os.environ.get("SB_BEAM_CACHE_G", "8"))
+# Per-grid-step VMEM budget for the G-beam blocks (v5e VMEM is 16 MiB;
+# leave half for double-buffering, scratch and the resident operands).
+_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _kernel(rows_ref, pos_ref, qr_ref, kvn_ref, *refs, H, Dh, L, G):
@@ -102,9 +110,16 @@ def _pallas_call(kv, rows, pos_arr, q_rows, kv_new, H, interpret):
     n, HD, L2 = kv.shape
     L = L2 // 2
     Dh = HD // H
-    import os
-    _gmax = int(os.environ.get("SB_BEAM_CACHE_G", "8"))
-    G = next(g for g in (8, 4, 2, 1) if n % g == 0 and g <= _gmax)
+    # One (1, HD, 2L) in-block per beam plus the (G, HD, 2L) out block
+    # live in VMEM per grid step: 2 * G * HD * 2L * itemsize bytes.
+    step_bytes = lambda g: 2 * g * HD * L2 * kv.dtype.itemsize
+    G = next(
+        g
+        for g in (8, 4, 2, 1)
+        if n % g == 0
+        and g <= _GMAX_ENV
+        and (step_bytes(g) <= _VMEM_BUDGET or g == 1)
+    )
     kv_spec = [
         pl.BlockSpec(
             (1, HD, L2),

@@ -162,7 +162,9 @@ class STFT:
                 xx = jnp.pad(x, ((0, 0), (0, Lk - self.n_fft)))
             nc = xx.shape[1] // hop
             chunks = xx[:, : nc * hop].reshape(x.shape[0], nc, hop)
-            n_frames = nc - m + 1
+            # Clamp for signals shorter than (m-1)*hop: conv VALID
+            # semantics produce 0 frames, not negative slice stops.
+            n_frames = max(nc - m + 1, 0)
             frames = jnp.concatenate(
                 [chunks[:, j : j + n_frames] for j in range(m)],
                 axis=-1,

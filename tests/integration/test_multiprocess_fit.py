@@ -88,12 +88,22 @@ loader = SaveableDataLoader(ds, batch_size={batch_local}, sampler=sampler)
 
 brain = make_brain({ckpt_dir!r})
 losses = []
+step_losses = []
 orig_ose = brain.on_stage_end
 def on_stage_end(stage, loss, epoch=None):
     if stage == Stage.TRAIN:
         losses.append(float(loss))
     return orig_ose(stage, loss, epoch)
 brain.on_stage_end = on_stage_end
+# Step-1 loss before chaotic SGD amplification: tight dp-invariance
+# check (identical params, identical global batch; only collective
+# reduction order differs).
+orig_obe = brain.on_fit_batch_end
+def on_fit_batch_end(batch, outputs, loss, should_step):
+    if len(step_losses) < 1:
+        step_losses.append(float(loss))
+    return orig_obe(batch, outputs, loss, should_step)
+brain.on_fit_batch_end = on_fit_batch_end
 
 brain.fit(EpochCounter({epochs}), loader)
 fp_trained = fingerprint(brain.train_state["params"])
@@ -114,6 +124,7 @@ fp_recovered = fingerprint(brain2.train_state["params"])
 out = {{
     "rank": {rank},
     "losses": losses,
+    "step1_loss": step_losses[0],
     "params_hash": fp_trained,
     "recovered_hash": fp_recovered,
     "n_ckpts": n_ckpts,
@@ -230,8 +241,17 @@ def _single_process_losses():
         return orig(stage, loss, epoch)
 
     brain.on_stage_end = on_stage_end
+    step_losses = []
+    orig_obe = brain.on_fit_batch_end
+
+    def on_fit_batch_end(batch, outputs, loss, should_step):
+        if len(step_losses) < 1:
+            step_losses.append(float(loss))
+        return orig_obe(batch, outputs, loss, should_step)
+
+    brain.on_fit_batch_end = on_fit_batch_end
     brain.fit(EpochCounter(EPOCHS), loader)
-    return losses
+    return losses, step_losses[0]
 
 
 def test_two_process_fit(tmp_path):
@@ -256,8 +276,16 @@ def test_two_process_fit(tmp_path):
     # equally valid — accumulation order); a wrong collective
     # (missing/duplicated psum) is an O(1) error, so 1e-2 retains
     # full discriminative power.
-    single = _single_process_losses()
+    single, single_step1 = _single_process_losses()
     np.testing.assert_allclose(r0["losses"], single, rtol=1e-2, atol=1e-4)
+    # Step-1 loss: identical initial params and global batch — only
+    # the collective reduction order differs, so the tolerance can be
+    # TIGHT (advisor r4: the epoch-level 1e-2 alone erodes as frontend
+    # changes shift accumulation order; this anchors the check).
+    np.testing.assert_allclose(
+        r0["step1_loss"], single_step1, rtol=1e-5, atol=1e-6
+    )
+    assert r0["step1_loss"] == r1["step1_loss"]
     # (3) rank-0 wrote exactly one checkpoint; both ranks recovered it
     #     into a fresh Brain with identical parameters
     assert r0["n_ckpts"] == 1 and r1["n_ckpts"] == 1
