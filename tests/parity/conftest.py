@@ -22,6 +22,9 @@ import pytest
 REFERENCE_ROOT = "/root/reference"
 
 
+_CREATED_STUBS = []
+
+
 def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
@@ -29,7 +32,22 @@ def _stub(name, **attrs):
     for key, val in attrs.items():
         setattr(mod, key, val)
     sys.modules[name] = mod
+    _CREATED_STUBS.append(name)
     return mod
+
+
+@pytest.fixture(scope="package", autouse=True)
+def _cleanup_stubs():
+    """Remove the dep stubs once the parity package finishes.
+
+    A lingering ``sentencepiece`` stub (``__spec__ is None``) breaks
+    transformers' availability probe in the LATER-collected HF interop
+    tests — they skipped in full-suite runs while passing individually
+    (the round-4 suite's 9 unexplained skips)."""
+    yield
+    for name in _CREATED_STUBS:
+        sys.modules.pop(name, None)
+    _CREATED_STUBS.clear()
 
 
 def _install_reference():

@@ -241,3 +241,209 @@ def test_conformer_joint_trajectory_parity(ref, torch):
     # both trajectories actually trained (loss moved meaningfully)
     assert t_losses[-1] < t_losses[0]
     assert o_losses[-1] < o_losses[0]
+
+
+def _torch_rnnt_nll(torch, logp, targets, t_lens, u_lens):
+    """Pure-torch (Numba-free) RNN-T forward with the reference CUDA
+    kernel's exact semantics (``nnet/loss/transducer_loss.py:34-110``):
+    log-space alpha over the (T, U+1) lattice,
+    ``ll = alpha[T-1, U] + blank(T-1, U)`` normalized per-utterance by
+    T (``transducer_loss.py:104-106``).  Autograd supplies gradients —
+    the oracle for the scan/Pallas backends' trajectory."""
+    B = logp.shape[0]
+    losses = []
+    for b in range(B):
+        Tb, Ub = int(t_lens[b]), int(u_lens[b])
+        alpha = [
+            [None] * (Ub + 1) for _ in range(Tb)
+        ]
+        for t in range(Tb):
+            for u in range(Ub + 1):
+                if t == 0 and u == 0:
+                    alpha[t][u] = logp.new_zeros(())
+                    continue
+                cands = []
+                if t > 0:
+                    cands.append(
+                        alpha[t - 1][u] + logp[b, t - 1, u, 0]
+                    )
+                if u > 0:
+                    cands.append(
+                        alpha[t][u - 1]
+                        + logp[b, t, u - 1, int(targets[b, u - 1])]
+                    )
+                alpha[t][u] = torch.logsumexp(torch.stack(cands), 0)
+        ll = alpha[Tb - 1][Ub] + logp[b, Tb - 1, Ub, 0]
+        losses.append(-ll / Tb)
+    return torch.stack(losses).mean()
+
+
+def test_transducer_trajectory_parity(ref, torch):
+    """30-step Adam trajectory through the transducer loss kernel.
+
+    The conformer trajectory test covers CTC/attn; the transducer
+    recipe exercises a different loss kernel (the scan formulation on
+    CPU — the same lattice the Pallas kernel computes, pinned equal by
+    tests/unittests/test_pallas_transducer.py), the joint network, and
+    the per-T normalization convention.  A divergence bug in any of
+    them passes every single-step test but drifts over a trajectory.
+
+    Model: Linear encoder + (Embedding -> LSTM) prediction net +
+    sum/tanh joint + output Linear, transplanted weights, variable
+    t/u lengths (masking exercised), torch SGD+momentum vs optax.sgd
+    (Adam's first-step sign normalization amplifies f32 rounding on
+    near-zero-gradient elements to ~lr per element — measured 1e-3
+    loss drift by step 1 — while the SGD trajectory isolates kernel
+    semantics; Adam/Noam stepping parity is covered by the conformer
+    trajectory test above).
+    """
+    import optax
+
+    from speechbrain_tpu.nnet.RNN import LSTM as OursLSTM
+    from speechbrain_tpu.nnet.embedding import Embedding as OursEmb
+    from speechbrain_tpu.nnet.linear import Linear as OursLinear
+    from speechbrain_tpu.nnet.loss.transducer_loss import TransducerLoss
+    from speechbrain_tpu.nnet.transducer.transducer_joint import (
+        Transducer_joint,
+    )
+
+    V, F, H = 8, 6, 10
+    B, T, U = 2, 8, 4
+    STEPS = 30
+    LR = 5e-3
+
+    rng = np.random.default_rng(97)
+    n_batches = 4
+    batches = []
+    for i in range(n_batches):
+        feats = rng.standard_normal((B, T, F)).astype(np.float32)
+        targets = rng.integers(1, V, (B, U)).astype(np.int64)
+        t_lens = np.asarray([T, T - 2], np.int32)
+        u_lens = np.asarray([U, U - 1], np.int32)
+        batches.append((feats, targets, t_lens, u_lens))
+
+    # ---- torch side --------------------------------------------------
+    t_enc = torch.nn.Linear(F, H)
+    t_emb = torch.nn.Embedding(V, H)
+    t_lstm = torch.nn.LSTM(H, H, batch_first=True)
+    t_out = torch.nn.Linear(H, V)
+    t_params = (
+        list(t_enc.parameters())
+        + list(t_emb.parameters())
+        + list(t_lstm.parameters())
+        + list(t_out.parameters())
+    )
+
+    def torch_loss(batch):
+        feats, targets, t_lens, u_lens = batch
+        enc = t_enc(torch.tensor(feats))  # (B, T, H)
+        tok = torch.tensor(
+            np.concatenate(
+                [np.zeros((B, 1), np.int64), targets], axis=1
+            )
+        )
+        pred, _ = t_lstm(t_emb(tok))  # (B, U+1, H)
+        joint = torch.tanh(enc[:, :, None, :] + pred[:, None, :, :])
+        logp = torch.log_softmax(t_out(joint), dim=-1)
+        return _torch_rnnt_nll(torch, logp, targets, t_lens, u_lens)
+
+    # ---- our side: transplanted params ------------------------------
+    o_enc = OursLinear(n_neurons=H)
+    o_emb = OursEmb(num_embeddings=V, embedding_dim=H)
+    o_lstm = OursLSTM(hidden_size=H, num_layers=1)
+    o_joint = Transducer_joint(joint="sum")
+    o_out = OursLinear(n_neurons=V)
+    loss_mod = TransducerLoss(
+        blank_index=0, normalize_by_T=True, use_pallas=False
+    )
+
+    params = {
+        "enc": {
+            "Dense_0": {
+                "kernel": t2j(t_enc.weight).T,
+                "bias": t2j(t_enc.bias),
+            }
+        },
+        "emb": {"Embed_0": {"embedding": t2j(t_emb.weight)}},
+        "pred": {
+            "l0_wx": {
+                "kernel": t2j(t_lstm.weight_ih_l0).T,
+                "bias": t2j(t_lstm.bias_ih_l0) + t2j(t_lstm.bias_hh_l0),
+            },
+            "l0_u": t2j(t_lstm.weight_hh_l0).T,
+        },
+        "out": {
+            "Dense_0": {
+                "kernel": t2j(t_out.weight).T,
+                "bias": t2j(t_out.bias),
+            }
+        },
+    }
+    feats0, targets0, _, _ = batches[0]
+    tok0 = np.concatenate([np.zeros((B, 1), np.int64), targets0], 1)
+    # structure check: transplant keys == module-init keys
+    import flax
+
+    for mod, sub, args in (
+        (o_enc, "enc", (jnp.asarray(feats0),)),
+        (o_emb, "emb", (jnp.asarray(tok0),)),
+        (o_lstm, "pred", (jnp.zeros((B, U + 1, H)),)),
+        (o_out, "out", (jnp.zeros((B, T, U + 1, H)),)),
+    ):
+        init = mod.init(jax.random.PRNGKey(0), *args)
+        assert set(
+            flax.traverse_util.flatten_dict(init["params"])
+        ) == set(flax.traverse_util.flatten_dict(params[sub])), sub
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def our_loss(p, batch):
+        feats, targets, t_lens, u_lens = batch
+        enc = o_enc.apply({"params": p["enc"]}, jnp.asarray(feats))
+        tok = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), jnp.asarray(targets, jnp.int32)],
+            axis=1,
+        )
+        emb = o_emb.apply({"params": p["emb"]}, tok)
+        pred, _ = o_lstm.apply({"params": p["pred"]}, emb)
+        joint = o_joint.apply({}, enc, pred)
+        logits = o_out.apply({"params": p["out"]}, joint)
+        return loss_mod(
+            logits, targets, jnp.asarray(t_lens), jnp.asarray(u_lens)
+        ).mean()
+
+    grad_fn = jax.jit(jax.value_and_grad(our_loss))
+
+    t_opt = torch.optim.SGD(t_params, lr=LR, momentum=0.9)
+    o_opt = optax.sgd(LR, momentum=0.9)
+    o_state = o_opt.init(params)
+
+    t_losses, o_losses = [], []
+    for step in range(STEPS):
+        batch = batches[step % n_batches]
+        t_opt.zero_grad()
+        t_loss = torch_loss(batch)
+        t_loss.backward()
+        t_opt.step()
+        t_losses.append(float(t_loss.detach()))
+
+        o_loss, grads = grad_fn(params, batch)
+        updates, o_state = o_opt.update(grads, o_state, params)
+        params = optax.apply_updates(params, updates)
+        o_losses.append(float(o_loss))
+
+    t_losses = np.asarray(t_losses)
+    o_losses = np.asarray(o_losses)
+    # measured drift: identical at step 0, ~3e-3 worst late step (f32
+    # rounding through ~30 steps at effective lr 0.05); a
+    # normalization-convention or lattice bug is O(1)
+    for s in range(STEPS):
+        rtol = 2e-3 if s < 10 else 1e-2
+        np.testing.assert_allclose(
+            o_losses[s],
+            t_losses[s],
+            rtol=rtol,
+            err_msg=f"transducer trajectory diverged at step {s}: "
+            f"ours={o_losses[s]:.6f} torch={t_losses[s]:.6f}",
+        )
+    assert t_losses[-1] < t_losses[0]
+    assert o_losses[-1] < o_losses[0]
