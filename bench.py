@@ -5,7 +5,7 @@ Prints ONE JSON line:
  "end_to_end_utt_s": ..., "host_pipeline_utt_s": ..., "mfu": ...,
  "step_flops": ...}
 
-Three measurements (VERDICT round-1 item 3):
+Measurements (VERDICT round-1 item 3):
 
 1. ``value`` (chip-only utt/s/chip): the FULL data-parallel training
    step (Fbank frontend + conformer_small-dims joint CTC/attention +
@@ -15,14 +15,37 @@ Three measurements (VERDICT round-1 item 3):
    is decoded by the native C++ decoder inside DataPipeline workers,
    token-budget-bucketed by DynamicBatchSampler, quantized to fixed
    shapes by BatchShapePolicy, prefetched, transferred and trained
-   with per-batch fit_batch.  NOTE: the dev environment reaches the
-   TPU through a remote-dispatch tunnel that serializes host->device
-   transfers with compute (PERFORMANCE.md item 2) — an artifact no
-   production TPU host has — so ``host_pipeline_utt_s`` additionally
-   reports the host pipeline alone (decode+bucket+collate), which is
-   the honest "can the host keep the chip fed" number.
+   with per-batch fit_batch.  ``host_pipeline_utt_s`` additionally
+   reports the host pipeline alone (decode+bucket+collate).
 3. ``mfu``: model-FLOPs utilization — XLA cost-analysis FLOPs of the
    jitted train step divided by (step time x chip bf16 peak).
+
+## Measurement model (round 5)
+
+The dev environment reaches the TPU through a remote-dispatch tunnel
+with two failure modes that make naive wall-clock timing meaningless
+(PERFORMANCE.md round 5):
+
+- ``block_until_ready`` can return before execution (1.1 ms/step
+  "measured" against a 30.4 ms/step device profile), and
+- the FIRST device->host fetch of a process permanently degrades all
+  subsequent host->device transfers ~40x (900 -> 35 MB/s) and can
+  itself stall for minutes.
+
+Additionally the tunnel runs LAZILY (dispatched work may execute only
+when its results are demanded), and its profiler records only the
+FIRST device execution of each compiled program.
+
+So every device-timed section here (a) runs in its OWN subprocess
+(fresh tunnel session, fast transfers until its first fetch), (b)
+stages ALL inputs before any fetch, and (c) times work with
+``_trace_timed``: enqueue the fetch-free loop (wall = honest host
+cost) + demand its values (forces execution) under
+``jax.profiler.trace``, read the per-call device time from the traced
+program execution, and report max(host wall, per-call * n_calls).
+The demanded values double as the execution-integrity check (finite,
+evolving across calls — a handle-memoizing elision returns stale
+values and trips it).
 
 vs_baseline divides by a MEASURED anchor: the actual reference
 (PyTorch SpeechBrain) conformer_small training step timed on this
@@ -32,8 +55,12 @@ different silicon and says so (``vs_baseline_note``); ``mfu`` and
 ``docs/speed_of_light.md`` carry the hardware-normalized claims.
 """
 
+import glob
+import gzip
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
@@ -184,9 +211,128 @@ def _n_real(batch):
         return int(np.asarray(batch["sig"]).shape[0])
 
 
-def _measure_host_pipeline(manifest_path):
-    """utt/s of decode -> bucket -> collate, no device involved."""
-    loader = _e2e_loader(manifest_path)
+# ---------------------------------------------------------------------------
+# device-trace timing (see "Measurement model" in the module docstring)
+# ---------------------------------------------------------------------------
+
+TRACE_DIR = "/tmp/sb_bench_trace"
+
+
+def _device_program_events(trace_dir, match):
+    """(start_us, dur_us) of device-lane events whose name contains
+    ``match``, from the profiler's chrome-trace export."""
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    lane_names = {}
+    events = []
+    for p in paths:
+        with gzip.open(p, "rt") as f:
+            data = json.load(f)
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                lane_names[ev["pid"]] = ev["args"].get("name", "")
+            elif ev.get("ph") == "X" and "dur" in ev:
+                events.append(ev)
+    tpu_pids = {
+        pid for pid, nm in lane_names.items() if "TPU" in nm.upper()
+    }
+    return [
+        (ev["ts"], ev["dur"])
+        for ev in events
+        if ev["pid"] in tpu_pids and match in ev.get("name", "")
+    ]
+
+
+def _trace_timed(enqueue, demand, n_calls, match, margin_s=1.0):
+    """Enqueue + demand device work under a profiler trace; time it
+    from the device lane.
+
+    Protocol forced by the dev tunnel (PERFORMANCE.md round 5):
+    ``enqueue()`` dispatches ``n_calls`` same-shape executions of the
+    program whose jit name contains ``match`` with NO fetches (its
+    wall time is the honest host-side loop cost), then ``demand()`` —
+    a device_get of values depending on every call — forces execution
+    (the tunnel runs lazily and ``block_until_ready`` lies).  The
+    device trace reliably records only the FIRST execution of each
+    compiled program, so per-call device time is read from that event
+    and the device total is ``per_call * n_calls`` — valid because the
+    calls are same-shape (static-shape XLA programs have
+    content-independent runtimes; cross-checked round 5 against
+    N-scaling honest walls: 30.66 ms/step slope vs 30.4 ms/step
+    trace).  ``demand`` must ALSO verify values (finite, evolving) —
+    that is the execution-integrity check the truncated trace cannot
+    provide.
+
+    When the loop spans several compiled variants (e.g. two bucket
+    shapes sharing a jit name), the LONGEST variant's duration is used
+    for every call — a conservative (over-)estimate.
+
+    Returns {device_total_s, per_call_s, enqueue_wall_s}.
+    """
+    import jax
+
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    with jax.profiler.trace(TRACE_DIR):
+        t0 = time.perf_counter()
+        enqueue()
+        enqueue_wall = time.perf_counter() - t0
+        demand()
+        time.sleep(margin_s)
+    evs = _device_program_events(TRACE_DIR, match)
+    if not evs:
+        raise RuntimeError(
+            f"device trace saw no '{match}' execution — program never "
+            f"ran on device despite the demand fetch"
+        )
+    per_call = max(d for _, d in evs) / 1e6
+    if os.environ.get("SB_BENCH_DEBUG"):
+        durs = sorted((d / 1e3 for _, d in evs), reverse=True)[:5]
+        print(
+            f"# trace[{match}]: {len(evs)} events, top durs (ms) "
+            f"{[round(d, 2) for d in durs]}, enqueue_wall "
+            f"{enqueue_wall * 1e3:.1f} ms",
+            file=sys.stderr,
+        )
+    return {
+        "device_total_s": per_call * n_calls,
+        "per_call_s": per_call,
+        "enqueue_wall_s": enqueue_wall,
+    }
+
+
+def _timed_seconds(tr):
+    """Honest loop time: host enqueue wall vs device execution total."""
+    return max(tr["device_total_s"], tr["enqueue_wall_s"])
+
+
+def _aot(fn, *args):
+    """AOT compile with trace-time constants kept on the HOST.
+
+    Tracing eagerly materializes closure constants on the default
+    device; behind the remote-dispatch tunnel, MLIR lowering then
+    pulls every one back with a blocking device_get (measured: tens
+    of minutes for the search program).  Tracing under a cpu
+    default_device keeps them host-side (lowering measured at ~60 s
+    instead)."""
+    import jax
+
+    cpus = jax.devices("cpu")
+    with jax.default_device(cpus[0]):
+        lowered = jax.jit(fn).lower(*args)
+    return lowered.compile()
+
+
+# ---------------------------------------------------------------------------
+# sections (each runs in its own subprocess; prints one JSON dict)
+# ---------------------------------------------------------------------------
+
+
+def section_host():
+    """Host-only metrics: pipeline rate + padding audit (no device)."""
+    manifest = _ensure_corpus()
+    out = {}
+    loader = _e2e_loader(manifest)
     # warm one epoch (thread spin-up, file cache)
     for batch in loader:
         _n_real(batch)
@@ -195,30 +341,20 @@ def _measure_host_pipeline(manifest_path):
     for batch in loader:
         n_utts += _n_real(batch)
     dt = time.perf_counter() - t0
-    return n_utts / dt
+    out["host_pipeline_utt_s"] = round(n_utts / dt, 2)
 
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bucketing_audit import audit_menu, make_durations
 
-def _measure_end_to_end(brain, manifest_path, epochs=2):
-    """utt/s of decode -> bucket -> h2d -> fit_batch (full path)."""
-    import jax
-
-    loader = _e2e_loader(manifest_path)
-    brain.loss_sync_interval = 200
-    # warmup epoch: compiles one program per (batch, time) bucket pair
-    for batch in loader:
-        brain.step += 1
-        brain.fit_batch(batch)
-    jax.block_until_ready(brain.train_state["params"])
-    t0 = time.perf_counter()
-    n_utts = 0
-    for _ in range(epochs):
-        for batch in loader:
-            brain.step += 1
-            brain.fit_batch(batch)
-            n_utts += _n_real(batch)
-    jax.block_until_ready(brain.train_state["params"])
-    dt = time.perf_counter() - t0
-    return n_utts / dt
+        pr = audit_menu(make_durations(2000), 900.0, 200)
+        out["padding_overhead"] = round(pr["bucketed_pad_frac"], 4)
+        out["padding_overhead_ragged_ref"] = round(
+            pr["ragged_pad_frac"], 4
+        )
+    except Exception as e:
+        print(f"# padding audit skipped: {e!r}", file=sys.stderr)
+    return out
 
 
 def _step_flops(brain, device_batch):
@@ -239,23 +375,187 @@ def _step_flops(brain, device_batch):
         return None
 
 
-def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
+def section_train():
+    """Chip training throughput: conformer_small headline + d512."""
+    import jax
+
+    _enable_compile_cache()
+    import __graft_entry__ as ge
+
+    out = {}
+    SECONDS, B = 10.0, 32
+    kind = jax.devices()[0].device_kind
+    out["device_kind"] = kind
+    peak = next(
+        (v for k, v in PEAK_BF16.items() if kind.startswith(k)), None
+    )
+
+    # ---- stage EVERYTHING before any trace/fetch --------------------
+    # Every fused window gets DISTINCT batch content: the tunnel
+    # memoizes (program, argument-handle) dispatches, and with donated
+    # state the handles repeat — identical windows get elided, which
+    # the trace-count integrity check turns into a hard error.
+    brain = ge._conformer_brain(d_model=144, layers=12)
+    batches = [
+        brain.prepare_batch(
+            ge._synthetic_batch(B=B, seconds=SECONDS, U=40, seed=i)
+        )
+        for i in range(32)
+    ]
+    brain.loss_sync_interval = 10 ** 9
+    K = 32
+    windows = [
+        batches[8 * i : 8 * (i + 1)] * (K // 8) for i in range(4)
+    ]  # windows[0] warms; 1..3 are timed
+
+    LB = 16
+    lbrain = ge._conformer_brain(d_model=512, layers=12, nhead=8)
+    lbatches = [
+        lbrain.prepare_batch(
+            ge._synthetic_batch(B=LB, seconds=SECONDS, U=40, seed=i)
+        )
+        for i in range(12)
+    ]
+    lbrain.loss_sync_interval = 10 ** 9
+    LK = 16
+    lwindows = [
+        lbatches[4 * i : 4 * (i + 1)] * (LK // 4) for i in range(3)
+    ]  # lwindows[0] warms; 1..2 are timed
+
+    # warmups (compile + one window each; lazily executed — they drain
+    # when the headline demand fires and are excluded by the last-n
+    # filter), no fetches so transfers stay in the fast mode
+    brain.step = 1
+    brain.fit_batches(windows[0])
+    lbrain.step = 1
+    lbrain.fit_batches(lwindows[0])
+    flops = _step_flops(brain, batches[0])
+    lflops = _step_flops(lbrain, lbatches[0])
+
+    def demand():
+        vals = np.concatenate(
+            [np.ravel(v) for v in jax.device_get(brain._pending_losses)]
+        )
+        brain._pending_losses = []
+        assert np.isfinite(vals).all(), "non-finite training losses"
+
+    # ---- headline: 3 fused K=32 windows -----------------------------
+    n_windows = 3
+
+    def run_small():
+        for w in windows[1:]:
+            brain.step += K
+            brain.fit_batches(w)
+
+    tr = _trace_timed(run_small, demand, n_windows, "jit__train_steps")
+    n_steps = n_windows * K
+    dt = _timed_seconds(tr)
+    out["value"] = round(n_steps * B / dt, 2)
+    out["unit"] = "utt/s/chip"
+    out["metric"] = "conformer_train_utt_per_sec_per_chip"
+    if flops:
+        out["step_flops"] = flops
+        if peak:
+            out["mfu"] = round(flops / (dt / n_steps) / peak, 4)
+
+    # ---- large d512: 2 fused K=16 windows ---------------------------
+    try:
+        def run_large():
+            for lw in lwindows[1:]:
+                lbrain.step += LK
+                lbrain.fit_batches(lw)
+
+        def ldemand():
+            vals = np.concatenate(
+                [
+                    np.ravel(v)
+                    for v in jax.device_get(lbrain._pending_losses)
+                ]
+            )
+            lbrain._pending_losses = []
+            assert np.isfinite(vals).all(), "non-finite d512 losses"
+
+        # the d512 scan program shares the jit name with the small
+        # one; a fresh trace dir + the last-n filter isolate these 2
+        ltr = _trace_timed(run_large, ldemand, 2, "jit__train_steps")
+        ldt = _timed_seconds(ltr)
+        out["large_d512_utt_s"] = round(2 * LK * LB / ldt, 2)
+        if lflops and peak:
+            out["large_d512_mfu"] = round(
+                lflops / (ldt / (2 * LK)) / peak, 4
+            )
+    except Exception as e:
+        print(f"# large bench skipped: {e!r}", file=sys.stderr)
+    return out
+
+
+def section_e2e():
+    """End-to-end disk -> chip training rate."""
+    import jax
+
+    _enable_compile_cache()
+    import __graft_entry__ as ge
+
+    manifest = _ensure_corpus()
+    brain = ge._conformer_brain(d_model=144, layers=12)
+    brain.loss_sync_interval = 10 ** 9
+    loader = _e2e_loader(manifest)
+    # warmup epoch: compiles one program per (batch, time) bucket pair.
+    # Its steps execute lazily when the timed demand fires (they feed
+    # the donated-state chain); drop their loss handles un-fetched so
+    # transfers stay fast for the timed loop's own puts.
+    brain.step = 1
+    for batch in loader:
+        brain.step += 1
+        brain.fit_batch(batch)
+    n_warm = len(brain._pending_losses)
+    brain._pending_losses = []
+
+    epochs = 5
+    counts = [0]
+
+    def run():
+        for _ in range(epochs):
+            for batch in loader:
+                brain.step += 1
+                brain.fit_batch(batch)
+                counts[0] += _n_real(batch)
+
+    def demand():
+        vals = np.concatenate(
+            [np.ravel(v) for v in jax.device_get(brain._pending_losses)]
+        )
+        assert np.isfinite(vals).all(), "non-finite e2e losses"
+
+    n_batches = epochs * 6  # 192 utts over 6 buckets per epoch
+    # the warmup epoch's steps may also appear in the trace (lazy
+    # drain); the last-n filter keeps the timed ones, which execute
+    # after them on the donated-state chain
+    tr = _trace_timed(run, demand, n_batches, "jit__train_step(")
+    dt = _timed_seconds(tr)
+    return {"end_to_end_utt_s": round(counts[0] / dt, 2)}
+
+
+def section_decode(seconds=10.0, B=16, beam=10, n_batches=4):
     """Serving/decode path throughput on the flagship conformer config.
 
-    Measures, on-chip:
-    - attention beam search (S2STransformerBeamSearch class, beam=10,
-      joint CTC 0.4) over features -> encoder -> search as ONE jitted
-      while_loop program (the recipe _search_impl structure);
-    - vectorized transducer greedy decode (lax.scan) with a
-      conformer encoder + LSTM prediction net + additive joint.
+    On-chip: attention beam search (beam=10, joint CTC 0.4) as ONE
+    jitted while_loop program; early-exit variant; vectorized
+    transducer greedy; device transducer beam.  Host lockstep
+    transducer beam runs LAST (its per-step fetches poison transfers).
 
-    The models are untrained; the joint/seq heads get a +4 blank/eos
-    bias so emission behavior (mostly blank / early eos) matches a
-    trained model's decode workload instead of the degenerate
-    never-terminating one.  Returns a dict of utt/s and RTF.
+    The models are untrained; the joint/seq heads get a blank/eos bias
+    so emission behavior matches a trained model's decode workload.
+    decode_beam_* is WORST CASE by construction: the untrained model
+    never satisfies the joint-CTC eos condition, so every search runs
+    the full max_decode_ratio * T_enc steps.  Trained models finalize
+    beams after ~L_token steps and decode proportionally faster.
     """
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
+    import __graft_entry__ as ge
 
     from speechbrain_tpu.decoders.seq2seq import (
         S2STransformerBeamSearch,
@@ -266,11 +566,14 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
 
     out = {}
     brain = ge._conformer_brain(d_model=144, layers=12)
+    # n_batches timed + 1 warmup batch: the tunnel memoizes
+    # (program, argument-handle) dispatches, so the warm call must not
+    # share operands with a timed call
     batches = [
         brain.prepare_batch(
             ge._synthetic_batch(B=B, seconds=seconds, U=40, seed=100 + i)
         )
-        for i in range(n_batches)
+        for i in range(n_batches + 1)
     ]
     brain._ensure_initialized(batches[0])
     state = brain.train_state
@@ -311,44 +614,12 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
         enc = brain.modules.transformer(src, sig_lens, method="encode")
         return searcher.search_device(enc, sig_lens, early_exit=True)
 
-    def aot(fn, *args):
-        """AOT compile with trace-time constants kept on the HOST.
-
-        Tracing eagerly materializes closure constants on the default
-        device; behind the remote-dispatch tunnel, MLIR lowering then
-        pulls each one back with a blocking device_get (measured: tens
-        of minutes for the search program).  Tracing under a cpu
-        default_device keeps them host-side (lowering measured at ~60 s
-        instead)."""
-        cpus = jax.devices("cpu")
-        with jax.default_device(cpus[0]):
-            lowered = jax.jit(fn).lower(*args)
-        return lowered.compile()
-
     sargs = lambda b: (  # noqa: E731
         state["params"], state["model_state"], state["extra"],
         b["sig"], b["sig_lens"],
     )
-    compiled_search = aot(search_impl, *sargs(batches[0]))
-    jax.block_until_ready(compiled_search(*sargs(batches[0])))  # warm
-    t0 = time.perf_counter()
-    for b in batches:
-        res = compiled_search(*sargs(b))
-    jax.block_until_ready(res)
-    dt = time.perf_counter() - t0
-    # WORST CASE by construction: the untrained model never satisfies
-    # the joint-CTC eos condition, so the in-graph early exit never
-    # fires and every search runs the full max_decode_ratio * T_enc
-    # steps.  Trained models finalize beams after ~L_token steps and
-    # decode proportionally faster.  Deterministic -> stable across
-    # rounds.
-    out["decode_beam_utt_s"] = round(n_batches * B / dt, 2)
-    out["decode_beam_rtf"] = round(dt / (n_batches * B * seconds), 4)
 
-    # Early-exit path on-chip: attention-only scoring with the seq
-    # head biased toward eos — beams finalize within a few steps, so
-    # this measures the while-condition exit + per-search fixed costs
-    # (encode, cache init) rather than the step loop.
+    # early-exit variant: seq head biased toward eos
     import flax
 
     eparams = flax.core.unfreeze(state["params"])
@@ -383,21 +654,8 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
         eparams, state["model_state"], state["extra"],
         b["sig"], b["sig_lens"],
     )
-    try:
-        compiled_e = aot(esearch_impl, *eargs(batches[0]))
-        jax.block_until_ready(compiled_e(*eargs(batches[0])))
-        t0 = time.perf_counter()
-        for b in batches:
-            res = compiled_e(*eargs(b))
-        jax.block_until_ready(res)
-        dt = time.perf_counter() - t0
-        out["decode_beam_early_exit_utt_s"] = round(
-            n_batches * B / dt, 2
-        )
-    except Exception as e:
-        print(f"# early-exit bench skipped: {e!r}", file=sys.stderr)
 
-    # --- transducer greedy ------------------------------------------
+    # ---- transducer pieces ------------------------------------------
     import flax.linen as nn
 
     VOCAB = ge.VOCAB
@@ -416,12 +674,19 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
             return out, state
 
     pred = PredNet()
-    pred_params = pred.init(
-        jax.random.PRNGKey(1), jnp.zeros((2,), jnp.int32), None
+    # HOST (numpy) parameter trees and joint weights: these are CLOSED
+    # OVER by pred_step/joint below and would otherwise become captured
+    # device buffers of every decode program (the round-5 transport
+    # trigger, PERFORMANCE.md).
+    pred_params = jax.device_get(
+        pred.init(jax.random.PRNGKey(1), jnp.zeros((2,), jnp.int32), None)
     )
-    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
-    Wj = 0.1 * jax.random.normal(k1, (H, VOCAB), jnp.float32)
-    bj = jnp.zeros((VOCAB,)).at[0].set(4.0)  # trained-like blank bias
+    rng_j = np.random.default_rng(2)
+    Wj = np.asarray(
+        0.1 * rng_j.standard_normal((H, VOCAB)), np.float32
+    )
+    bj = np.zeros((VOCAB,), np.float32)
+    bj[0] = 4.0  # trained-like blank bias
 
     def pred_step(tokens, pstate, n=1):
         if tokens is None:
@@ -432,8 +697,6 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
     def joint(enc_t, pred_out):
         return jnp.tanh(enc_t + pred_out) @ Wj + bj
 
-    # encoder states from the conformer encoder (reuse the jitted
-    # encode from search_impl's params; simple re-encode here)
     def encode(params, model_state, extra, sig, sig_lens):
         rngs = brain._make_step_rngs(jax.random.PRNGKey(0))
         brain._bind(params, model_state, extra, rngs, train=False)
@@ -441,59 +704,113 @@ def _measure_decode(ge, seconds=10.0, B=16, beam=10, n_batches=4):
         src = brain.modules.frontend(feats)
         return brain.modules.transformer(src, sig_lens, method="encode")
 
-    jenc = aot(encode, *sargs(batches[0]))
-    enc_batches = [
-        np.asarray(jenc(*sargs(b)), np.float32) for b in batches
-    ]
     greedy = TransducerBeamSearcher(
         decode_fn=pred_step, joint_fn=joint, blank_id=0, beam_size=1
     )
-    greedy(enc_batches[0])  # warm (compiles the scan)
-    t0 = time.perf_counter()
-    for e in enc_batches:
-        greedy(e)
-    dt = time.perf_counter() - t0
-    out["transducer_greedy_utt_s"] = round(n_batches * B / dt, 2)
-    out["transducer_greedy_rtf"] = round(
-        dt / (n_batches * B * seconds), 4
-    )
-
-    # --- transducer beam (lockstep-batched host loop) ----------------
     beam_searcher = TransducerBeamSearcher(
         decode_fn=pred_step, joint_fn=joint, blank_id=0, beam_size=4
     )
-    beam_searcher(enc_batches[0][:4])  # warm
-    t0 = time.perf_counter()
-    beam_searcher(enc_batches[0])
-    dt = time.perf_counter() - t0
-    out["transducer_beam_host_utt_s"] = round(B / dt, 2)
 
-    # --- transducer beam, device path (production): ONE while_loop ---
-    # program per batch (parity vs the host oracle pinned by
-    # tests/unittests/test_decoders.py::test_transducer_beam_device_*)
-    try:
-        dev_beam = aot(
-            lambda e: beam_searcher.transducer_beam_search_device(
-                e, max_symbols=100
-            ),
-            jnp.asarray(enc_batches[0]),
+    def greedy_dev(e):
+        return greedy.transducer_greedy_decode_device(e)
+
+    def tbeam_dev(e):
+        return beam_searcher.transducer_beam_search_device(
+            e, max_symbols=100
         )
-        jax.block_until_ready(dev_beam(jnp.asarray(enc_batches[0])))
-        t0 = time.perf_counter()
-        for e in enc_batches:
-            res = dev_beam(jnp.asarray(e))
-        jax.block_until_ready(res)
-        dt = time.perf_counter() - t0
-        out["transducer_beam_utt_s"] = round(n_batches * B / dt, 2)
+
+    # ---- compile + stage everything, THEN trace each loop -----------
+    compiled_search = _aot(search_impl, *sargs(batches[0]))
+    compiled_e = _aot(esearch_impl, *eargs(batches[0]))
+    jenc = _aot(encode, *sargs(batches[0]))
+    enc_batches = [jenc(*sargs(b)) for b in batches]  # stay on device
+    enc32 = [jnp.asarray(e, jnp.float32) for e in enc_batches]
+    compiled_greedy = _aot(greedy_dev, enc32[0])
+    compiled_tbeam = _aot(tbeam_dev, enc32[0])
+    # warm-execute each program once (compile is AOT; this warms the
+    # runtime path; lazy executions drain at the first demand and are
+    # excluded by the last-n filter)
+    # warm dispatches, NOT demanded: the tunnel profiler records only
+    # each program's FIRST device execution, so that execution must
+    # happen inside the program's own traced loop (lazy warm work
+    # drains at that loop's demand and, being same-shape, yields the
+    # same per-call duration)
+    warm = [
+        compiled_search(*sargs(batches[n_batches])),
+        compiled_e(*eargs(batches[n_batches])),
+        compiled_greedy(enc32[n_batches]),
+        compiled_tbeam(enc32[n_batches]),
+    ]
+
+    def _loop(compiled, args_list, match, key_utt_s, key_rtf=None):
+        results = []
+
+        def run():
+            for a in args_list:
+                results.append(compiled(*a))
+
+        def demand():
+            fetched = jax.device_get(results)
+            assert all(
+                np.isfinite(x).all()
+                for r in fetched
+                for x in jax.tree_util.tree_leaves(r)
+            ), f"non-finite outputs in {key_utt_s}"
+
+        tr = _trace_timed(run, demand, len(args_list), match)
+        dt = _timed_seconds(tr)
+        out[key_utt_s] = round(len(args_list) * B / dt, 2)
+        if key_rtf:
+            out[key_rtf] = round(dt / (len(args_list) * B * seconds), 4)
+
+    _loop(
+        compiled_search,
+        [sargs(b) for b in batches[:n_batches]],
+        "jit_search_impl",
+        "decode_beam_utt_s",
+        "decode_beam_rtf",
+    )
+    try:
+        _loop(
+            compiled_e,
+            [eargs(b) for b in batches[:n_batches]],
+            "jit_esearch_impl",
+            "decode_beam_early_exit_utt_s",
+        )
+    except Exception as e:
+        print(f"# early-exit bench skipped: {e!r}", file=sys.stderr)
+    _loop(
+        compiled_greedy,
+        [(e,) for e in enc32[:n_batches]],
+        "jit_greedy_dev",
+        "transducer_greedy_utt_s",
+        "transducer_greedy_rtf",
+    )
+    try:
+        _loop(
+            compiled_tbeam,
+            [(e,) for e in enc32[:n_batches]],
+            "jit_tbeam_dev",
+            "transducer_beam_utt_s",
+        )
     except Exception as e:
         print(
             f"# transducer device beam skipped: {e!r}", file=sys.stderr
         )
-        out["transducer_beam_utt_s"] = out[
-            "transducer_beam_host_utt_s"
-        ]
+    # ---- host lockstep transducer beam (per-step fetch oracle) ------
+    beam_searcher(np.asarray(enc32[0][:4]))  # warm
+    t0 = time.perf_counter()
+    beam_searcher(np.asarray(enc32[0]))
+    dt = time.perf_counter() - t0
+    out["transducer_beam_host_utt_s"] = round(B / dt, 2)
+    if "transducer_beam_utt_s" not in out:
+        out["transducer_beam_utt_s"] = out["transducer_beam_host_utt_s"]
     return out
 
+
+# ---------------------------------------------------------------------------
+# parent orchestration
+# ---------------------------------------------------------------------------
 
 # metrics where smaller is better (everything else: bigger is better)
 _LOWER_BETTER = {
@@ -504,11 +821,16 @@ _LOWER_BETTER = {
     "reference_cpu_utt_s",
 }
 
+SECTIONS = {
+    "host": section_host,
+    "train": section_train,
+    "e2e": section_e2e,
+    "decode": section_decode,
+}
+
 
 def _prev_bench():
     """Latest driver-recorded BENCH_r*.json (name, metrics dict)."""
-    import glob
-
     files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
     for f in reversed(files):
         try:
@@ -564,139 +886,46 @@ def _deltas_vs_prev(out):
     return deltas
 
 
-def main():
-    import jax
-
-    _enable_compile_cache()
-    import __graft_entry__ as ge
-
-    SECONDS = 10.0
-    B = 32
-    # conformer_small dims (13.3M-param class)
-    brain = ge._conformer_brain(d_model=144, layers=12)
-    # Pre-stage device-resident batches (as a local host's prefetching
-    # input pipeline provides): this benchmarks the CHIP training step.
-    # The dev-environment tunnel serializes h2d transfers with compute,
-    # which no production TPU host does; staging 8 rotating batches
-    # removes that artifact without reusing a single cached batch.
-    batches = [
-        brain.prepare_batch(
-            ge._synthetic_batch(B=B, seconds=SECONDS, U=40, seed=i)
-        )
-        for i in range(8)
-    ]
-    jax.block_until_ready(batches)
-    # Fused multi-step execution (core.Brain.fit_batches): lax.scan of
-    # K train steps per dispatch — the TPU steps-per-loop idiom the
-    # real fit() loop uses via run_opts["steps_per_execute"].  Device
-    # work per step is identical to per-batch fit_batch (equivalence
-    # pinned by tests/unittests/test_core.py).
-    # K=32 over the 8 staged buffers: the tunnel's per-dispatch
-    # overhead (9-59 ms, time-varying — PERFORMANCE.md measurement
-    # model) rides on each fused window; at K=16 it contributed 2-10%
-    # of the wall and most of the round-over-round "value" variance
-    # (device-busy per step has been a stable ~31.5 ms since r02).
-    window = batches * 4
-    K = len(window)
-    # Deep lazy-loss queue: sync stalls would serialize the windows.
-    brain.loss_sync_interval = 200
-    # Warmup (compile + init)
-    brain.step = 1
-    brain.fit_batches(window)
-    jax.block_until_ready(brain.train_state["params"])
-    n_windows = 3
-    n_steps = n_windows * K
-    t0 = time.perf_counter()
-    for _ in range(n_windows):
-        brain.step += K
-        brain.fit_batches(window)
-    jax.block_until_ready(brain.train_state["params"])
-    dt = time.perf_counter() - t0
-    n_chips = max(1, len(jax.devices()))
-    utt_per_s_chip = (n_steps * B) / dt / n_chips
-    sec_per_step = dt / n_steps
-
-    # --- MFU ---------------------------------------------------------
-    flops = _step_flops(brain, batches[0])
-    kind = jax.devices()[0].device_kind
-    peak = next(
-        (v for k, v in PEAK_BF16.items() if kind.startswith(k)), None
+def _run_section(name, timeout=1500):
+    """Run one section in a fresh subprocess (fresh tunnel session)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--section", name],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
     )
-    mfu = None
-    if flops and peak:
-        mfu = flops / sec_per_step / peak
+    sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "")
+    if proc.returncode != 0:
+        print(
+            f"# section {name} failed (rc={proc.returncode})",
+            file=sys.stderr,
+        )
+        return {}
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    print(f"# section {name}: no JSON output", file=sys.stderr)
+    return {}
 
-    # --- large config: transformer-large class (d=512), MXU-bound ----
-    # conformer_small (d=144) is latency-class and structurally ~9% MFU
-    # (PERFORMANCE.md); the reference's headline transformer.yaml class
-    # (d_model=512) is where the MXU saturates — measure it too so the
-    # bench carries one latency-class and one throughput-class number.
-    large_utt_s = large_mfu = None
-    try:
-        lbrain = ge._conformer_brain(d_model=512, layers=12, nhead=8)
-        LB = 16
-        lbatches = [
-            lbrain.prepare_batch(
-                ge._synthetic_batch(B=LB, seconds=SECONDS, U=40, seed=i)
-            )
-            for i in range(4)
-        ]
-        jax.block_until_ready(lbatches)
-        lwindow = lbatches * 4  # K=16 (amortize window dispatch)
-        LK = len(lwindow)
-        lbrain.loss_sync_interval = 200
-        lbrain.step = 1
-        lbrain.fit_batches(lwindow)
-        jax.block_until_ready(lbrain.train_state["params"])
-        t0 = time.perf_counter()
-        for _ in range(2):
-            lbrain.step += LK
-            lbrain.fit_batches(lwindow)
-        jax.block_until_ready(lbrain.train_state["params"])
-        ldt = time.perf_counter() - t0
-        large_utt_s = (2 * LK * LB) / ldt / n_chips
-        lflops = _step_flops(lbrain, lbatches[0])
-        if lflops and peak:
-            large_mfu = lflops / (ldt / (2 * LK)) / peak
-    except Exception as e:
-        print(f"# large bench skipped: {e!r}", file=sys.stderr)
 
-    # --- decode/serving path -----------------------------------------
-    decode_stats = {}
-    try:
-        decode_stats = _measure_decode(ge)
-    except Exception as e:
-        print(f"# decode bench skipped: {e!r}", file=sys.stderr)
+def main():
+    _ensure_corpus()  # once, so sections don't race to build it
+    out = {
+        "metric": "conformer_train_utt_per_sec_per_chip",
+        "unit": "utt/s/chip",
+        "value": None,
+    }
+    for name in ("train", "e2e", "host", "decode"):
+        try:
+            out.update(_run_section(name))
+        except subprocess.TimeoutExpired:
+            print(f"# section {name} timed out", file=sys.stderr)
 
-    # --- end-to-end: FLAC corpus -> host pipeline -> chip -------------
-    end_to_end = host_rate = None
-    try:
-        manifest = _ensure_corpus()
-        host_rate = _measure_host_pipeline(manifest)
-        e2e_brain = ge._conformer_brain(d_model=144, layers=12)
-        e2e_brain.step = 1
-        end_to_end = _measure_end_to_end(e2e_brain, manifest)
-    except Exception as e:  # keep the primary metric robust
-        print(f"# e2e bench skipped: {e!r}", file=sys.stderr)
-
-    # --- padding overhead of the fixed-shape policy (host math) ------
-    padding_overhead = padding_ragged = None
-    try:
-        sys.path.insert(0, os.path.join(REPO, "tools"))
-        from bucketing_audit import audit_menu, make_durations
-
-        pr = audit_menu(make_durations(2000), 900.0, 200)
-        padding_overhead = round(pr["bucketed_pad_frac"], 4)
-        padding_ragged = round(pr["ragged_pad_frac"], 4)
-    except Exception as e:
-        print(f"# padding audit skipped: {e!r}", file=sys.stderr)
-
-    # Reference anchor: MEASURED — tools/reference_baseline.py runs
-    # the actual reference (torch) conformer_small training step on
-    # this host's CPU (the only hardware it can use here; the
-    # reference publishes no utt/s numbers, SURVEY.md §6).  Different
-    # silicon, so the ratio is labeled, not normalized; MFU and the
-    # speed-of-light table are the cross-framework efficiency claims.
     ref_cpu = None
     try:
         with open(
@@ -705,42 +934,19 @@ def main():
             ref_cpu = json.load(f)["reference_cpu_utt_s"]
     except Exception:
         pass
-    out = {
-        "metric": "conformer_train_utt_per_sec_per_chip",
-        "value": round(utt_per_s_chip, 2),
-        "unit": "utt/s/chip",
-    }
-    if ref_cpu:
-        out["vs_baseline"] = round(utt_per_s_chip / ref_cpu, 1)
+    if ref_cpu and out.get("value"):
+        out["vs_baseline"] = round(out["value"] / ref_cpu, 1)
         out["reference_cpu_utt_s"] = ref_cpu
         out["vs_baseline_note"] = (
             "measured reference torch step on host CPU; "
             "different silicon — see mfu for efficiency"
         )
-    if end_to_end is not None:
-        # r02/r03 counted BatchShapePolicy dummy rows as utterances
-        # (~16x overcount; PERFORMANCE.md round 4) — deltas vs those
-        # rounds are a metric REDEFINITION, not a regression.
+    if "end_to_end_utt_s" in out:
         out["host_metrics_note"] = (
             "real utterances only since r04; r02/r03 values counted "
-            "padding dummy rows (~16x)"
+            "padding dummy rows (~16x); r05 times from the device "
+            "trace (see bench.py measurement model)"
         )
-        out["end_to_end_utt_s"] = round(end_to_end, 2)
-    if host_rate is not None:
-        out["host_pipeline_utt_s"] = round(host_rate, 2)
-    if flops is not None:
-        out["step_flops"] = flops
-    if mfu is not None:
-        out["mfu"] = round(mfu, 4)
-    if large_utt_s is not None:
-        out["large_d512_utt_s"] = round(large_utt_s, 2)
-    if large_mfu is not None:
-        out["large_d512_mfu"] = round(large_mfu, 4)
-    out.update(decode_stats)
-    if padding_overhead is not None:
-        out["padding_overhead"] = padding_overhead
-        out["padding_overhead_ragged_ref"] = padding_ragged
-    out["device_kind"] = kind
     deltas = _deltas_vs_prev(out)
     if deltas:
         out["deltas_vs_prev"] = deltas
@@ -748,4 +954,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        _enable_compile_cache()
+        print(json.dumps(SECTIONS[sys.argv[2]]()))
+    else:
+        main()

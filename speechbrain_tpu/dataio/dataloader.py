@@ -128,41 +128,82 @@ class DataLoader:
         yield from self._prefetching_iter(skip_batches=0)
 
     def _prefetching_iter(self, skip_batches=0):
-        out_q = queue.Queue(maxsize=self.prefetch_batches)
-        stop = threading.Event()
-        _SENTINEL = object()
+        """Ordered multi-worker prefetching.
 
-        def producer():
+        ``num_workers`` threads each claim whole batches (index lists)
+        from a shared iterator and run decode + pipeline + collate
+        concurrently — the native decoders release the GIL, so batch
+        building genuinely parallelizes (round 5: a single producer
+        thread capped the host pipeline at ~600 utt/s against a
+        1550 utt/s 2-thread decode ceiling).  Batches are emitted to
+        the consumer IN ORDER (checkpoint positions stay exact); a
+        worker runs at most ``prefetch_batches`` ahead of the consumer
+        to bound memory.
+        """
+        n_workers = max(1, int(self.num_workers))
+        window = max(int(self.prefetch_batches), n_workers)
+        stop = threading.Event()
+        lock = threading.Lock()  # guards job_iter
+        cond = threading.Condition()  # guards results / counters
+        job_iter = enumerate(self._batches_of_indices())
+        results = {}
+        state = {"next": skip_batches, "active": n_workers}
+
+        def worker():
             try:
-                for i, indices in enumerate(self._batches_of_indices()):
-                    if stop.is_set():
-                        return
+                while not stop.is_set():
+                    with lock:
+                        try:
+                            i, indices = next(job_iter)
+                        except StopIteration:
+                            break
                     if i < skip_batches:
                         continue
+                    with cond:
+                        while (
+                            i - state["next"] >= window
+                            and not stop.is_set()
+                        ):
+                            cond.wait(0.2)
+                    if stop.is_set():
+                        break
                     batch = self._make_batch(indices)
-                    while not stop.is_set():
-                        try:
-                            out_q.put(batch, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
+                    with cond:
+                        results[i] = (batch, None)
+                        cond.notify_all()
             except Exception as e:  # pragma: no cover
-                out_q.put(e)
-                return
-            out_q.put(_SENTINEL)
+                with cond:
+                    results[i] = (None, e)
+                    cond.notify_all()
+            finally:
+                with cond:
+                    state["active"] -= 1
+                    cond.notify_all()
 
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(n_workers)
+        ]
+        for t in threads:
+            t.start()
         try:
             while True:
-                item = out_q.get()
-                if item is _SENTINEL:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
+                with cond:
+                    i = state["next"]
+                    while i not in results and state["active"] > 0:
+                        cond.wait(0.2)
+                    if i not in results:
+                        break  # all workers done: epoch exhausted
+                    batch, err = results.pop(i)
+                    state["next"] = i + 1
+                    cond.notify_all()
+                if err is not None:
+                    raise err
+                yield batch
         finally:
             stop.set()
+            with cond:
+                cond.notify_all()
 
 
 def _identity_collate(examples):

@@ -82,6 +82,21 @@ class TransducerBeamSearcher:
 
     def transducer_greedy_decode(self, enc_states, enc_lens=None):
         """Vectorized greedy: (B, T, H) -> (hyps, scores)."""
+        tokens, scores = self.transducer_greedy_decode_device(
+            enc_states, enc_lens
+        )
+        tokens = np.asarray(tokens)
+        hyps = [
+            [int(t) for t in row if t != self.blank_id] for row in tokens
+        ]
+        return hyps, np.asarray(scores)
+
+    def transducer_greedy_decode_device(self, enc_states, enc_lens=None):
+        """Device-only greedy core: (B, T, H) -> (tokens (B, T) i32
+        with blank at non-emitting frames, scores (B,)).
+
+        Traceable (wrap in jit/AOT); the host wrapper above converts to
+        per-utterance hypothesis lists."""
         enc_states = jnp.asarray(enc_states)
         B, T = enc_states.shape[0], enc_states.shape[1]
         if enc_lens is None:
@@ -120,11 +135,7 @@ class TransducerBeamSearcher:
             (pred_out0, state0, jnp.zeros(B)),
             (jnp.swapaxes(enc_states, 0, 1), jnp.arange(T)),
         )
-        tokens = np.asarray(jnp.swapaxes(tokens, 0, 1))
-        hyps = [
-            [int(t) for t in row if t != self.blank_id] for row in tokens
-        ]
-        return hyps, np.asarray(scores)
+        return jnp.swapaxes(tokens, 0, 1), scores
 
     # ------------------------------------------------------------------
     # Device-side beam search: ONE fixed-shape lax.while_loop per batch

@@ -294,7 +294,9 @@ class Whisper(nn.Module):
                 dropout=self.dropout,
                 max_target_positions=self.max_target_positions,
             )
-        self._mel_fb = jnp.asarray(
+        # numpy, not jnp: module-held device arrays get captured by
+        # jitted consumers (see STFT._dft_re, processing/features.py).
+        self._mel_fb = np.asarray(
             mel_filters_slaney(self.n_mels, N_FFT, self.sampling_rate)
         )
 
@@ -374,7 +376,8 @@ class HuggingFaceWhisper:
                 source, local_files_only=True
             )
         cfg = self.model.config
-        self._mel_fb = jnp.asarray(
+        # numpy, not jnp (see note above).
+        self._mel_fb = np.asarray(
             mel_filters_slaney(cfg.num_mel_bins, N_FFT, sampling_rate)
         )
         if freeze:

@@ -66,8 +66,10 @@ def get_lib():
     global _lib, _tried
     if _lib is not None:
         return _lib
-    if _tried:
-        return None
+    # NOTE: _tried may only be read under the lock — a no-lock
+    # `if _tried: return None` races with the loading thread (which
+    # sets it before _lib is assigned) and made concurrent dataloader
+    # workers see a phantom-missing native lib (round 5).
     with _lock:
         if _lib is not None or _tried:
             return _lib

@@ -107,8 +107,15 @@ class STFT:
             k = np.arange(n_fft // 2 + 1)
             n = np.arange(n_fft)
             ang = -2.0 * np.pi * np.outer(n, k) / n_fft
-            self._dft_re = jnp.asarray(np.cos(ang).astype(np.float32))
-            self._dft_im = jnp.asarray(np.sin(ang).astype(np.float32))
+            # HOST (numpy) constants, deliberately: module-held jnp
+            # arrays become CAPTURED DEVICE BUFFERS of every jitted
+            # program that closes over them, and on the dev tunnel one
+            # such capture permanently degrades all later host<->device
+            # transfers ~40x (900 -> 35 MB/s measured; PERFORMANCE.md
+            # round 5).  numpy constants are inlined into the
+            # executable at trace time instead.
+            self._dft_re = np.cos(ang).astype(np.float32)
+            self._dft_im = np.sin(ang).astype(np.float32)
         if self.win_length > n_fft:
             raise ValueError(
                 f"win_length ({self.win_length} samples) must be <= n_fft "
@@ -121,7 +128,8 @@ class STFT:
             pad = np.zeros(n_fft, dtype=np.float32)
             pad[left : left + self.win_length] = window
             window = pad
-        self.window = jnp.asarray(window)
+        # numpy, not jnp: see the _dft_re note above.
+        self.window = np.asarray(window, np.float32)
 
     def __call__(self, x):
         """x: (batch, time) or (batch, time, channels)."""
@@ -390,7 +398,9 @@ class Filterbank:
             self.multiplier = 10
         else:
             self.multiplier = 20
-        self.filters = jnp.asarray(
+        # numpy, not jnp: a module-held device array would be captured
+        # by every jitted consumer (see the STFT._dft_re note).
+        self.filters = np.asarray(
             mel_filter_matrix(
                 n_mels, f_min, f_max, self.n_stft, sample_rate, filter_shape
             )
@@ -475,7 +485,8 @@ class DCT:
             mat[:, 1:] *= math.sqrt(2.0 / input_size)
         else:
             mat *= 2.0
-        self.mat = jnp.asarray(mat.astype(np.float32))
+        # numpy, not jnp (see the STFT._dft_re note).
+        self.mat = mat.astype(np.float32)
 
     def __call__(self, x):
         """(batch, frames, n_mels[, channels]) -> (batch, frames, n_out…)."""
@@ -502,7 +513,8 @@ class Deltas:
         self.n = (window_length - 1) // 2
         self.denom = self.n * (self.n + 1) * (2 * self.n + 1) / 3
         kernel = np.arange(-self.n, self.n + 1, dtype=np.float32)
-        self.kernel = jnp.asarray(kernel / self.denom)
+        # numpy, not jnp (see the STFT._dft_re note).
+        self.kernel = np.asarray(kernel / self.denom, np.float32)
 
     def __call__(self, x):
         """(batch, frames, feats[, channels]) -> same shape deltas."""

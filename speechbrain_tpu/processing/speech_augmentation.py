@@ -284,7 +284,9 @@ class Resample:
         )
         weights = win * sinc / orig_freq
         self.width = max_w
-        self.kernel = jnp.asarray(weights.astype(np.float32))  # (up, W)
+        # numpy, not jnp: module-held device arrays get captured by
+        # jitted consumers (see STFT._dft_re, processing/features.py).
+        self.kernel = weights.astype(np.float32)  # (up, W)
         self.min_idx = min_idx.astype(np.int64)  # (up,), may be negative
 
     def __call__(self, waveforms):

@@ -222,7 +222,14 @@ def batch_pad_right(arrays, mode="constant", value=0.0, target_shape=None):
                         f"input {a.shape}"
                     )
         dtype = np.result_type(*[a.dtype for a in arrays])
-        out = np.full((len(arrays),) + tuple(target_shape), value, dtype)
+        full_shape = (len(arrays),) + tuple(target_shape)
+        if value == 0:
+            # np.zeros gets calloc'd zero pages (no write pass);
+            # np.full writes every byte — measured 30% of the whole
+            # host pipeline on 20 MB waveform batches (round 5).
+            out = np.zeros(full_shape, dtype)
+        else:
+            out = np.full(full_shape, value, dtype)
         valid = np.empty(len(arrays), dtype=np.float32)
         for i, a in enumerate(arrays):
             out[(i,) + tuple(slice(0, s) for s in a.shape)] = a
