@@ -340,10 +340,53 @@ class RelPosMHAXL(nn.Module):
         k = k.reshape(B, T_k, self.num_heads, d_head)
         v = v.reshape(B, T_k, self.num_heads, d_head)
         p = p.reshape(p.shape[0], p.shape[1], self.num_heads, d_head)
+        # Long sequences: the blocked Pallas kernel with IN-KERNEL
+        # rel-pos bias (never materializes (T, 2T-1)/(T, T) tensors).
+        # Measured fwd+bwd on v5e (PERFORMANCE.md round 5): 11.5x the
+        # XLA path at T=1024, but 0.73x at the conformer's T=256 —
+        # where the materialized einsum+rel_shift path is already
+        # optimal — hence the T >= 512 guard.
+        relpos_pallas_ok = (
+            jax.default_backend() == "tpu"
+            and T_q == T_k
+            and T_q % 128 == 0
+            and 512 <= T_q <= 1024
+            and attn_mask is None
+            and (self.dropout == 0.0 or not train)
+        )
+        if relpos_pallas_ok:
+            from speechbrain_tpu.ops.pallas.relpos_attention import (
+                relpos_attention,
+            )
+
+            if key_padding_mask is not None:
+                madd = jnp.where(
+                    key_padding_mask, NEG_FILL, 0.0
+                ).astype(jnp.float32)
+            else:
+                madd = jnp.zeros((B, T_k), jnp.float32)
+            out = relpos_attention(
+                jnp.swapaxes(q, 1, 2),
+                jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2),
+                jnp.swapaxes(p[0], 0, 1),
+                pos_bias_u,
+                pos_bias_v,
+                madd,
+                1.0 / math.sqrt(self.embed_dim),
+                self.mask_pos_future,
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(
+                B, T_q, self.embed_dim
+            ).astype(query.dtype)
+            out = nn.Dense(
+                self.embed_dim, name="out_proj", dtype=query.dtype
+            )(out)
+            return out, None
         # NOTE: a gathered-(T_q, T_k, H, D) position formulation was
         # benchmarked and REGRESSES the backward ~3x (gather/scatter
         # VJP); the (B, H, T, 2T-1) einsum + rel_shift is the fast path
-        # on TPU.
+        # on TPU at conformer sequence lengths.
         pos_score = jnp.einsum(
             "bqhd,zlhd->bhql", q + pos_bias_v[None, None], p
         )
