@@ -163,6 +163,51 @@ def depthwise_conv1d(x, w, bias=None, causal=False, interpret=False):
     (2, 8, 4)
     """
     K = w.shape[0]
+    B, T, C = x.shape
+    # Lane-tile packing: a (T, C) row occupies ceil(C/128) lane tiles,
+    # so C=144 pays for 256 lanes — 78% more VPU FMA issue than the
+    # math needs.  When the 128-remainder divides 128, the remainder
+    # channels of g = 128//rem batch rows pack into ONE full tile:
+    # measured fwd+bwd 6.32 -> 2.22 ms (+0.23 ms pack/unpack) at the
+    # conformer SoL config (B=512, T=251, C=144, K=31) — 2.5x net
+    # (round 5; the round-4 "not worth the complexity" judgment was a
+    # guess, and wrong).  Per-channel taps make batch-packing exact:
+    # the packed lanes convolve independently with tiled taps.
+    C0 = (C // 128) * 128
+    rem = C - C0
+    if (
+        0 < rem <= 64
+        and 128 % rem == 0
+        and B % (128 // rem) == 0
+        and C >= 128
+    ):
+        g = 128 // rem
+        main = (
+            depthwise_conv1d(
+                x[:, :, :C0], w[:, :C0], None, causal, interpret
+            )
+            if C0
+            else None
+        )
+        xr = (
+            x[:, :, C0:]
+            .reshape(B // g, g, T, rem)
+            .transpose(0, 2, 1, 3)
+            .reshape(B // g, T, g * rem)
+        )
+        wr = jnp.tile(w[:, C0:], (1, g))
+        outr = depthwise_conv1d(xr, wr, None, causal, interpret)
+        outr = (
+            outr.reshape(B // g, T, g, rem)
+            .transpose(0, 2, 1, 3)
+            .reshape(B, T, rem)
+        )
+        out = (
+            jnp.concatenate([main, outr], axis=-1) if C0 else outr
+        )
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
     if causal:
         pad = (K - 1, 0)
     else:
