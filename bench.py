@@ -515,11 +515,15 @@ def section_e2e():
     counts = [0]
 
     def run():
+        # production path: the staged iterator overlaps pad+device_put
+        # of batch N+1 with batch N's dispatch (core.Brain default)
         for _ in range(epochs):
-            for batch in loader:
+            for device_batch, host_batch in brain._staged_iter(
+                iter(loader)
+            ):
                 brain.step += 1
-                brain.fit_batch(batch)
-                counts[0] += _n_real(batch)
+                brain.fit_batch(device_batch)
+                counts[0] += _n_real(host_batch)
 
     def demand():
         vals = np.concatenate(

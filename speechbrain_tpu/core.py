@@ -28,6 +28,7 @@ import inspect
 import logging
 import os
 import sys
+import threading
 import time
 from enum import Enum, auto
 from types import SimpleNamespace
@@ -230,6 +231,7 @@ def parse_arguments(arg_list=None):
     parser.add_argument("--model_parallel", type=int)
     parser.add_argument("--loss_sync_interval", type=int)
     parser.add_argument("--steps_per_execute", type=int)
+    parser.add_argument("--staging_depth", type=int)
     parser.add_argument("--coordinator_address", type=str)
     parser.add_argument("--num_processes", type=int)
     parser.add_argument("--process_id", type=int)
@@ -339,6 +341,14 @@ class Brain:
             # steps-per-loop idiom).  Amortizes per-dispatch host
             # latency; 1 = reference behaviour (one program per batch).
             "steps_per_execute": 1,
+            # Overlapped host->device staging: a background thread
+            # runs prepare_batch (pad + async device_put) on batch
+            # N+1..N+depth while batch N computes — the TPU
+            # role-equivalent of the reference's pin_memory +
+            # non_blocking H2D (dataio/batch.py:161, core.py:693).
+            # 0 disables (reference behaviour: synchronous staging
+            # inline in fit_batch).
+            "staging_depth": 2,
         }
         for arg, default in run_opt_defaults.items():
             if arg in run_opts:
@@ -1037,6 +1047,39 @@ class Brain:
                 logger.info("Debug mode: stopping after debug epochs")
                 break
 
+    def _staged_iter(self, iterator):
+        """Double-buffered device staging (reference pin_memory role).
+
+        A daemon thread pulls host batches and runs ``prepare_batch``
+        (pad + device_put) up to ``staging_depth`` batches ahead of
+        the training loop, so the H2D transfer of batch N+1 overlaps
+        batch N's compute.  Yields ``(device_batch, host_batch)`` in
+        order; the host batch is kept for the ``on_fit_batch_end``
+        hook.  Exceptions propagate to the consumer."""
+        import queue as _queue
+
+        q = _queue.Queue(maxsize=max(1, int(self.staging_depth)))
+        SENTINEL = object()
+
+        def stager():
+            try:
+                for batch in iterator:
+                    q.put((self.prepare_batch(batch), batch))
+            except Exception as e:
+                q.put(e)
+                return
+            q.put(SENTINEL)
+
+        t = threading.Thread(target=stager, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
     def _fit_train(self, train_set, epoch, progressbar):
         self.on_stage_start(Stage.TRAIN, epoch)
         if hasattr(train_set, "sampler") and hasattr(
@@ -1051,12 +1094,19 @@ class Brain:
         self._synced_loss_sum = 0.0
         self._synced_loss_count = 0
         self._pending_losses = []
-        iterator = train_set
+        use_staging = int(getattr(self, "staging_depth", 0) or 0) > 0
+        source = (
+            self._staged_iter(iter(train_set)) if use_staging else train_set
+        )
+        iterator = source
         if progressbar:
             from tqdm import tqdm
 
             iterator = tqdm(
-                train_set, dynamic_ncols=True, disable=not if_main_process()
+                source,
+                total=len(train_set) if hasattr(train_set, "__len__") else None,
+                dynamic_ncols=True,
+                disable=not if_main_process(),
             )
         spe = max(1, int(getattr(self, "steps_per_execute", 1) or 1))
         fused = (
@@ -1073,7 +1123,11 @@ class Brain:
                 self.fit_batches(window)
                 window, window_key = [], None
 
-        for batch in iterator:
+        for item in iterator:
+            # staged iterator yields (device_batch, host_batch); the
+            # device batch feeds the step (prepare_batch no-ops on
+            # already-placed arrays)
+            batch = item[0] if use_staging else item
             if fused:
                 prepared = self.prepare_batch(batch)
                 key = tuple(

@@ -337,3 +337,43 @@ def test_fresh_process_resume_recovers_train_state(tmp_path):
         f"resumed loss {losses[0]} vs trained {trained_loss} "
         f"(scratch was {scratch_loss}) — train state not recovered"
     )
+
+
+def test_staged_fit_matches_sync():
+    # Overlapped device staging (staging_depth > 0, the reference
+    # pin_memory role) must be a pure scheduling change: identical
+    # batches in identical order -> bit-identical training losses.
+    from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+    from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+    from speechbrain_tpu.utils.epoch_loop import EpochCounter
+
+    rng = np.random.default_rng(3)
+    data = {
+        f"u{i}": {
+            "x": rng.normal(size=(4, 8)).astype(np.float32),
+            "y": rng.normal(size=(4, 2)).astype(np.float32),
+        }
+        for i in range(12)
+    }
+
+    def run(depth, spe=1):
+        ds = DynamicItemDataset(data)
+        ds.set_output_keys(["id", "x", "y"])
+        brain = _make_brain(staging_depth=depth, steps_per_execute=spe)
+        loader = SaveableDataLoader(ds, batch_size=4)
+        losses = []
+        orig = brain.on_fit_batch_end
+        brain.on_fit_batch_end = lambda b, o, l, s: (
+            losses.append(float(np.ravel(np.asarray(l))[-1])),
+            orig(b, o, l, s),
+        )[1]
+        brain.fit(EpochCounter(2), loader)
+        return losses
+
+    sync = run(0)
+    staged = run(2)
+    assert sync == staged and len(sync) > 0
+    # fused-window path under staging too
+    sync_f = run(0, spe=2)
+    staged_f = run(3, spe=2)
+    assert sync_f == staged_f and len(sync_f) > 0
