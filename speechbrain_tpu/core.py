@@ -1047,7 +1047,7 @@ class Brain:
                 logger.info("Debug mode: stopping after debug epochs")
                 break
 
-    def _staged_iter(self, iterator):
+    def _staged_iter(self, iterator, loader=None):
         """Double-buffered device staging (reference pin_memory role).
 
         A daemon thread pulls host batches and runs ``prepare_batch``
@@ -1055,7 +1055,15 @@ class Brain:
         the training loop, so the H2D transfer of batch N+1 overlaps
         batch N's compute.  Yields ``(device_batch, host_batch)`` in
         order; the host batch is kept for the ``on_fit_batch_end``
-        hook.  Exceptions propagate to the consumer."""
+        hook.  Exceptions propagate to the consumer.
+
+        Checkpoint discipline: the stager advances the underlying
+        SaveableDataLoader's position counter up to ``staging_depth``
+        batches AHEAD of training, so the CONSUMED position (captured
+        at stage time, published on yield) is handed to the loader as
+        ``_speechbrain_staged_position`` — what its saver records —
+        keeping mid-epoch resume exact.
+        """
         import queue as _queue
 
         q = _queue.Queue(maxsize=max(1, int(self.staging_depth)))
@@ -1063,8 +1071,15 @@ class Brain:
 
         def stager():
             try:
-                for batch in iterator:
-                    q.put((self.prepare_batch(batch), batch))
+                while True:
+                    try:
+                        batch = next(iterator)
+                    except StopIteration:
+                        break
+                    pos = getattr(
+                        loader, "_speechbrain_iterator_position", None
+                    )
+                    q.put((self.prepare_batch(batch), batch, pos))
             except Exception as e:
                 q.put(e)
                 return
@@ -1072,13 +1087,20 @@ class Brain:
 
         t = threading.Thread(target=stager, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                device_batch, host_batch, pos = item
+                if loader is not None:
+                    loader._speechbrain_staged_position = pos
+                yield device_batch, host_batch
+        finally:
+            if loader is not None:
+                loader._speechbrain_staged_position = None
 
     def _fit_train(self, train_set, epoch, progressbar):
         self.on_stage_start(Stage.TRAIN, epoch)
@@ -1096,7 +1118,9 @@ class Brain:
         self._pending_losses = []
         use_staging = int(getattr(self, "staging_depth", 0) or 0) > 0
         source = (
-            self._staged_iter(iter(train_set)) if use_staging else train_set
+            self._staged_iter(iter(train_set), train_set)
+            if use_staging
+            else train_set
         )
         iterator = source
         if progressbar:

@@ -223,6 +223,11 @@ class SaveableDataLoader(DataLoader):
         super().__init__(*args, **kwargs)
         self._speechbrain_recovery_skip_to = None
         self._speechbrain_iterator_position = None
+        # Set by Brain._staged_iter: the position actually CONSUMED by
+        # training when a staging thread runs this loader ahead of the
+        # fit loop (saving the raw iterator position would over-report
+        # progress by up to staging_depth batches on mid-epoch resume).
+        self._speechbrain_staged_position = None
 
     def __iter__(self):
         skip = 0
@@ -246,7 +251,9 @@ class SaveableDataLoader(DataLoader):
 
     @mark_as_saver
     def _save(self, path):
-        pos = self._speechbrain_iterator_position
+        pos = self._speechbrain_staged_position
+        if pos is None:
+            pos = self._speechbrain_iterator_position
         with open(path, "w") as f:
             f.write(str(pos if pos is not None else -1))
 
@@ -420,7 +427,9 @@ class SaveableStreamLoader:
 
     @mark_as_saver
     def _save(self, path):
-        pos = self._speechbrain_iterator_position
+        pos = self._speechbrain_staged_position
+        if pos is None:
+            pos = self._speechbrain_iterator_position
         with open(path, "w") as f:
             f.write(str(pos if pos is not None else -1))
 

@@ -377,3 +377,44 @@ def test_staged_fit_matches_sync():
     sync_f = run(0, spe=2)
     staged_f = run(3, spe=2)
     assert sync_f == staged_f and len(sync_f) > 0
+
+
+def test_staged_position_reflects_consumption(tmp_path):
+    # A staging thread runs the loader up to staging_depth ahead; the
+    # checkpointed position must be the CONSUMED batch count, not the
+    # prefetched one (else mid-epoch resume skips untrained batches).
+    from speechbrain_tpu.dataio.dataloader import SaveableDataLoader
+    from speechbrain_tpu.dataio.dataset import DynamicItemDataset
+
+    rng = np.random.default_rng(5)
+    data = {
+        f"u{i}": {
+            "x": rng.normal(size=(4, 8)).astype(np.float32),
+            "y": rng.normal(size=(4, 2)).astype(np.float32),
+        }
+        for i in range(12)
+    }
+    ds = DynamicItemDataset(data)
+    ds.set_output_keys(["id", "x", "y"])
+    brain = _make_brain(staging_depth=4)
+    loader = SaveableDataLoader(ds, batch_size=2)  # 6 batches
+    loader._speechbrain_iterator_position = 0
+    staged = brain._staged_iter(iter(loader), loader)
+    import time as _time
+
+    consumed = 0
+    for device_batch, host_batch in staged:
+        consumed += 1
+        if consumed == 2:
+            _time.sleep(0.3)  # let the stager run well ahead
+            p = tmp_path / "pos.txt"
+            loader._save(str(p))
+            assert int(p.read_text()) == consumed, (
+                int(p.read_text()),
+                consumed,
+                loader._speechbrain_iterator_position,
+            )
+            break
+    staged.close()
+    # after the staged iterator closes, the raw position is used again
+    assert loader._speechbrain_staged_position is None
