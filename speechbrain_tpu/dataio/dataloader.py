@@ -251,7 +251,7 @@ class SaveableDataLoader(DataLoader):
 
     @mark_as_saver
     def _save(self, path):
-        pos = self._speechbrain_staged_position
+        pos = getattr(self, "_speechbrain_staged_position", None)
         if pos is None:
             pos = self._speechbrain_iterator_position
         with open(path, "w") as f:
@@ -427,7 +427,7 @@ class SaveableStreamLoader:
 
     @mark_as_saver
     def _save(self, path):
-        pos = self._speechbrain_staged_position
+        pos = getattr(self, "_speechbrain_staged_position", None)
         if pos is None:
             pos = self._speechbrain_iterator_position
         with open(path, "w") as f:
