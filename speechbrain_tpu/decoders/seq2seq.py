@@ -616,7 +616,38 @@ class S2SBeamSearcher(S2SBaseSearcher):
                     )
                 return more
 
-            carry = jax.lax.while_loop(cond_fn, step_fn, carry0)
+            body_fn = step_fn
+            if getattr(self, "_unroll2", False):
+                # Ping-pong caches: two steps per body so each cache
+                # buffer returns to its own carry slot (read-A/write-B
+                # then read-B/write-A — see reset_mem).  When
+                # max_steps is odd the body's second sub-step may run
+                # one step past the cap: its score-bearing updates are
+                # masked back to the pre-step values (all tiny
+                # tensors), so results are identical to the
+                # non-unrolled loop; the cache/ctc/lm memories may
+                # advance one garbage step that nothing reads.
+                _result_keys = (
+                    "t", "inp", "beam_scores", "finished",
+                    "alived_seq", "prev_attn_peak", "coverage",
+                    "sel_scores", "store_seq", "store_len",
+                    "store_score", "store_count",
+                )
+
+                def _gated(c):
+                    valid = c["t"] < max_steps
+                    nc = step_fn(c)
+                    out = dict(nc)
+                    for k in _result_keys:
+                        if c[k] is None:
+                            continue
+                        out[k] = jnp.where(valid, nc[k], c[k])
+                    return out
+
+                def body_fn(c):
+                    return _gated(_gated(c))
+
+            carry = jax.lax.while_loop(cond_fn, body_fn, carry0)
         else:
             # Host-driven loop (reference-style): used when the memory
             # pytree changes shape across steps (e.g. Whisper's growing
@@ -800,6 +831,7 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
         temperature_lm=1.0,
         step_fn=None,
         cache_init_fn=None,
+        ping_pong=True,
         **kwargs,
     ):
         super().__init__(**kwargs)
@@ -835,6 +867,18 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
                 )
             except (TypeError, ValueError):
                 self._step_rows = False
+        # Ping-pong self caches: carry a spare buffer per layer and
+        # alternate read/write roles every step so the fused cache
+        # update (ops.pallas.beam_cache) writes IN PLACE into the
+        # spare (input_output_aliases) instead of a fresh allocation
+        # XLA must copy back into the while-loop carry slot — the
+        # measured "four full-cache while-carry copies" of
+        # PERFORMANCE.md round 4's decode profile.  Requires the
+        # search loop to be unrolled by 2 (see forward()) so each
+        # buffer returns to its own carry position every body.
+        # Costs 2x self-cache HBM capacity (inference-only).
+        self.ping_pong = bool(ping_pong) and self._step_rows
+        self._unroll2 = self.ping_pong
 
     def reset_mem(self, batch_size, enc_states):
         """Initial decoder memory.
@@ -875,6 +919,11 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
             self._static_cross = [
                 {"ck": c.pop("ck"), "cv": c.pop("cv")} for c in cache
             ]
+            if self.ping_pong:
+                # spare self-cache buffers for ping-pong in-place
+                # updates (contents never read before overwrite)
+                for c in cache:
+                    c["alt"] = jnp.zeros_like(c["skv"])
             mem = {
                 "cache": cache,
                 "len": jnp.asarray(0, jnp.int32),
@@ -907,7 +956,10 @@ class S2STransformerBeamSearch(S2SBeamSearcher):
                 out_t, cache = self.step_fn(
                     inp_tokens, full, ln, enc_lens
                 )
-            cache = [{"skv": c["skv"]} for c in cache]
+            cache = [
+                {k: c[k] for k in ("skv", "alt") if k in c}
+                for c in cache
+            ]
             logits = self.linear_fn(out_t)
             log_probs = jax.nn.log_softmax(
                 logits / self.temperature, axis=-1

@@ -255,9 +255,17 @@ class TransformerDecoderLayer(nn.Module):
             residual = x
             if self.normalize_before:
                 x = norm1(x)
+            # Ping-pong self cache: when the cache carries an ``alt``
+            # spare buffer (beam search with fused permutation), the
+            # updated cache is written IN PLACE into ``alt`` and the
+            # two buffers swap roles — the searcher unrolls its loop
+            # by 2 so each buffer returns to its own carry slot every
+            # body and XLA keeps the whole cache state in place.
+            alt = cache.get("alt") if rows is not None else None
             out, _, skv = self_attn(
                 x, x, x, mode="step",
                 kv_cache=cache["skv"], cache_index=pos, rows=rows,
+                kv_dst=alt,
             )
             x = residual + out
             if not self.normalize_before:
@@ -283,9 +291,16 @@ class TransformerDecoderLayer(nn.Module):
             x = residual + out
             if not self.normalize_before:
                 x = norm3(x)
-            return x, {
+            new_cache = {
                 "skv": skv, "ck": cache["ck"], "cv": cache["cv"],
             }
+            if alt is not None:
+                # role swap: the buffer just read becomes the spare.
+                new_cache["alt"] = cache["skv"]
+            elif "alt" in cache:
+                # structure stability when the spare is unused
+                new_cache["alt"] = cache["alt"]
+            return x, new_cache
 
         x = tgt
         residual = x

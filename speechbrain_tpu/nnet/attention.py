@@ -487,6 +487,7 @@ class MultiheadAttention(nn.Module):
         kv_cache=None,
         cache_index=None,
         rows=None,
+        kv_dst=None,
     ):
         """``mode`` selects the serving-path variants (all share the
         same projection parameters as the ``"full"`` training path):
@@ -565,9 +566,12 @@ class MultiheadAttention(nn.Module):
                 q_t, k_t, v_t = jnp.split(qkv, 3, axis=-1)
                 q_t = q_t * (1.0 / math.sqrt(d_head))
                 if rows is not None:
+                    # kv_dst (ping-pong decode): write the new cache
+                    # in place into a disjoint buffer so the search's
+                    # while-carry needs no full-cache copies.
                     out_t, kv_all = beam_attend_step(
                         kv_cache, rows, q_t, k_t, v_t, cache_index,
-                        self.nhead,
+                        self.nhead, dst=kv_dst,
                     )
                 else:
                     out_t, kv_all = append_attend(

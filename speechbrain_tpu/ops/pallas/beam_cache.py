@@ -50,10 +50,14 @@ _GMAX_ENV = int(os.environ.get("SB_BEAM_CACHE_G", "8"))
 _VMEM_BUDGET = 8 * 1024 * 1024
 
 
-def _kernel(rows_ref, pos_ref, qr_ref, kvn_ref, *refs, H, Dh, L, G):
+def _kernel(rows_ref, pos_ref, qr_ref, kvn_ref, *refs, H, Dh, L, G,
+            has_dst):
     kv_refs = refs[:G]
-    ctx_ref = refs[G]
-    kvo_ref = refs[G + 1]  # (G, HD, 2L) block of consecutive out rows
+    # has_dst: a dummy aliased destination operand sits between the kv
+    # blocks and the outputs; it is never read (the kvo output writes
+    # land in its HBM buffer via input_output_aliases).
+    ctx_ref = refs[G + (1 if has_dst else 0)]
+    kvo_ref = refs[G + (2 if has_dst else 1)]  # (G, HD, 2L) out rows
     i = pl.program_id(0)
     pos = pos_ref[0]
     HD = H * Dh
@@ -106,7 +110,8 @@ def _kernel(rows_ref, pos_ref, qr_ref, kvn_ref, *refs, H, Dh, L, G):
         )  # (HD, 1)
 
 
-def _pallas_call(kv, rows, pos_arr, q_rows, kv_new, H, interpret):
+def _pallas_call(kv, rows, pos_arr, q_rows, kv_new, H, interpret,
+                 dst=None):
     n, HD, L2 = kv.shape
     L = L2 // 2
     Dh = HD // H
@@ -129,6 +134,23 @@ def _pallas_call(kv, rows, pos_arr, q_rows, kv_new, H, interpret):
         )
         for j in range(G)
     ]
+    # Optional ping-pong destination: `dst` is a SEPARATE buffer of
+    # the cache's shape that the permuted+appended output is written
+    # into IN PLACE (input_output_aliases).  Unlike aliasing the cache
+    # being read (measured corrupting — beam permutations are
+    # many-to-one, so some grid step always overwrites a row a later
+    # step still reads), writing into a disjoint buffer has no
+    # read-after-write hazard; the searcher carries (A, B) buffers and
+    # alternates roles every step (unrolled by 2 for positional carry
+    # stability), letting XLA keep the while-loop cache state fully
+    # in place — no per-step full-cache carry copies.
+    dst_spec = (
+        []
+        if dst is None
+        # never read in-kernel: a single constant-index block is
+        # fetched once for the whole grid (one row of overhead).
+        else [pl.BlockSpec((1, HD, L2), lambda i, rows, pos: (0, 0, 0))]
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # rows, pos
         grid=(n // G,),
@@ -140,6 +162,7 @@ def _pallas_call(kv, rows, pos_arr, q_rows, kv_new, H, interpret):
             # Merged K|V rows of the predecessors: ONE contiguous DMA
             # per beam; G beams per grid step amortize step overhead.
             *kv_spec,
+            *dst_spec,
         ],
         out_specs=[
             # ctx: resident accumulator, written back once at the end.
@@ -151,15 +174,25 @@ def _pallas_call(kv, rows, pos_arr, q_rows, kv_new, H, interpret):
             ),
         ],
     )
+    operands = [rows, pos_arr, q_rows, kv_new, *([kv] * G)]
+    aliases = {}
+    if dst is not None:
+        # flat input index of dst (scalar-prefetch args included) ->
+        # kvo output index.
+        aliases = {len(operands): 1}
+        operands.append(dst)
     ctx, kvo = pl.pallas_call(
-        functools.partial(_kernel, H=H, Dh=Dh, L=L, G=G),
+        functools.partial(
+            _kernel, H=H, Dh=Dh, L=L, G=G, has_dst=dst is not None
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, HD, 1), jnp.float32),
             jax.ShapeDtypeStruct((n, HD, L2), kv.dtype),
         ],
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(rows, pos_arr, q_rows, kv_new, *([kv] * G))
+    )(*operands)
     return ctx[..., 0], kvo
 
 
@@ -195,7 +228,7 @@ def _xla_ref(kv, rows, pos, q, k_new, v_new, H):
 
 
 def beam_attend_step(kv, rows, q, k_new, v_new, pos, nhead,
-                     interpret=False):
+                     interpret=False, dst=None):
     """Fused permute + append + self-attend over a time-minor merged
     K|V cache.
 
@@ -211,6 +244,12 @@ def beam_attend_step(kv, rows, q, k_new, v_new, pos, nhead,
     pos : scalar int32 decode position; lanes > pos are masked.
     nhead : number of attention heads H.
     interpret : run the Pallas kernel in interpret mode (CPU tests).
+    dst : optional (n, H*Dh, 2L) buffer of the cache's shape/dtype.
+        When given (ping-pong decode), the returned cache is written
+        into ``dst``'s buffer in place (``input_output_aliases``);
+        ``dst``'s CONTENTS are ignored and destroyed.  ``dst`` must be
+        a different buffer than ``kv`` — aliasing the read cache
+        itself is unsound (see PERFORMANCE.md round 5).
 
     Returns
     -------
@@ -234,10 +273,12 @@ def beam_attend_step(kv, rows, q, k_new, v_new, pos, nhead,
     v_new = v_new.astype(kv.dtype)
     use_pallas = interpret or jax.default_backend() == "tpu"
     if not use_pallas:
+        # dst is a buffer-placement hint only; the XLA fallback
+        # computes the same values in a fresh buffer.
         return _xla_ref(kv, rows, pos, q, k_new, v_new, nhead)
     q_rows = q[:, None, :]  # (n, 1, HD)
     kv_new = jnp.stack([k_new, v_new], axis=-1)  # (n, HD, 2)
     out, kv2 = _pallas_call(
-        kv, rows, pos[None], q_rows, kv_new, nhead, interpret
+        kv, rows, pos[None], q_rows, kv_new, nhead, interpret, dst=dst
     )
     return out, kv2

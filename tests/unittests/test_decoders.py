@@ -620,3 +620,68 @@ def test_transformer_beam_fused_rows_parity():
     h_fused, s_fused = fused(enc, lens)
     assert h_eager == h_fused, (h_eager, h_fused)
     np.testing.assert_allclose(s_eager, s_fused, rtol=1e-4, atol=1e-5)
+
+
+def test_transformer_beam_ping_pong_parity():
+    """Ping-pong double-buffered self caches (spare ``alt`` buffer per
+    layer + loop unrolled by 2, see ``ops.pallas.beam_cache``'s
+    ``dst``) must be result-identical to the single-buffer fused path
+    — including when ``max_steps`` is ODD, where the unrolled body's
+    final sub-step runs one step past the cap and its score-bearing
+    updates are masked out."""
+    import jax
+    import jax.numpy as jnp
+
+    from speechbrain_tpu.decoders.seq2seq import S2STransformerBeamSearch
+    from speechbrain_tpu.lobes.models.transformer.TransformerASR import (
+        TransformerASR,
+    )
+
+    rng = np.random.default_rng(7)
+    B, T, F, V, D = 2, 13, 8, 11, 16  # T odd -> odd max_steps
+    model = TransformerASR(
+        tgt_vocab=V, input_size=F, d_model=D, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=2, d_ffn=32,
+        dropout=0.0, encoder_module="transformer",
+        attention_type="regularMHA",
+    )
+    src = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+    tgt = jnp.zeros((B, 3), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), src, tgt, train=False)
+    enc = model.apply(params, src, method="encode")
+    lens = jnp.asarray([1.0, 0.8])
+
+    W_out = jnp.asarray(rng.standard_normal((D, V)), jnp.float32)
+    # min_decode_ratio=1.0 suppresses eos until the cap: the loop must
+    # run all max_steps steps, exercising the gated odd tail.
+    common = dict(
+        decode_fn=None,
+        cache_init_fn=lambda e, max_steps: model.apply(
+            params, e, max_steps, method="decode_cache_init"
+        ),
+        step_fn=lambda tok, cache, pos, el, rows: model.apply(
+            params, tok, cache, pos, el, rows=rows,
+            method="decode_step"
+        ),
+        linear_fn=lambda d: d @ W_out,
+        bos_index=1, eos_index=2, blank_index=0,
+        min_decode_ratio=1.0, max_decode_ratio=1.0, beam_size=3,
+        using_eos_threshold=False, length_normalization=True,
+    )
+    single = S2STransformerBeamSearch(ping_pong=False, **common)
+    pp = S2STransformerBeamSearch(ping_pong=True, **common)
+    assert not single._unroll2 and pp._unroll2
+    h1, s1 = single(enc, lens)
+    h2, s2 = pp(enc, lens)
+    assert h1 == h2, (h1, h2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+    # and an even-cap config with normal eos behavior (early exit)
+    common["min_decode_ratio"] = 0.0
+    even_single = S2STransformerBeamSearch(ping_pong=False, **common)
+    even_pp = S2STransformerBeamSearch(ping_pong=True, **common)
+    # even cap: T=13 at ratio 1.0 is odd; shrink ratio for an even cap
+    h3, s3 = even_single(enc[:, :12], lens)
+    h4, s4 = even_pp(enc[:, :12], lens)
+    assert h3 == h4, (h3, h4)
+    np.testing.assert_allclose(s3, s4, rtol=1e-5, atol=1e-6)
